@@ -1,0 +1,130 @@
+"""Row-batch <-> DataFrame bridge and the table registry.
+
+The reference's universal interchange format is a ``list[dict]`` row
+batch bound into SQL as an UNNEST values-scan (reference:
+src/linkmerce/common/transform.py:817-819 ``expr_rows``;
+src/linkmerce/common/load.py:417-430 ``execute_with_json``). In Spark
+that is simply ``spark.createDataFrame(rows, schema)`` — this module
+keeps that bridge plus the logical-alias table map the reference renders
+into its SQL (``tables: {key: name}``, transform.py:677).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+__all__ = [
+    "from_rows",
+    "rows_to_df",
+    "TableRegistry",
+    "load_star",
+    "STAR_TABLES",
+]
+
+# Driver-generated TPC-H-ish star schema + pipeline tables (TESTDATA.md).
+STAR_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def from_rows(
+    spark: SparkSession,
+    rows: Iterable[Mapping[str, Any]],
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """Bind a row batch (``list[dict]``) as a relation.
+
+    This is the engine's values-scan: the Spark-native equivalent of the
+    reference's ``(SELECT rows.* FROM (SELECT UNNEST($rows)))`` pattern.
+    Always pass an explicit schema in production paths — inference scans
+    the batch twice and widens types unpredictably.
+    """
+    rows = list(rows)
+    if schema is not None:
+        return spark.createDataFrame(rows, schema=schema)
+    return spark.createDataFrame(rows)
+
+
+# Alias kept for call sites that read better with the verb-first name.
+rows_to_df = from_rows
+
+
+class TableRegistry:
+    """Logical-name -> DataFrame registry with temp-view projection.
+
+    Mirrors the reference's ``tables`` alias map + Jinja ``{{ table }}``
+    rendering (transform.py:647-650): SQL models refer to logical keys;
+    the registry decides the physical name. Here the physical name is a
+    temp view, so ``spark.sql`` models and DataFrame pipelines compose.
+    """
+
+    def __init__(self, spark: SparkSession, aliases: Mapping[str, str] | None = None):
+        self.spark = spark
+        self.aliases: dict[str, str] = dict(aliases or {})
+        self._frames: dict[str, DataFrame] = {}
+
+    def resolve(self, key: str) -> str:
+        return self.aliases.get(key, key)
+
+    def register(self, key: str, df: DataFrame, *, as_view: bool = True) -> str:
+        """Register a DataFrame under a logical key; returns the physical name."""
+        name = self.resolve(key)
+        self._frames[key] = df
+        if as_view:
+            df.createOrReplaceTempView(name)
+        return name
+
+    def __getitem__(self, key: str) -> DataFrame:
+        if key in self._frames:
+            return self._frames[key]
+        return self.spark.table(self.resolve(key))
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._frames
+
+    def keys(self):
+        return self._frames.keys()
+
+
+def load_star(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: Iterable[str] = STAR_TABLES,
+    register_views: bool = False,
+) -> dict[str, DataFrame]:
+    """Load the driver's parquet star schema from ``sf_dir``.
+
+    Plain ``spark.read.parquet`` — scans stay columnar/vectorized and
+    Catalyst pushes filters and prunes columns into the parquet reader.
+    """
+    out: dict[str, DataFrame] = {}
+    try:
+        # Runtime-settable SQL conf; required to read pandas-written
+        # TIMESTAMP(NANOS) parquet (events.ts) on any caller's session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    for name in tables:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            # TIMESTAMP(NANOS) parquet read as long via nanosAsLong:
+            # truncate to micros (identical to DuckDB's nanos handling).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,148 @@
+"""Text-analysis columns for the training-data pipeline.
+
+Everything is a pure Column expression over built-in functions — at
+100 TB these run inside whole-stage codegen with zero Python cost.
+Heuristics (language-ID marker sets, quality thresholds) are data-level
+constants, easy to retune.
+
+Operators built on top: exact/minhash/simhash dedup (operators/dedup.py),
+quality filtering, language routing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_text",
+    "token_count",
+    "word_tokens",
+    "char_ngrams",
+    "word_shingles",
+    "punct_ratio",
+    "stopword_ratio",
+    "quality_score",
+    "lang_guess",
+    "fingerprint",
+]
+
+# Tiny top-stopword marker sets per language for the n-gram/markers
+# heuristic language guesser. Deliberately small: the point is a cheap,
+# deterministic, SQL-expressible router, not a model.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"),
+    "es": ("el", "la", "de", "que", "los", "una", "es", "por", "con", "para"),
+}
+
+_EN_STOPWORDS = _LANG_MARKERS["en"]
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def normalize_text(c: Column | str) -> Column:
+    """Lowercase + collapse whitespace — canonical form for dedup keys."""
+    return F.trim(F.regexp_replace(F.lower(_col(c)), r"\s+", " "))
+
+
+def word_tokens(c: Column | str) -> Column:
+    """Whitespace/punctuation tokenization to array<string> (lowercased)."""
+    toks = F.split(F.lower(_col(c)), r"[^\p{L}\p{N}]+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def token_count(c: Column | str) -> Column:
+    """Token count under the same tokenizer (BPE-ish proxy: word pieces)."""
+    return F.size(word_tokens(c)).cast("bigint")
+
+
+def char_ngrams(c: Column | str, n: int = 5) -> Column:
+    """Character n-gram shingles of the normalized text (array<string>).
+
+    Expression-only: substring over a generated offset sequence. Length
+    guard returns an empty array for too-short docs.
+    """
+    norm = normalize_text(c)
+    return F.when(F.length(norm) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - (n - 1)),
+            lambda i: norm.substr(i, F.lit(n)),
+        )
+    )
+
+
+def word_shingles(c: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (array<string>) for MinHash/Jaccard."""
+    toks = word_tokens(c)
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def punct_ratio(c: Column | str) -> Column:
+    """Fraction of characters that are not letters/digits/space."""
+    s = _col(c)
+    stripped = F.regexp_replace(s, r"[\p{L}\p{N}\s]", "")
+    return F.when(F.length(s) == 0, F.lit(0.0)).otherwise(
+        F.length(stripped).cast("double") / F.length(s)
+    )
+
+
+def stopword_ratio(c: Column | str, stopwords: tuple[str, ...] = _EN_STOPWORDS) -> Column:
+    """Fraction of tokens that are common stopwords (quality signal)."""
+    toks = word_tokens(c)
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(toks)
+    )
+
+
+def quality_score(c: Column | str) -> Column:
+    """Composite [0,1] quality score: length, punctuation, stopword signals.
+
+    Weighted blend mirroring common pretraining-data heuristics:
+    longer docs with normal punctuation density and a healthy stopword
+    rate score high; fragments and symbol soup score low.
+    """
+    s = _col(c)
+    len_score = F.least(F.length(s).cast("double") / F.lit(500.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(s) * 4.0)
+    sw = stopword_ratio(s)
+    sw_score = F.least(sw * 5.0, F.lit(1.0))
+    return len_score * 0.4 + punct_pen * 0.3 + sw_score * 0.3
+
+
+def lang_guess(c: Column | str) -> Column:
+    """Cheap deterministic language guess from stopword-marker hits.
+
+    Scores each candidate language by marker-token hits; returns the
+    argmax (ties broken by fixed language order), 'und' when no marker
+    hits at all. Pure expression — runs in codegen, no UDF.
+    """
+    toks = word_tokens(c)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, markers in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(c: Column | str) -> Column:
+    """Deterministic 128-bit content fingerprint of the normalized text.
+
+    MD5 over the canonical form — engine-portable (matches any SQL
+    oracle's md5), stable across runs, suitable as an exact-dup key.
+    """
+    return F.md5(normalize_text(c))

@@ -1,0 +1,95 @@
+"""Primary-key dedup semantics, Spark-first.
+
+The reference leans on PRIMARY KEY + ``ON CONFLICT DO NOTHING`` for
+physical dedup (113 uses; e.g. core/smartstore/api/order/models.sql:82)
+and ``QUALIFY ROW_NUMBER() = 1`` for in-query dedup (models.sql:188).
+Spark has no PK enforcement, so dedup must be explicit AND deterministic:
+"keep first" needs a defined order, never partition luck.
+
+Scale notes
+-----------
+- ``dedupe_keep_first`` is one hash-shuffle on the key columns; AQE
+  skew-join/partition-split handles hot keys.
+- ``insert_ignore`` is a left_anti join against the existing target —
+  broadcast when the new batch is small (the common ingest case is a
+  small batch vs a huge target: then broadcast the BATCH and flip the
+  anti-join direction... we keep target-side anti-join because the
+  target arrives pruned by partition filters in real pipelines).
+- ``exact_dedup`` groups by a 128-bit content fingerprint; the shuffle
+  key is uniform by construction (hash output), so no salting needed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from linkmerce_spark.functions.text import fingerprint
+
+__all__ = ["dedupe_keep_first", "insert_ignore", "exact_dedup"]
+
+
+def dedupe_keep_first(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str] | None = None,
+) -> DataFrame:
+    """Keep exactly one row per key, deterministically.
+
+    ``order_by`` defines which row wins (ascending; pass ``F.col(c)
+    .desc()`` columns for latest-wins). Without it, falls back to
+    ``dropDuplicates`` (arbitrary winner — only for genuinely identical
+    full rows).
+
+    One shuffle; window + filter compiles to the same exchange as a
+    groupBy but keeps all columns without a struct pack/unpack.
+    """
+    if not order_by:
+        return df.dropDuplicates(list(keys))
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def insert_ignore(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str] | None = None,
+) -> DataFrame:
+    """ON CONFLICT DO NOTHING: rows of ``source`` whose key is absent
+    from ``target``, appended to ``target``.
+
+    Deterministic: the source batch is first key-deduped (keep-first by
+    ``order_by``), then anti-joined against the target's keys. Returns
+    the unioned frame; callers append-write the anti-join half in real
+    sinks (sources/writers.py does exactly that).
+    """
+    fresh = dedupe_keep_first(source, keys, order_by)
+    fresh = fresh.join(target.select(*keys).distinct(), on=list(keys), how="left_anti")
+    return target.unionByName(fresh.select(*target.columns))
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-content dedup: keep the lowest-id row per content fingerprint.
+
+    Adds ``fp`` (md5 of normalized text) and ``dup_count`` (group size).
+    Single shuffle on the fingerprint — uniform distribution, no skew.
+    """
+    with_fp = df.withColumn("fp", fingerprint(text_col))
+    w = Window.partitionBy("fp").orderBy(F.col(id_col).asc())
+    return (
+        with_fp.withColumn("__rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,357 @@
+"""DuckDB oracle SQL — one ANSI-SQL twin per entry in queries.QUERIES.
+
+Same column names, same deterministic values (see queries.py header for
+the determinism conventions). Tables region/nation/customer/supplier/
+part/orders/lineitem/events/documents/embeddings are pre-registered
+views over the same parquet files.
+"""
+
+from __future__ import annotations
+
+__all__ = ["ORACLES"]
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2))) * (1 + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE) AS sum_charge,
+  COUNT(*) AS count_order,
+  CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS DECIMAL(18,2))
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_qty_highdisc
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["star_join_revenue"] = """
+SELECT r_name, n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue,
+  COUNT(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+ORACLES["top_order_per_customer"] = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+ORACLES["latest_order_dedupe"] = """
+SELECT o_custkey, o_orderkey AS latest_orderkey,
+       CAST(o_orderdate AS DATE) AS latest_order_date
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+ORACLES["full_outer_merge_events"] = """
+WITH p AS (
+  SELECT user_id AS p_user, COUNT(*) AS purchase_count,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), e AS (
+  SELECT user_id AS e_user, COUNT(*) AS error_count
+  FROM events WHERE event_type = 'error' GROUP BY user_id
+)
+SELECT COALESCE(p_user, e_user) AS user_id,
+       COALESCE(purchase_count, 0) AS purchase_count,
+       COALESCE(purchase_value, 0.0) AS purchase_value,
+       COALESCE(error_count, 0) AS error_count
+FROM p FULL OUTER JOIN e ON p_user = e_user
+"""
+
+_ALLOC_BASE = """
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS w,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+ORACLES["allocation_proportional"] = f"""
+WITH base AS ({_ALLOC_BASE}),
+shares AS (
+  SELECT l_orderkey, l_linenumber, total_cents,
+         CAST(FLOOR(CAST(total_cents AS DOUBLE) * CAST(w AS DOUBLE)
+                    / CAST(SUM(w) OVER (PARTITION BY l_orderkey) AS DOUBLE) * 1.0 + 0.5)
+              AS DECIMAL(18,0)) AS share,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_partkey, l_suppkey, w) AS rn
+  FROM base
+)
+SELECT l_orderkey, l_linenumber,
+       CAST(CASE WHEN rn = 1
+                 THEN share + (CAST(total_cents AS DECIMAL(18,0))
+                               - SUM(share) OVER (PARTITION BY l_orderkey))
+                 ELSE share END AS BIGINT) AS allocated_cents
+FROM shares
+"""
+
+ORACLES["allocation_integer_even"] = f"""
+WITH base AS ({_ALLOC_BASE})
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(FLOOR(CAST(total_cents AS DOUBLE) / n) AS BIGINT)
+            + CASE WHEN rn <= total_cents - CAST(FLOOR(CAST(total_cents AS DOUBLE) / n) AS BIGINT) * n
+                   THEN 1 ELSE 0 END AS BIGINT) AS even_cents
+FROM (
+  SELECT l_orderkey, l_linenumber, total_cents,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS n,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+  FROM base
+)
+"""
+
+ORACLES["rolling_30d_qty"] = """
+SELECT l_orderkey, l_linenumber,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+    PARTITION BY l_partkey
+    ORDER BY datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+    RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING
+  ) AS DOUBLE) AS qty_30d
+FROM lineitem
+"""
+
+ORACLES["cumulative_customer_spend"] = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS cum_spend
+FROM orders
+"""
+
+ORACLES["next_order_gap"] = """
+SELECT o_custkey, o_orderkey,
+  CAST(o_orderdate AS DATE) AS order_date,
+  CAST(LEAD(o_orderdate) OVER w AS DATE) AS next_order_date,
+  CAST(datediff('day', CAST(o_orderdate AS DATE),
+                CAST(LEAD(o_orderdate) OVER w AS DATE)) AS INTEGER) AS gap_days
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+ORACLES["union_all_fact_assembly"] = """
+SELECT o_orderkey AS ref_key, 'order' AS source_kind, o_totalprice AS amount,
+       CAST(o_orderdate AS DATE) AS ymd, o_orderpriority AS detail
+FROM orders
+UNION ALL
+SELECT l_orderkey, 'lineitem', l_extendedprice,
+       CAST(l_shipdate AS DATE), CAST(NULL AS VARCHAR)
+FROM lineitem
+"""
+
+ORACLES["customers_without_orders"] = """
+SELECT c_custkey, c_name, n_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+ORACLES["building_segment_order_stats"] = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM orders
+WHERE EXISTS (SELECT 1 FROM customer
+              WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+GROUP BY o_orderpriority
+"""
+
+ORACLES["largest_parts"] = """
+SELECT p_partkey, p_name, p_size FROM part
+WHERE p_size = (SELECT MAX(p_size) FROM part)
+"""
+
+ORACLES["explode_part_words"] = """
+SELECT p_partkey,
+       CAST(UNNEST(range(1, len(ws) + 1)) AS INTEGER) AS ord,
+       UNNEST(ws) AS word
+FROM (SELECT p_partkey, string_split(p_name, ' ') AS ws FROM part)
+"""
+
+ORACLES["effective_dated_campaign"] = """
+WITH campaigns(c_mktsegment, start_date, end_date, campaign) AS (
+  VALUES ('BUILDING',   DATE '1995-01-01', DATE '1997-12-31', 'early-building'),
+         ('BUILDING',   DATE '1998-01-01', DATE '2999-12-31', 'late-building'),
+         ('AUTOMOBILE', DATE '1996-01-01', DATE '1998-12-31', 'auto-mid'),
+         ('MACHINERY',  DATE '2000-01-01', DATE '2999-12-31', 'machinery-recent')
+)
+SELECT g.campaign, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN campaigns g
+  ON c.c_mktsegment = g.c_mktsegment
+ AND CAST(o.o_orderdate AS DATE) BETWEEN g.start_date AND g.end_date
+GROUP BY g.campaign
+"""
+
+ORACLES["string_functions"] = """
+SELECT p_partkey,
+  CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INTEGER) AS brand_num,
+  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+  split_part(p_name, ' ', 1) AS first_word,
+  substr(p_name, 1, 3) AS name_prefix,
+  concat_ws('-', p_type, p_brand) AS type_brand,
+  upper(p_type) AS type_upper,
+  starts_with(p_name, 'small') AS is_small
+FROM part
+"""
+
+ORACLES["date_functions"] = """
+SELECT o_orderkey,
+  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+  CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INTEGER) AS dow,
+  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS ymd_str,
+  CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month,
+  CAST(year(o_orderdate) AS INTEGER) AS yr,
+  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+  make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), 1) AS month_first
+FROM orders
+"""
+
+ORACLES["enum_encoding"] = """
+SELECT o_orderkey,
+  CAST(CASE o_orderstatus WHEN 'O' THEN 0 WHEN 'F' THEN 1 WHEN 'P' THEN 2
+       ELSE -1 END AS INTEGER) AS status_code,
+  TRY_CAST(split_part(o_orderpriority, '-', 1) AS INTEGER) AS priority_code
+FROM orders
+"""
+
+ORACLES["null_guards"] = """
+SELECT c_custkey,
+  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_masked,
+  GREATEST(LEAST(c_acctbal, 5000.0), -500.0) AS bal_clamped,
+  NULLIF(c_nationkey, 0) AS nation_nullable
+FROM customer
+"""
+
+ORACLES["distinct_segments"] = """
+SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+"""
+
+ORACLES["string_agg_names"] = """
+SELECT n_name,
+  string_agg(c_name, ',' ORDER BY c_name) AS customer_csv,
+  COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+ORACLES["events_json_extract"] = """
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+ORACLES["events_hourly_windows"] = """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+_TOKENS = "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '')"
+_STOPWORDS = "['the','and','of','to','in','is','that','for','with','was']"
+
+ORACLES["doc_text_metrics"] = f"""
+SELECT doc_id,
+  CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS INTEGER) AS n_chars_exact,
+  round(CASE WHEN length(text) = 0 THEN 0.0
+        ELSE CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
+             / length(text) END, 6) AS punct_ratio,
+  (CASE WHEN len({_TOKENS}) = 0 THEN 0.0
+        ELSE CAST(len(list_filter({_TOKENS}, t -> list_contains({_STOPWORDS}, t))) AS DOUBLE)
+             / len({_TOKENS}) END) AS stopword_ratio,
+  (
+    LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+    + GREATEST(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+        ELSE CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
+             / length(text) END) * 4.0) * 0.3
+    + LEAST((CASE WHEN len({_TOKENS}) = 0 THEN 0.0
+        ELSE CAST(len(list_filter({_TOKENS}, t -> list_contains({_STOPWORDS}, t))) AS DOUBLE)
+             / len({_TOKENS}) END) * 5.0, 1.0) * 0.3) AS quality
+FROM documents
+"""
+
+_MARKERS = {
+    "en": "['the','and','of','to','in','is','that','for','with','was']",
+    "de": "['der','die','und','das','ist','nicht','mit','ein','von','zu']",
+    "fr": "['le','la','et','les','des','est','une','dans','que','pour']",
+    "es": "['el','la','de','que','los','una','es','por','con','para']",
+}
+_SCORES = ", ".join(
+    f"len(list_filter({_TOKENS}, t -> list_contains({arr}, t))) AS s_{lang}"
+    for lang, arr in _MARKERS.items()
+)
+
+ORACLES["doc_lang_guess"] = f"""
+WITH scored AS (
+  SELECT doc_id, lang, {_SCORES} FROM documents
+)
+SELECT doc_id, lang,
+  CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+       WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+       WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+       ELSE 'es' END AS lang_guess,
+  (CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+       WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+       WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+       ELSE 'es' END) = lang AS guess_matches
+FROM scored
+"""
+
+ORACLES["doc_exact_dedup"] = """
+WITH fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM fp GROUP BY fp
+"""
+
+ORACLES["embedding_topk"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 50 = 0
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+), pairs AS (
+  SELECT query_id, neighbor_id,
+         FLOOR(list_dot_product(qv, cv)
+               / NULLIF(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 0.0)
+               * 1000000.0 + 0.5) / 1000000.0 AS cosine
+  FROM c, q WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM pairs
+) WHERE rank <= 5
+"""
+
+ORACLES["unpivot_lineitem_measures"] = """
+SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+"""

@@ -1,0 +1,709 @@
+"""Query catalog: one entry per SURVEY.md §2 operator family.
+
+Every query here has a DuckDB-oracle twin in ``oracles.py`` (same
+column names, same deterministic values). Conventions that make the
+hash-compare exact:
+
+- Money/metric sums aggregate in ``decimal`` (exact, order-independent
+  — a shuffled double SUM is nondeterministic at any scale) and cast
+  the final value to ``double``.
+- Ratios are computed double-on-exact-inputs (deterministic IEEE ops),
+  never aggregated in floating point.
+- Timestamp outputs are cast to ``date`` or formatted strings; raw
+  timestamps differ in tz representation between engines.
+- Window ranks always have a total order (explicit tiebreak columns).
+
+Each function takes ``(spark, sf_dir)`` and returns a DataFrame; the
+driver and ``bench.py`` both consume this table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from linkmerce_spark.frames import load_star
+from linkmerce_spark.functions.scalar import enum_code, int_div, money, split_part
+from linkmerce_spark.functions.text import (
+    fingerprint,
+    lang_guess,
+    normalize_text,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from linkmerce_spark.functions.vectors import vec_cosine
+from linkmerce_spark.operators.allocation import (
+    allocate_integer_even,
+    allocate_proportional,
+)
+from linkmerce_spark.operators.dedup import dedupe_keep_first, exact_dedup
+from linkmerce_spark.operators.rangejoin import effective_dated_join, rolling_range_agg
+from linkmerce_spark.operators.topk import top_k_per_group
+from linkmerce_spark.operators.unpivot import unpivot
+from linkmerce_spark.streaming.windows import tumbling_agg
+
+__all__ = ["QUERIES", "flagship"]
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tables = load_star(spark, sf_dir, names)
+    return [tables[n] for n in names]
+
+
+def _dsum(c: Column | str, scale: int = 2) -> Column:
+    """Deterministic double sum: exact decimal aggregation, double out."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------- §2.4 A1/A2
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + SUM/AVG/COUNT + conditional agg (SURVEY A1/A2).
+
+    Parity: core/searchad/api/report/models.sql:712-754 (metric rollup
+    with SUM + SUM(CASE WHEN ...)); shaped as a TPC-H Q1-style pricing
+    summary over lineitem.
+    """
+    (li,) = _t(spark, sf_dir, "lineitem")
+    # Exact decimal arithmetic: monetary inputs are 2-decimal values, so
+    # decimal products are exact in any engine — no double-rounding drift.
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_price = ep * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax").cast("decimal(8,2)"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.sum(
+                F.when(F.col("l_discount") > 0.05, F.col("l_quantity").cast("decimal(18,2)"))
+                .otherwise(F.lit(0).cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("sum_qty_highdisc"),
+        )
+    )
+
+
+# ------------------------------------------------------------- §2.3 J1/J2
+def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema enrichment join with broadcast dims (SURVEY J1/J2).
+
+    Parity: dbt_postgres/.../analytics__profit_mom.sql:219-230 (6-way
+    dim join). nation/region are broadcast — zero shuffle of the dims;
+    the fact side shuffles once per equi-join key.
+    """
+    li, orders, cust, nation, region = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count_distinct(F.col("o_orderkey")).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- §2.4 A7/W2
+def q_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON / top-1-per-group via row_number (SURVEY A7/W2/O3).
+
+    Parity: dbt_postgres/.../core__sales_daily.sql:167-181 (DISTINCT ON
+    (k) ... ORDER BY metric DESC); deterministic tiebreak on orderkey.
+    """
+    (orders,) = _t(spark, sf_dir, "orders")
+    top = top_k_per_group(
+        orders,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=1,
+    )
+    return top.select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------- §2.4 A8/W3
+def q_latest_order_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY row_number()=1 dedup, keep-latest (SURVEY W3/A8).
+
+    Parity: core/smartstore/api/order/models.sql:188 (QUALIFY dedup on
+    PK with deterministic winner).
+    """
+    (orders,) = _t(spark, sf_dir, "orders")
+    latest = dedupe_keep_first(
+        orders,
+        ["o_custkey"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+    )
+    return latest.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("latest_orderkey"),
+        F.col("o_orderdate").cast("date").alias("latest_order_date"),
+    )
+
+
+# ------------------------------------------------------------------- §2.3 J3
+def q_full_outer_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stat ⋈ conv merge with COALESCE'd keys (SURVEY J3).
+
+    Parity: core/searchad/api/report/models.sql:775-797 (ad stat/conv
+    halves full-outer merged on the report key).
+    """
+    (events,) = _t(spark, sf_dir, "events")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("purchase_count"),
+            _dsum("value").alias("purchase_value"),
+        )
+        .withColumnRenamed("user_id", "p_user")
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("error_count"))
+        .withColumnRenamed("user_id", "e_user")
+    )
+    merged = purchases.join(errors, purchases.p_user == errors.e_user, "full_outer")
+    return merged.select(
+        F.coalesce("p_user", "e_user").alias("user_id"),
+        F.coalesce("purchase_count", F.lit(0)).alias("purchase_count"),
+        F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+        F.coalesce("error_count", F.lit(0)).alias("error_count"),
+    )
+
+
+# ------------------------------------------------------------------- §2.5 W6
+def q_allocation_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional allocation w/ remainder-to-first-row (SURVEY W6).
+
+    Parity: dbt_postgres/.../smartstore__sales_daily.sql:170-216 (ad
+    cost split over bundle products by cost weight; first row absorbs
+    the rounding residue so group sums are exact).
+
+    Allocates each order's total (in cents) over its lineitems
+    proportional to extendedprice.
+    """
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    total_cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    base = li.join(
+        orders.select("o_orderkey", total_cents.alias("total_cents")),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    # The synthetic lineitem has duplicate (orderkey, linenumber) pairs;
+    # the residue-row pick needs a total order, so extend the tiebreak.
+    out = allocate_proportional(
+        base,
+        group=["l_orderkey"],
+        weight=F.col("l_extendedprice"),
+        total=F.col("total_cents"),
+        order_by=[
+            F.col("l_linenumber"),
+            F.col("l_partkey"),
+            F.col("l_suppkey"),
+            F.col("l_extendedprice"),
+        ],
+        out="allocated_cents",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", F.col("allocated_cents").cast("bigint").alias("allocated_cents")
+    )
+
+
+def q_allocation_integer_even(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal integer split via DIV/MOD (SURVEY W6 integer variant).
+
+    Parity: dbt_postgres/.../searchad__insight_daily.sql:195-216
+    (conversion counts split evenly, first MOD rows get +1).
+    """
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    total_cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    base = li.join(
+        orders.select("o_orderkey", total_cents.alias("total_cents")),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    out = allocate_integer_even(
+        base,
+        group=["l_orderkey"],
+        total=F.col("total_cents"),
+        order_by=[F.col("l_linenumber")],
+        out="even_cents",
+    )
+    return out.select("l_orderkey", "l_linenumber", F.col("even_cents").cast("bigint").alias("even_cents"))
+
+
+# ------------------------------------------------------------------- §2.3 J6
+def q_rolling_30d_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-day per-key rolling aggregate (SURVEY J6).
+
+    Parity: dbt_postgres/.../core__sold_qty_30d_daily.sql:112-115 — the
+    reference does a date-spine range join; here it is a RANGE window
+    over day offsets: one shuffle, no O(n·m) join.
+    """
+    (li,) = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+    )
+    out = rolling_range_agg(
+        base,
+        keys=["l_partkey"],
+        date_col="ship_date",
+        aggs={"qty_30d": F.sum("qty")},
+        days_back=30,
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", F.col("qty_30d").cast("double").alias("qty_30d")
+    )
+
+
+# ------------------------------------------------------------------- §2.3 J7
+def q_cumulative_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative sum via window, not self-join (SURVEY J7).
+
+    Parity: dbt_postgres/.../analytics__stock_report.sql:190-194 — the
+    reference's cumsum self-join rewritten as ROWS UNBOUNDED PRECEDING,
+    strictly better (one shuffle vs a quadratic join).
+    """
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("cum_spend"),
+    )
+
+
+# ------------------------------------------------------------------- §2.5 W5
+def q_next_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAD over partition (SURVEY W5).
+
+    Parity: dbt_postgres/.../smartstore__sales_daily.sql:24 (LEAD builds
+    tier upper bounds).
+    """
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+    nxt = F.lead(F.col("o_orderdate")).over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        nxt.cast("date").alias("next_order_date"),
+        F.datediff(nxt.cast("date"), F.col("o_orderdate").cast("date")).alias("gap_days"),
+    )
+
+
+# ------------------------------------------------------------------- §2.7 U1
+def q_union_all_fact_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL multi-source fact assembly w/ NULL-typed alignment (U1).
+
+    Parity: dbt_postgres/.../core__sales_daily.sql:375-387 (sales + ads
+    + cost sources unioned with explicit NULL::type columns).
+    """
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    a = orders.select(
+        F.col("o_orderkey").alias("ref_key"),
+        F.lit("order").alias("source_kind"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderdate").cast("date").alias("ymd"),
+        F.col("o_orderpriority").alias("detail"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ref_key"),
+        F.lit("lineitem").alias("source_kind"),
+        F.col("l_extendedprice").alias("amount"),
+        F.col("l_shipdate").cast("date").alias("ymd"),
+        F.lit(None).cast("string").alias("detail"),
+    )
+    return a.unionByName(b)
+
+
+# ---------------------------------------------------------------- §2.3 J8/J9
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS) (SURVEY J9).
+
+    Parity: dbt_postgres/.../relation__ad_id_to_ranged_sbn_ids.sql:28-33
+    (NOT EXISTS filter).
+    """
+    cust, orders, nation = _t(spark, sf_dir, "customer", "orders", "nation")
+    inactive = cust.join(
+        orders.select("o_custkey").distinct(),
+        cust.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return inactive.join(broadcast(nation), inactive.c_nationkey == nation.n_nationkey).select(
+        "c_custkey", "c_name", "n_name"
+    )
+
+
+def q_building_segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS / IN-subquery) (SURVEY J8/J10).
+
+    Parity: dbt_postgres/.../analytics__stock_report.sql:60-64 (IN
+    (SELECT ...) membership filter). Broadcast semi-join: the filtered
+    customer key set is small → no shuffle of orders.
+    """
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        orders.join(broadcast(building), orders.o_custkey == F.col("c_custkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), _dsum("o_totalprice").alias("total_value"))
+    )
+
+
+# ------------------------------------------------------------------ §2.3 J10
+def q_largest_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery via broadcast cross join (SURVEY J10).
+
+    Parity: dbt_postgres/.../analytics__stock_report.sql:60-64 (scalar
+    MAX subquery).
+    """
+    (part,) = _t(spark, sf_dir, "part")
+    mx = part.agg(F.max("p_size").alias("max_size"))
+    return (
+        part.crossJoin(broadcast(mx))
+        .filter(F.col("p_size") == F.col("max_size"))
+        .select("p_partkey", "p_name", "p_size")
+    )
+
+
+# ------------------------------------------------------------------- §2.3 J4
+def q_explode_part_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL unnest WITH ORDINALITY via posexplode (SURVEY J4).
+
+    Parity: dbt_postgres/.../searchad__insight_daily.sql:225-229
+    (unnest(string_to_array(...)) WITH ORDINALITY). Explicit ordinal —
+    never partition order (SURVEY §7.4 W1 caveat).
+    """
+    (part,) = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "word")
+    ).select("p_partkey", (F.col("pos") + 1).alias("ord"), "word")
+
+
+# ------------------------------------------------------------------- §2.3 J5
+def q_effective_dated_campaign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-dated range join against an inline dim (SURVEY J5 + §1.1.7).
+
+    Parity: dbt_postgres/.../searchad__insight_daily.sql:97-112 (ON key
+    = key AND ymd BETWEEN start_date AND end_date, sentinel-bounded) and
+    the inline VALUES mapping relations of macros/mapping/core.sql.
+    The relation is broadcast: the fact side never shuffles.
+    """
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    campaigns = spark.createDataFrame(
+        [
+            ("BUILDING", "1995-01-01", "1997-12-31", "early-building"),
+            ("BUILDING", "1998-01-01", "2999-12-31", "late-building"),
+            ("AUTOMOBILE", "1996-01-01", "1998-12-31", "auto-mid"),
+            ("MACHINERY", "2000-01-01", "2999-12-31", "machinery-recent"),
+        ],
+        "c_mktsegment string, start_date string, end_date string, campaign string",
+    ).select(
+        "c_mktsegment",
+        F.col("start_date").cast("date").alias("start_date"),
+        F.col("end_date").cast("date").alias("end_date"),
+        "campaign",
+    )
+    fact = orders.join(cust.select("c_custkey", "c_mktsegment"), orders.o_custkey == F.col("c_custkey"))
+    joined = effective_dated_join(
+        fact,
+        campaigns,
+        keys=["c_mktsegment"],
+        point=F.col("o_orderdate").cast("date"),
+        how="left",
+    )
+    return joined.groupBy("campaign").agg(
+        F.count(F.lit(1)).alias("n_orders"), _dsum("o_totalprice").alias("total_value")
+    )
+
+
+# ------------------------------------------------------------------- §2.8
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface (SURVEY §2.8 string family).
+
+    Parity: regexp_extract (core/naver/openapi/search/models.sql:188),
+    lpad/concat_ws (analytics__profit_mom.sql:192-217), split_part
+    (smartstore__sales_daily.sql:147), substr (order/models.sql:78).
+    """
+    (part,) = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_brand"), r"#(\d+)", 1).cast("int").alias("brand_num"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        split_part(F.col("p_name"), " ", 1).alias("first_word"),
+        F.substring(F.col("p_name"), 1, 3).alias("name_prefix"),
+        F.concat_ws("-", F.col("p_type"), F.col("p_brand")).alias("type_brand"),
+        F.upper(F.col("p_type")).alias("type_upper"),
+        F.col("p_name").startswith("small").alias("is_small"),
+    )
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface (SURVEY §2.8 date family).
+
+    Parity: DATE_TRUNC (analytics__profit_mom.sql:48), EXTRACT(DOW)
+    (:228-230), INTERVAL arithmetic (:73), to_char/date_format (:204),
+    make_date (macros/mapping/core.sql:4).
+    """
+    (orders,) = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        (F.dayofweek(d) - 1).alias("dow"),
+        F.date_format(d, "yyyy-MM-dd").alias("ymd_str"),
+        F.date_add(d, 30).alias("plus_30d"),
+        F.add_months(d, 1).alias("next_month"),
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("month_first"),
+    )
+
+
+# ------------------------------------------------------------------- §2.2 P3
+def q_enum_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-WHEN enum encoding as map-literal lookup (SURVEY P3).
+
+    Parity: core/smartstore/api/order/models.sql:91-117 (306 CASE
+    encode uses) — one map lookup instead of a CASE chain.
+    """
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        enum_code("o_orderstatus", {"O": 0, "F": 1, "P": 2}, default=-1).alias("status_code"),
+        split_part(F.col("o_orderpriority"), "-", 1).try_cast("int").alias("priority_code"),
+    )
+
+
+def q_null_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COALESCE / NULLIF / GREATEST / LEAST (SURVEY P6/P8).
+
+    Parity: order/models.sql:119-121,199-200 (COALESCE defaults,
+    LEAST/GREATEST bound maintenance).
+    """
+    (cust,) = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "segment_masked"
+        ),
+        F.greatest(F.least(F.col("c_acctbal"), F.lit(5000.0)), F.lit(-500.0)).alias("bal_clamped"),
+        F.nullif(F.col("c_nationkey"), F.lit(0)).alias("nation_nullable"),
+    )
+
+
+# ------------------------------------------------------------------- §2.4 A6
+def q_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT (SURVEY A6)."""
+    (cust,) = _t(spark, sf_dir, "customer")
+    return cust.select("c_mktsegment", "c_nationkey").distinct()
+
+
+# ------------------------------------------------------------------- §2.4 A4
+def q_string_agg_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string_agg (SURVEY A4).
+
+    Parity: dbt_postgres/.../analytics__stock_report.sql:252
+    (string_agg(expr, sep ORDER BY ...)) — collect_list + array_sort +
+    array_join gives the deterministic ordered concatenation.
+    """
+    cust, nation = _t(spark, sf_dir, "customer", "nation")
+    return (
+        cust.join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list(F.col("c_name"))), ",").alias("customer_csv"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+# ------------------------------------------------------------------- §2.8 JSON
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction + aggregation (SURVEY §2.8 JSON).
+
+    Parity: core/searchad/api/report/models.sql:605
+    (json_extract($.productNvmids)).
+    """
+    (events,) = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+# ----------------------------------------------------------------- §2.11 ext
+def q_events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation — unified batch/streaming (SURVEY §2.11).
+
+    Same code path as the Structured Streaming layer
+    (streaming/windows.py); here executed batch, which is exactly the
+    reference's incremental daily-batch semantics.
+    """
+    (events,) = _t(spark, sf_dir, "events")
+    out = tumbling_agg(
+        events,
+        ts_col="ts",
+        duration="1 hour",
+        keys=["event_type"],
+        aggs={"n_events": F.count(F.lit(1)), "total_value": _dsum("value")},
+    )
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+# ------------------------------------------------------- training-data ops
+def q_doc_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality metrics: tokens, punctuation, stopwords, score.
+
+    Training-data pipeline operator (BASELINE.json north star): pure
+    column expressions — codegen'd, no Python in the hot path.
+    """
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_exact"),
+        punct_ratio("text").alias("punct_ratio"),
+        stopword_ratio("text").alias("stopword_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+def q_doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic marker-based language ID (training-data op)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        lang_guess("text").alias("lang_guess"),
+        (lang_guess("text") == F.col("lang")).alias("guess_matches"),
+    )
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint (training-data op).
+
+    md5-over-normalized-text grouping: uniform shuffle key, keep-min-id
+    winner, duplicate count per cluster.
+    """
+    (docs,) = _t(spark, sf_dir, "documents")
+    out = exact_dedup(docs, text_col="text", id_col="doc_id")
+    return out.select("fp", F.col("doc_id").alias("keep_id"), "dup_count")
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline (training-data op).
+
+    Query set (vec_id % 50 == 0) is broadcast; candidates stream
+    through a nested-loop join — the correct plan when queries are few
+    and candidates huge. cosine rounded to 6dp with id tiebreak keeps
+    ranking deterministic across engines.
+    """
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    pairs = c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (F.floor(vec_cosine("qv", "cv") * 1000000.0 + 0.5) / 1000000.0).alias("cosine"),
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k=5,
+        rank_col="rank",
+    )
+
+
+def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT wide->long via stack (SURVEY §7.2.3 / U-pivot).
+
+    Parity: core/smartstore/api/order/models.sql:263-341 (status
+    timestamps unpivoted to an event log; NULLs excluded).
+    """
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return unpivot(
+        li,
+        id_cols=["l_orderkey", "l_linenumber"],
+        value_cols={"l_quantity": "quantity", "l_discount": "discount", "l_tax": "tax"},
+        var_name="measure",
+        value_name="value",
+    )
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "star_join_revenue": q_star_join_revenue,
+    "top_order_per_customer": q_top_order_per_customer,
+    "latest_order_dedupe": q_latest_order_dedupe,
+    "full_outer_merge_events": q_full_outer_merge_events,
+    "allocation_proportional": q_allocation_proportional,
+    "allocation_integer_even": q_allocation_integer_even,
+    "rolling_30d_qty": q_rolling_30d_qty,
+    "cumulative_customer_spend": q_cumulative_customer_spend,
+    "next_order_gap": q_next_order_gap,
+    "union_all_fact_assembly": q_union_all_fact_assembly,
+    "customers_without_orders": q_customers_without_orders,
+    "building_segment_order_stats": q_building_segment_order_stats,
+    "largest_parts": q_largest_parts,
+    "explode_part_words": q_explode_part_words,
+    "effective_dated_campaign": q_effective_dated_campaign,
+    "string_functions": q_string_functions,
+    "date_functions": q_date_functions,
+    "enum_encoding": q_enum_encoding,
+    "null_guards": q_null_guards,
+    "distinct_segments": q_distinct_segments,
+    "string_agg_names": q_string_agg_names,
+    "events_json_extract": q_events_json_extract,
+    "events_hourly_windows": q_events_hourly_windows,
+    "doc_text_metrics": q_doc_text_metrics,
+    "doc_lang_guess": q_doc_lang_guess,
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "embedding_topk": q_embedding_topk,
+    "unpivot_lineitem_measures": q_unpivot_lineitem_measures,
+}
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """The driver smoke-check query: star-join revenue rollup."""
+    return q_star_join_revenue(spark, sf_dir)

@@ -1,0 +1,126 @@
+"""Partition-aware parquet sinks: append / overwrite-where / merge.
+
+The reference's three load modes (append, scoped overwrite, merge —
+extensions/postgres.py:652-771; Airflow dual_load plugin) map onto:
+
+- append              -> ``mode("append")`` (+ optional insert-ignore
+                         anti-join for PK semantics, A8)
+- overwrite (scoped)  -> dynamic partition overwrite: with
+                         ``partitionOverwriteMode=dynamic`` an
+                         ``insertInto``/overwrite only replaces the
+                         partitions present in the incoming frame —
+                         the exact semantics of the reference's
+                         partitioned_table materialization
+                         (dbt_postgres/macros/partitioned_tables.sql)
+- merge               -> read-modify-write via operators.merge_frames
+                         (full-outer rewrite; on Delta this would be
+                         ``MERGE INTO``)
+
+Partition validation mirrors the reference's guards
+(partitioned_tables.sql:274-307): reject NULL partition keys and
+out-of-range dates before any data is replaced.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linkmerce_spark.operators.dedup import dedupe_keep_first
+from linkmerce_spark.operators.merge import merge_frames
+
+__all__ = ["write_append", "write_overwrite_where", "write_merge", "validate_partitions"]
+
+
+def validate_partitions(
+    df: DataFrame,
+    partition_col: str,
+    allowed: Sequence[str] | None = None,
+) -> None:
+    """Fail fast on NULL or out-of-range partition keys.
+
+    One small aggregate job over just the partition column (column-
+    pruned scan) — cheap insurance before a destructive overwrite.
+    """
+    stats = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col(partition_col).isNull(), 1)).alias("nulls"),
+        F.collect_set(F.col(partition_col).cast("string")).alias("parts"),
+    ).first()
+    if stats["nulls"]:
+        raise ValueError(f"{stats['nulls']} rows have NULL partition key {partition_col!r}")
+    if allowed is not None:
+        extra = set(stats["parts"]) - set(map(str, allowed))
+        if extra:
+            raise ValueError(f"partitions outside allowed set: {sorted(extra)}")
+
+
+def write_append(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    keys: Sequence[str] | None = None,
+    order_by: Sequence[Column | str] | None = None,
+) -> None:
+    """Append; with ``keys``, apply insert-ignore (ON CONFLICT DO NOTHING):
+    batch-dedupe then anti-join against existing keys before writing."""
+    spark = df.sparkSession
+    if keys:
+        df = dedupe_keep_first(df, keys, order_by)
+        try:
+            existing = spark.read.parquet(path).select(*keys).distinct()
+            df = df.join(existing, on=list(keys), how="left_anti")
+        except Exception:
+            pass  # first write: target doesn't exist yet
+    writer = df.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_overwrite_where(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    allowed: Sequence[str] | None = None,
+) -> None:
+    """Dynamic partition overwrite: replace exactly the partitions present
+    in ``df``, leaving all other partitions untouched."""
+    validate_partitions(df, partition_by[0], allowed)
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def write_merge(
+    df: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    matched: Mapping[str, str] | str = "source_first",
+    not_matched: str = "insert_all",
+    partition_by: Sequence[str] = (),
+) -> None:
+    """Merge-upsert into a parquet target (read-modify-write).
+
+    Without a transactional format the rewrite is full-table; on a real
+    lake deployment the target would be Delta/Iceberg and this becomes
+    ``MERGE INTO`` with file-level pruning. The operator semantics
+    (column verb vocabulary) are identical either way.
+    """
+    spark = df.sparkSession
+    try:
+        target = spark.read.parquet(path)
+    except Exception:
+        write_append(df, path, partition_by, keys)
+        return
+    merged = merge_frames(target, df, keys, matched, not_matched)
+    staged = merged.localCheckpoint(eager=True)  # break lineage off the files being replaced
+    writer = staged.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,119 @@
+"""Unit tests for the core operator library (SURVEY §2 custom ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from linkmerce_spark.operators.allocation import (
+    allocate_integer_even,
+    allocate_proportional,
+)
+from linkmerce_spark.operators.dedup import dedupe_keep_first, insert_ignore
+from linkmerce_spark.operators.merge import merge_frames
+from linkmerce_spark.operators.rangejoin import effective_dated_join
+from linkmerce_spark.operators.topk import top_k_per_group
+from linkmerce_spark.operators.unpivot import unpivot
+
+
+def rows(df, *cols):
+    out = [tuple(r) for r in df.select(*cols).collect()]
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+def test_dedupe_keep_first(spark):
+    df = spark.createDataFrame(
+        [(1, "b", 2), (1, "a", 1), (2, "c", 9)], "k int, v string, seq int"
+    )
+    out = dedupe_keep_first(df, ["k"], [F.col("seq").asc()])
+    assert rows(out, "k", "v") == [(1, "a"), (2, "c")]
+
+
+def test_insert_ignore_on_conflict_do_nothing(spark):
+    target = spark.createDataFrame([(1, "keep")], "k int, v string")
+    source = spark.createDataFrame(
+        [(1, "clobber", 1), (2, "new-b", 2), (2, "new-a", 1)], "k int, v string, seq int"
+    )
+    out = insert_ignore(target, source.drop("seq").withColumn("seq", F.lit(None)), ["k"])
+    # existing key untouched; duplicate new key inserted once
+    got = rows(out.select("k", "v"), "k", "v")
+    assert (1, "keep") in got and len([r for r in got if r[0] == 2]) == 1
+
+
+def test_merge_frames_verbs(spark):
+    target = spark.createDataFrame(
+        [(1, 10, 5, "t1"), (2, None, 7, "t2")], "k int, a int, lo int, note string"
+    )
+    source = spark.createDataFrame(
+        [(1, None, 3, "s1"), (3, 99, 1, "s3")], "k int, a int, lo int, note string"
+    )
+    out = merge_frames(
+        target,
+        source,
+        keys=["k"],
+        matched={"a": "source_first", "lo": "least", "note": "replace"},
+        not_matched="insert_all",
+    )
+    got = {r["k"]: r.asDict() for r in out.collect()}
+    assert got[1]["a"] == 10  # source null -> keep target (source_first coalesce)
+    assert got[1]["lo"] == 3  # least(5, 3)
+    assert got[1]["note"] == "s1"  # replace
+    assert got[2]["note"] == "t2"  # unmatched target row untouched
+    assert got[3]["a"] == 99  # inserted
+    # not_matched = do_nothing drops source-only keys
+    out2 = merge_frames(target, source, keys=["k"], matched="replace_all", not_matched="do_nothing")
+    assert sorted(r["k"] for r in out2.collect()) == [1, 2]
+
+
+def test_allocate_proportional_exact_group_sum(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10.0, 100), (1, 2, 20.0, 100), (1, 3, 40.0, 100), (2, 1, 0.0, 7), (2, 2, 0.0, 7)],
+        "g int, seq int, w double, total int",
+    )
+    out = allocate_proportional(df, ["g"], F.col("w"), F.col("total"), [F.col("seq")])
+    per_group = out.groupBy("g").agg(F.sum("allocated").alias("s")).collect()
+    assert {r["g"]: float(r["s"]) for r in per_group} == {1: 100.0, 2: 7.0}
+    # zero-weight group: everything lands on the first row
+    zero = {r["seq"]: float(r["allocated"]) for r in out.filter("g = 2").collect()}
+    assert zero == {1: 7.0, 2: 0.0}
+
+
+def test_allocate_integer_even(spark):
+    df = spark.createDataFrame(
+        [(1, i, 10) for i in range(1, 4)], "g int, seq int, total int"
+    )
+    out = allocate_integer_even(df, ["g"], F.col("total"), [F.col("seq")])
+    got = {r["seq"]: r["allocated"] for r in out.collect()}
+    assert got == {1: 4, 2: 3, 3: 3}
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 5.0), (1, "y", 9.0), (1, "z", 9.0), (2, "w", 1.0)], "g int, id string, m double"
+    )
+    out = top_k_per_group(df, ["g"], [F.col("m").desc(), F.col("id").asc()], k=2, rank_col="rk")
+    got = rows(out, "g", "id", "rk")
+    assert got == [(1, "y", 1), (1, "z", 2), (2, "w", 1)]
+
+
+def test_effective_dated_join_interval_match(spark):
+    fact = spark.createDataFrame(
+        [("a", "2024-01-15"), ("a", "2024-03-01"), ("b", "2024-01-01")], "k string, d string"
+    ).select("k", F.col("d").cast("date").alias("d"))
+    rel = spark.createDataFrame(
+        [("a", "2024-01-01", "2024-01-31", "jan"), ("a", "2024-02-01", "2999-12-31", "rest")],
+        "k string, start_date string, end_date string, tag string",
+    ).select(
+        "k",
+        F.col("start_date").cast("date").alias("start_date"),
+        F.col("end_date").cast("date").alias("end_date"),
+        "tag",
+    )
+    out = effective_dated_join(fact, rel, ["k"], F.col("d"))
+    got = rows(out, "k", "d", "tag")
+    assert [g[2] for g in got] == ["jan", "rest", None]
+
+
+def test_unpivot_drops_nulls(spark):
+    df = spark.createDataFrame([(1, 10.0, None), (2, None, 5.0)], "id int, a double, b double")
+    out = unpivot(df, ["id"], ["a", "b"], var_name="m", value_name="v")
+    assert rows(out, "id", "m", "v") == [(1, "a", 10.0), (2, "b", 5.0)]

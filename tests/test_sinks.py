@@ -1,0 +1,65 @@
+"""Sink-mode tests: append / overwrite-where / merge on local parquet.
+
+Mirrors the reference's LoaderHarness matrix (src/tests/conftest.py:
+449-596: mode_append / mode_overwrite / mode_merge markers) on the
+Spark-native sinks.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkmerce_spark.sources.writers import (
+    validate_partitions,
+    write_append,
+    write_merge,
+    write_overwrite_where,
+)
+
+
+def _read(spark, path):
+    return spark.read.parquet(path)
+
+
+def test_append_with_insert_ignore(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    write_append(df1, path, keys=["k"])
+    df2 = spark.createDataFrame([(2, "clobber"), (3, "c"), (3, "c2")], "k int, v string")
+    write_append(df2, path, keys=["k"], order_by=[F.col("v")])
+    got = {r["k"]: r["v"] for r in _read(spark, path).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}  # 2 ignored, 3 deduped keep-first
+
+
+def test_overwrite_where_replaces_only_incoming_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 2)], "ymd string, v int"
+    )
+    base.write.partitionBy("ymd").parquet(path)
+    incoming = spark.createDataFrame([("2024-01-02", 99)], "ymd string, v int")
+    write_overwrite_where(incoming, path, ["ymd"])
+    # partition-column type inference reads ymd back as date
+    got = {str(r["ymd"]): r["v"] for r in _read(spark, path).collect()}
+    assert got == {"2024-01-01": 1, "2024-01-02": 99}
+
+
+def test_overwrite_where_validates_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    bad = spark.createDataFrame([(None, 1)], "ymd string, v int")
+    with pytest.raises(ValueError, match="NULL partition key"):
+        write_overwrite_where(bad, path, ["ymd"])
+    off_range = spark.createDataFrame([("2024-02-01", 1)], "ymd string, v int")
+    with pytest.raises(ValueError, match="outside allowed"):
+        validate_partitions(off_range, "ymd", allowed=["2024-01-01"])
+
+
+def test_write_merge_upsert(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t0 = spark.createDataFrame([(1, 10, "a"), (2, 20, "b")], "k int, m int, v string")
+    write_merge(t0, path, keys=["k"])  # first write = append
+    src = spark.createDataFrame([(2, None, "b2"), (3, 30, "c")], "k int, m int, v string")
+    write_merge(src, path, keys=["k"], matched={"m": "source_first", "v": "replace"})
+    got = {r["k"]: (r["m"], r["v"]) for r in _read(spark, path).collect()}
+    assert got == {1: (10, "a"), 2: (20, "b2"), 3: (30, "c")}
