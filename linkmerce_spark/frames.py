@@ -23,6 +23,7 @@ __all__ = [
     "rows_to_df",
     "TableRegistry",
     "load_star",
+    "select_paths",
     "STAR_TABLES",
 ]
 
@@ -128,3 +129,21 @@ def load_star(
             df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def select_paths(df: DataFrame, schema: Mapping[str, str], extends: Mapping[str, Any] | None = None) -> DataFrame:
+    """Nested-path projection: the reference's field-selection mini-language.
+
+    ``schema`` maps output name -> dotted path into nested structs
+    (reference: select_values, src/linkmerce/utils/nested.py:84-135 —
+    the whole recursive JSON-path layer collapses to ``select`` over
+    StructType columns, SURVEY §1.3). ``extends`` adds derived literal/
+    Column fields (the reference's ``extends`` + ``$param`` injection,
+    transform.py:157-169).
+    """
+    cols = [F.col(path).alias(out) for out, path in schema.items()]
+    for out, val in (extends or {}).items():
+        from pyspark.sql import Column as _Col
+
+        cols.append((val if isinstance(val, _Col) else F.lit(val)).alias(out))
+    return df.select(*cols)

@@ -355,3 +355,185 @@ SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
 UNION ALL
 SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
 """
+
+ORACLES["merge_upsert_balances"] = """
+WITH t AS (
+  SELECT c_custkey AS k, CAST(c_acctbal AS DECIMAL(18,2)) AS bal, c_mktsegment AS seg
+  FROM customer
+), s AS (
+  SELECT o_custkey AS k,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS bal,
+         CAST(NULL AS VARCHAR) AS seg
+  FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(t.k, s.k) AS k,
+  CAST(CASE WHEN t.k IS NOT NULL AND s.k IS NOT NULL THEN GREATEST(t.bal, s.bal)
+            WHEN t.k IS NOT NULL THEN t.bal ELSE s.bal END AS DOUBLE) AS bal,
+  CASE WHEN t.k IS NOT NULL AND s.k IS NOT NULL THEN COALESCE(t.seg, s.seg)
+       WHEN t.k IS NOT NULL THEN t.seg ELSE s.seg END AS seg
+FROM t FULL OUTER JOIN s ON t.k = s.k
+"""
+
+ORACLES["insert_ignore_orders"] = """
+WITH slim AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_date
+  FROM orders
+), target AS (
+  SELECT * FROM slim WHERE order_date < DATE '1999-01-01'
+), dedup AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, order_date FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                 ORDER BY order_date, o_custkey, o_totalprice) AS rn
+    FROM slim
+  ) WHERE rn = 1
+), fresh AS (
+  SELECT d.* FROM dedup d
+  WHERE NOT EXISTS (SELECT 1 FROM target WHERE target.o_orderkey = d.o_orderkey)
+)
+SELECT * FROM target
+UNION ALL
+SELECT * FROM fresh
+"""
+
+ORACLES["date_spine_daily_orders"] = """
+WITH spine AS (
+  SELECT CAST(UNNEST(generate_series(DATE '1995-01-01', DATE '1995-03-31',
+                                     INTERVAL 1 DAY)) AS DATE) AS ymd
+), daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS ymd, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM orders GROUP BY 1
+)
+SELECT spine.ymd, COALESCE(daily.n, 0) AS n_orders,
+       COALESCE(daily.total, 0.0) AS total_value
+FROM spine LEFT JOIN daily ON spine.ymd = daily.ymd
+"""
+
+ORACLES["customer_order_anchor"] = """
+SELECT o_custkey, o_orderkey,
+  MIN(o_orderkey) OVER w AS anchor_orderkey,
+  COUNT(*) OVER w AS n_orders_cust,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS cust_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey)
+"""
+
+ORACLES["pivot_status_counts"] = """
+SELECT o_orderpriority,
+  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
+FROM orders GROUP BY o_orderpriority
+"""
+
+ORACLES["safe_casts"] = """
+SELECT p_partkey,
+  TRY_CAST(replace(CAST(p_size AS VARCHAR) || ',500', ',', '') AS BIGINT) AS parsed_int,
+  TRY_CAST(replace('x' || p_brand, ',', '') AS BIGINT) AS parsed_junk,
+  TRY_CAST(replace(CAST(p_size AS VARCHAR) || '.25', ',', '') AS DOUBLE) AS parsed_float,
+  TRY_CAST(p_name AS BIGINT) AS name_as_int
+FROM part
+"""
+
+ORACLES["json_struct_projection"] = """
+SELECT event_id, event_type,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k_doubled,
+  'r1' AS batch_tag
+FROM events
+"""
+
+ORACLES["sql_model_sales_by_priority"] = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM orders WHERE o_totalprice >= 50000
+GROUP BY o_orderpriority
+"""
+
+# --- near-dup suite ------------------------------------------------------
+_DTOKS = "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '')"
+
+
+def _shingle_sql(n: int) -> str:
+    return (
+        f"CASE WHEN len(t) < {n} THEN CAST([] AS VARCHAR[]) "
+        f"ELSE list_distinct(list_transform(range(1, len(t) - {n - 2}), "
+        f"i -> array_to_string(list_slice(t, i, i + {n - 1}), ' '))) END"
+    )
+
+
+_SIG16 = ", ".join(
+    f"list_min(list_transform(shingles, s -> md5('{i}:' || s)))" for i in range(16)
+)
+
+ORACLES["minhash_near_dups"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_DTOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, {_shingle_sql(3)} AS shingles FROM toks
+), sig AS (
+  SELECT doc_id, shingles, [{_SIG16}] AS sig
+  FROM sh WHERE len(shingles) > 0
+), bands AS (
+  SELECT doc_id, b.band_id,
+         md5(array_to_string(list_slice(sig, b.band_id * 4 + 1, b.band_id * 4 + 4), '|')) AS band_key
+  FROM sig, (SELECT UNNEST([0, 1, 2, 3]) AS band_id) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM bands a
+  JOIN bands b2 ON a.band_id = b2.band_id AND a.band_key = b2.band_key
+              AND a.doc_id < b2.doc_id
+)
+SELECT id_a, id_b,
+  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+  / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+FROM cand
+JOIN sig sa ON cand.id_a = sa.doc_id
+JOIN sig sb ON cand.id_b = sb.doc_id
+WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+      / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5
+"""
+
+ORACLES["simhash_fingerprints"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_DTOKS} AS t FROM documents
+), h AS (
+  SELECT doc_id, list_transform(t, x -> md5(x)) AS hs FROM toks
+)
+SELECT doc_id, array_to_string(list_transform(range(1, 33), i ->
+  CASE WHEN list_sum(list_transform(hs, x ->
+         CASE WHEN substr(x, i, 1) IN ('8','9','a','b','c','d','e','f')
+              THEN 1 ELSE -1 END)) > 0
+       THEN '1' ELSE '0' END), '') AS simhash
+FROM h
+"""
+
+ORACLES["ngram_jaccard_blocked"] = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_DTOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, source, {_shingle_sql(2)} AS shingles FROM toks
+), pairs AS (
+  SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+    / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+  FROM sh a JOIN sh b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 97 = 0 AND len(a.shingles) > 0 AND len(b.shingles) > 0
+)
+SELECT source, id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.02
+"""
+
+ORACLES["embedding_near_dups"] = """
+WITH e AS (
+  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)
+SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+  FLOOR(list_dot_product(a.v, b.v) / NULLIF(a.nrm * b.nrm, 0.0)
+        * 1000000.0 + 0.5) / 1000000.0 AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE FLOOR(list_dot_product(a.v, b.v) / NULLIF(a.nrm * b.nrm, 0.0)
+      * 1000000.0 + 0.5) / 1000000.0 >= 0.9
+"""

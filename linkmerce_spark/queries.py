@@ -23,8 +23,23 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from linkmerce_spark.frames import load_star
-from linkmerce_spark.functions.scalar import enum_code, int_div, money, split_part
+from linkmerce_spark.frames import load_star, select_paths
+from linkmerce_spark.operators.dedup import dedupe_keep_first, exact_dedup, insert_ignore
+from linkmerce_spark.operators.merge import merge_frames
+from linkmerce_spark.operators.minhash import (
+    jaccard_pairs,
+    minhash_near_dups,
+    simhash32,
+)
+from linkmerce_spark.functions.scalar import (
+    date_spine,
+    enum_code,
+    int_div,
+    money,
+    safe_float,
+    safe_int,
+    split_part,
+)
 from linkmerce_spark.functions.text import (
     fingerprint,
     lang_guess,
@@ -34,12 +49,11 @@ from linkmerce_spark.functions.text import (
     stopword_ratio,
     token_count,
 )
-from linkmerce_spark.functions.vectors import vec_cosine
+from linkmerce_spark.functions.vectors import vec_cosine, vec_dot, vec_norm
 from linkmerce_spark.operators.allocation import (
     allocate_integer_even,
     allocate_proportional,
 )
-from linkmerce_spark.operators.dedup import dedupe_keep_first, exact_dedup
 from linkmerce_spark.operators.rangejoin import effective_dated_join, rolling_range_agg
 from linkmerce_spark.operators.topk import top_k_per_group
 from linkmerce_spark.operators.unpivot import unpivot
@@ -636,15 +650,25 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking deterministic across engines.
     """
     (emb,) = _t(spark, sf_dir, "embeddings")
+    # Precompute norms per side: O(n+q) norm evaluations instead of
+    # O(n*q) inside the pair loop — the difference between feasible and
+    # not at a 10^9-vector candidate set.
     q = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        vec_norm("embedding").alias("qn"),
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        vec_norm("embedding").alias("cn"),
+    )
     pairs = c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    cos = vec_dot("qv", "cv") / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        (F.floor(vec_cosine("qv", "cv") * 1000000.0 + 0.5) / 1000000.0).alias("cosine"),
+        (F.floor(cos * 1000000.0 + 0.5) / 1000000.0).alias("cosine"),
     )
     return top_k_per_group(
         scored,
@@ -669,6 +693,237 @@ def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         var_name="measure",
         value_name="value",
     )
+
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """The driver smoke-check query: star-join revenue rollup."""
+    return q_star_join_revenue(spark, sf_dir)
+
+
+# ------------------------------------------------------------- §2.4 A9/A10
+def q_merge_upsert_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based upsert via merge_frames (SURVEY A9/A10).
+
+    Parity: core/smartstore/api/order/models.sql:189-200 (ON CONFLICT DO
+    UPDATE SET c=COALESCE(EXCLUDED.c,c), last=GREATEST(...)) and the
+    6-verb merge vocabulary of extensions/postgres.py:554-597 — here as
+    the full-outer-join rewrite (one shuffle per side; Delta MERGE at
+    deployment).
+    """
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    target = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    source = (
+        orders.groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("bal"))
+        .withColumn("seg", F.lit(None).cast("string"))
+    )
+    merged = merge_frames(
+        target,
+        source,
+        keys=["k"],
+        matched={"bal": "greatest", "seg": "target_first"},
+        not_matched="insert_all",
+    )
+    return merged.select("k", F.col("bal").cast("double").alias("bal"), "seg")
+
+
+# ------------------------------------------------------------------- §2.4 A8
+def q_insert_ignore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ON CONFLICT DO NOTHING append (SURVEY A8).
+
+    Parity: core/smartstore/api/order/models.sql:82,136 (PK insert-
+    ignore). Target = pre-1999 orders; source = all orders; only new
+    keys land, deterministically deduped.
+    """
+    (orders,) = _t(spark, sf_dir, "orders")
+    slim = orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice", F.col("o_orderdate").cast("date").alias("order_date")
+    )
+    target = slim.filter(F.col("order_date") < F.lit("1999-01-01").cast("date"))
+    order_cols = [F.col("order_date"), F.col("o_custkey"), F.col("o_totalprice")]
+    return insert_ignore(target, slim, keys=["o_orderkey"], order_by=order_cols)
+
+
+# ------------------------------------------------------------------- §2.8 date spine
+def q_date_spine_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine zero-filled daily rollup (SURVEY §2.8 generate_series).
+
+    Parity: dbt_postgres/.../core__sold_qty_30d_daily.sql:17-22 (date
+    spine via generate_series); sequence()+explode, executor-side.
+    """
+    (orders,) = _t(spark, sf_dir, "orders")
+    spine = date_spine(spark, "1995-01-01", "1995-03-31", "ymd")
+    daily = (
+        orders.withColumn("ymd", F.col("o_orderdate").cast("date"))
+        .groupBy("ymd")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("o_totalprice").alias("total"))
+    )
+    return spine.join(daily, "ymd", "left").select(
+        "ymd",
+        F.coalesce("n", F.lit(0)).alias("n_orders"),
+        F.coalesce("total", F.lit(0.0)).alias("total_value"),
+    )
+
+
+# ------------------------------------------------------------------- §2.5 W7/W4
+def q_customer_order_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/COUNT/SUM aggregate-over partition anchor (SURVEY W7/W4).
+
+    Parity: dbt_postgres/.../analytics__stock_report.sql:346-350
+    (MIN(lot_seq) OVER (PARTITION BY product_id) group anchor).
+    """
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.min("o_orderkey").over(w).alias("anchor_orderkey"),
+        F.count(F.lit(1)).over(w).alias("n_orders_cust"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("cust_total"),
+    )
+
+
+# ------------------------------------------------------------------- pivot
+def q_pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT wide rollup with a pinned value list (SURVEY A2 family).
+
+    Pinned pivot values keep the schema static (an unpinned pivot is a
+    two-pass job and a schema hazard at scale).
+    """
+    (orders,) = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce("O", F.lit(0)).alias("n_open"),
+        F.coalesce("F", F.lit(0)).alias("n_filled"),
+        F.coalesce("P", F.lit(0)).alias("n_partial"),
+    )
+
+
+# ------------------------------------------------------------------- §2.2 P7
+def q_safe_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_CAST / comma-stripping safe casts (SURVEY P7 / utils/cast.py).
+
+    Parity: safe_int/safe_float (src/linkmerce/utils/cast.py:9-26) and
+    the 209 TRY_CAST uses; junk inputs go NULL, never fail the job.
+    """
+    (part,) = _t(spark, sf_dir, "part")
+    num_with_commas = F.concat(F.col("p_size").cast("string"), F.lit(",500"))
+    junk = F.concat(F.lit("x"), F.col("p_brand"))
+    dec_str = F.concat(F.col("p_size").cast("string"), F.lit(".25"))
+    return part.select(
+        "p_partkey",
+        safe_int(num_with_commas).alias("parsed_int"),
+        safe_int(junk).alias("parsed_junk"),
+        safe_float(dec_str).alias("parsed_float"),
+        F.col("p_name").try_cast("bigint").alias("name_as_int"),
+    )
+
+
+# ------------------------------------------------------------- §1.3 / §2.8 JSON
+def q_json_struct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json -> nested-struct path projection (SURVEY P2 / §1.3).
+
+    Parity: the select_values field-selection mini-language
+    (src/linkmerce/utils/nested.py:84-135) collapsed to select() over
+    StructType paths, with an ``extends`` derived field.
+    """
+    (events,) = _t(spark, sf_dir, "events")
+    parsed = events.withColumn("props_struct", F.from_json("props", "k BIGINT"))
+    return select_paths(
+        parsed,
+        {"event_id": "event_id", "event_type": "event_type", "k_value": "props_struct.k"},
+        extends={"k_doubled": F.col("props_struct.k") * 2, "batch_tag": "r1"},
+    )
+
+
+# ----------------------------------------------------- training-data: near-dup
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
+
+    shingle(3-word) -> 16 md5 minhashes -> 4 bands of 4 -> bucket
+    self-join -> Jaccard >= 0.5. One uniform-key shuffle for candidate
+    generation; verification cost is O(candidates).
+    """
+    (docs,) = _t(spark, sf_dir, "documents")
+    return minhash_near_dups(
+        docs, text_col="text", id_col="doc_id", k=16, shingle_words=3,
+        bands=4, rows_per_band=4, min_jaccard=0.5,
+    )
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (near-dup fingerprint family)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return simhash32(docs, "text").select("doc_id", "simhash")
+
+
+def q_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked n-gram Jaccard similarity (probe docs vs same-source).
+
+    The blocking key (source) is the scale lever: O(block^2), never
+    O(n^2) over the corpus.
+    """
+    (docs,) = _t(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 97 == 0)
+    return jaccard_pairs(
+        probes, docs, join_on=["source"], shingle_words=2, min_jaccard=0.02
+    )
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, label-bucketed (IVF-style).
+
+    The label column acts as the coarse quantizer cell: pairs are only
+    scored within a bucket — the scale path for ANN near-dup (the
+    brute-force baseline is q_embedding_topk).
+    """
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        F.col("vec_id"),
+        F.col("embedding"),
+        vec_norm("embedding").alias("nrm"),
+    )
+    a = e.select(F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("nrm").alias("nb"))
+    cos = vec_dot("va", "vb") / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.floor(cos * 1000000.0 + 0.5) / 1000000.0)
+        .filter(F.col("cosine") >= 0.9)
+        .select("label", "id_a", "id_b", "cosine")
+    )
+
+
+def q_sql_model_sales_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """models.sql-convention block executed through the SQL registry.
+
+    Parity: the -- Name: key block store + {{ table }} render + $param
+    binding (common/models.py:33-97, transform.py:566-650) re-targeted
+    at spark.sql named parameters.
+    """
+    import os
+
+    from linkmerce_spark.sqlmodels import SqlModelRegistry
+
+    load_star(spark, sf_dir, ["orders"], register_views=True)
+    models = os.path.join(os.path.dirname(os.path.abspath(__file__)), "models/star/models.sql")
+    reg = SqlModelRegistry(
+        spark, models, tables={"orders": "orders", "scoped_orders": "scoped_orders"}
+    )
+    reg.execute("SalesByPriority", "create")
+    return reg.execute("SalesByPriority", "select", {"min_total": 50000})
 
 
 QUERIES = {
@@ -701,9 +956,16 @@ QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "embedding_topk": q_embedding_topk,
     "unpivot_lineitem_measures": q_unpivot_lineitem_measures,
+    "merge_upsert_balances": q_merge_upsert_balances,
+    "insert_ignore_orders": q_insert_ignore_orders,
+    "date_spine_daily_orders": q_date_spine_daily_orders,
+    "customer_order_anchor": q_customer_order_anchor,
+    "pivot_status_counts": q_pivot_status_counts,
+    "safe_casts": q_safe_casts,
+    "json_struct_projection": q_json_struct_projection,
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "ngram_jaccard_blocked": q_ngram_jaccard_blocked,
+    "embedding_near_dups": q_embedding_near_dups,
+    "sql_model_sales_by_priority": q_sql_model_sales_by_priority,
 }
-
-
-def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
-    """The driver smoke-check query: star-join revenue rollup."""
-    return q_star_join_revenue(spark, sf_dir)
