@@ -19,6 +19,7 @@ __all__ = [
     "token_count",
     "word_tokens",
     "char_ngrams",
+    "shingles_from_tokens",
     "word_shingles",
     "punct_ratio",
     "stopword_ratio",
@@ -75,15 +76,29 @@ def char_ngrams(c: Column | str, n: int = 5) -> Column:
     )
 
 
-def word_shingles(c: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles (array<string>) for MinHash/Jaccard."""
-    toks = word_tokens(c)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an already-tokenized array column.
+
+    Pass a *materialized* token column (``withColumn`` first), not the
+    tokenizer expression itself: the lambda references the token array
+    three times, and an inlined tokenizer would re-run the regex split
+    per reference — quadratic in document length.
+    """
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         )
     )
+
+
+def word_shingles(c: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (array<string>) for MinHash/Jaccard.
+
+    Convenience form that inlines the tokenizer; prefer tokenizing into
+    a column once and calling ``shingles_from_tokens`` in hot paths.
+    """
+    return shingles_from_tokens(word_tokens(c), n)
 
 
 def punct_ratio(c: Column | str) -> Column:

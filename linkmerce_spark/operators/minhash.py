@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from linkmerce_spark.functions.text import word_shingles, word_tokens
+from linkmerce_spark.functions.text import shingles_from_tokens, word_tokens
 
 __all__ = [
     "minhash_signature",
@@ -33,8 +33,63 @@ __all__ = [
 ]
 
 
-def _shingle_col(text_col: str, shingle_words: int) -> Column:
-    return F.array_distinct(word_shingles(text_col, shingle_words))
+def _fanout(df: DataFrame) -> DataFrame:
+    """Spread CPU-bound map work across all cores.
+
+    Shingling + k hash mins are pure map stages; their parallelism is
+    the *scan* parallelism, which for a small file is 1 partition — so
+    the whole corpus hashes on one core. Repartition up to the cluster
+    default only when the scan is narrower than that; at real scale the
+    scan already has thousands of splits and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _with_shingles(
+    df: DataFrame, text_col: str, shingle_words: int, out: str, require: bool = False
+) -> DataFrame:
+    """Tokenize ONCE into a column, then shingle from it.
+
+    Materializing the token array keeps the regex tokenizer out of the
+    shingle lambda (which references the array three times); inlining
+    it would re-split the text per reference.
+
+    ``require=True`` drops docs too short to shingle. The guard is on
+    the *token count*, never on ``size(shingles)``: a predicate on the
+    shingle column gets pushed below the projection with the whole
+    shingle expression inlined, doubling the work per row.
+    """
+    df = df.withColumn("__toks", word_tokens(text_col))
+    if require:
+        # size(toks) >= n  <=>  shingles non-empty
+        df = df.filter(F.size("__toks") >= shingle_words)
+    return df.withColumn(
+        out, F.array_distinct(shingles_from_tokens(F.col("__toks"), shingle_words))
+    ).drop("__toks")
+
+
+# MinHash permutation family: one 32-bit base hash per shingle (md5 hex
+# prefix -> int, bit-identical in Spark and DuckDB), then k affine
+# permutations sig_i = min((a_i*h + b_i) mod P). One digest per shingle
+# instead of k; the k passes are int arithmetic inside codegen.
+# a_i < 2^30 and h < 2^32 keep a*h+b < 2^63 (no BIGINT overflow in
+# either engine). P is prime > 2^32.
+_MINHASH_P = 4294967311
+
+
+def minhash_perm_consts(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs shared with the DuckDB oracle."""
+    return [
+        ((i * 2654435761) % 1073741789 + 1, (i * 40503 + 2531011) % 1073741789)
+        for i in range(k)
+    ]
+
+
+def _hash32(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
 def minhash_signature(
@@ -45,23 +100,38 @@ def minhash_signature(
     shingle_words: int = 3,
 ) -> DataFrame:
     """Add ``shingles`` (distinct word n-grams) and ``sig`` (k MinHash
-    values, each = min over shingles of ``md5('<i>:' || shingle)``).
+    values: min over shingles of the i-th affine permutation of the
+    shingle's 32-bit md5-prefix hash).
 
     Docs with no shingles (too short) are dropped — they cannot
     participate in Jaccard similarity.
     """
-    out = df.withColumn("shingles", _shingle_col(text_col, shingle_words)).filter(
-        F.size("shingles") > 0
+    # No size(shingles) filter: shingle-less docs vanish in the inner
+    # join with the exploded aggregate below, and an explicit predicate
+    # would be pushed down with the full shingle expression inlined.
+    # The persist is load-bearing for the same reason: explode makes
+    # InferFiltersFromGenerate synthesize size(shingles)>0 and push it
+    # into the scan with the whole interpreted shingle pipeline inlined
+    # (evaluated per row on the narrow scan stage); the cache boundary
+    # stops that, and the frame feeds three consumers anyway (band
+    # explode + both verify joins).
+    sh = _with_shingles(_fanout(df), text_col, shingle_words, "shingles").persist()
+    # Explode + hash-aggregate instead of array_min(transform(...)):
+    # higher-order array functions evaluate interpreted, while the
+    # exploded shape runs md5 + the k affine mins inside whole-stage
+    # codegen with map-side partial aggregation — the same property
+    # that keeps the shuffle tiny (one row per doc) at cluster scale.
+    ex = sh.select(id_col, F.explode("shingles").alias("__s")).withColumn(
+        "__h", _hash32(F.col("__s"))
     )
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform("shingles", lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
-            )
-            for i in range(k)
-        ]
+    mins = [
+        F.min((F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"__m{i}")
+        for i, (a, b) in enumerate(minhash_perm_consts(k))
+    ]
+    sig = ex.groupBy(id_col).agg(*mins).select(
+        F.col(id_col), F.array(*[F.col(f"__m{i}") for i in range(k)]).alias("sig")
     )
-    return out.withColumn("sig", sig)
+    return sh.join(sig, id_col)
 
 
 def lsh_candidate_pairs(
@@ -82,14 +152,25 @@ def lsh_candidate_pairs(
         band_entries.append(
             F.struct(
                 F.lit(j).alias("band_id"),
-                F.md5(F.array_join(F.slice("sig", j * rows_per_band + 1, rows_per_band), "|")).alias(
-                    "band_key"
-                ),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice("sig", j * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        "|",
+                    )
+                ).alias("band_key"),
             )
         )
     banded = signed.select(
         F.col(id_col), F.explode(F.array(*band_entries)).alias("b")
     ).select(id_col, "b.band_id", "b.band_key")
+    # The bucket self-join consumes `banded` twice; without a persist the
+    # whole signature lineage (k hash mins per shingle) executes once per
+    # branch. The banded projection is tiny (id + 2 keys) regardless of
+    # corpus size, so this is safe at scale.
+    banded = banded.persist()
     if max_bucket is not None:
         counts = banded.groupBy("band_id", "band_key").count()
         banded = banded.join(
@@ -128,6 +209,8 @@ def minhash_near_dups(
     Jaccard is computed only on LSH candidates, against the true
     distinct-shingle sets (intersect / (|a|+|b|-intersect)).
     """
+    # minhash_signature persists the expensive shingle frame internally;
+    # downstream consumers recompute only the cheap join/agg on top.
     signed = minhash_signature(df, text_col, id_col, k, shingle_words)
     pairs = lsh_candidate_pairs(signed, id_col, bands, rows_per_band, max_bucket)
     sh = signed.select(F.col(id_col), "shingles")
@@ -155,7 +238,7 @@ def simhash32(df: DataFrame, text_col: str = "text", out: str = "simhash") -> Da
     md5s are computed once per token, then folded per bit position.
     """
     high = ("8", "9", "a", "b", "c", "d", "e", "f")
-    df = df.withColumn("__tok_md5", F.transform(word_tokens(text_col), lambda t: F.md5(t)))
+    df = _fanout(df).withColumn("__tok_md5", F.transform(word_tokens(text_col), lambda t: F.md5(t)))
     bits = F.transform(
         F.sequence(F.lit(1), F.lit(32)),
         lambda i: F.when(
@@ -186,20 +269,15 @@ def jaccard_pairs(
     ``join_on`` is the blocking key (e.g. source bucket) — the scale
     lever that keeps this from being O(n^2).
     """
-    p = probes.select(
-        *join_on,
-        F.col(id_col).alias("id_a"),
-        _shingle_col(text_col, shingle_words).alias("sh_a"),
+    p = _with_shingles(_fanout(probes), text_col, shingle_words, "sh_a", require=True).select(
+        *join_on, F.col(id_col).alias("id_a"), "sh_a"
     )
-    c = candidates.select(
-        *join_on,
-        F.col(id_col).alias("id_b"),
-        _shingle_col(text_col, shingle_words).alias("sh_b"),
+    c = _with_shingles(_fanout(candidates), text_col, shingle_words, "sh_b", require=True).select(
+        *join_on, F.col(id_col).alias("id_b"), "sh_b"
     )
     out = (
         p.join(c, join_on)
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter((F.size("sh_a") > 0) & (F.size("sh_b") > 0))
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",

@@ -462,8 +462,11 @@ def _shingle_sql(n: int) -> str:
     )
 
 
+from linkmerce_spark.operators.minhash import _MINHASH_P, minhash_perm_consts
+
 _SIG16 = ", ".join(
-    f"list_min(list_transform(shingles, s -> md5('{i}:' || s)))" for i in range(16)
+    f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_MINHASH_P}))"
+    for a, b in minhash_perm_consts(16)
 )
 
 ORACLES["minhash_near_dups"] = f"""
@@ -471,9 +474,13 @@ WITH toks AS (
   SELECT doc_id, {_DTOKS} AS t FROM documents
 ), sh AS (
   SELECT doc_id, {_shingle_sql(3)} AS shingles FROM toks
+), hashed AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hs
+  FROM sh WHERE len(shingles) > 0
 ), sig AS (
   SELECT doc_id, shingles, [{_SIG16}] AS sig
-  FROM sh WHERE len(shingles) > 0
+  FROM hashed
 ), bands AS (
   SELECT doc_id, b.band_id,
          md5(array_to_string(list_slice(sig, b.band_id * 4 + 1, b.band_id * 4 + 4), '|')) AS band_key
