@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    FloatType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -67,7 +67,9 @@ _FEATURE_SCHEMA = StructType(
         StructField("media_id", LongType(), False),
         StructField("kind", StringType(), False),
         StructField("n_bytes", LongType(), True),
-        StructField("features", ArrayType(FloatType()), True),
+        # double, not float: digest_byte/255.0 is IEEE-exact, so a SQL
+        # oracle (DuckDB sha256 hex -> int / 255.0) matches bit-for-bit
+        StructField("features", ArrayType(DoubleType()), True),
     ]
 )
 

@@ -544,3 +544,18 @@ FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE FLOOR(list_dot_product(a.v, b.v) / NULLIF(a.nrm * b.nrm, 0.0)
       * 1000000.0 + 0.5) / 1000000.0 >= 0.9
 """
+
+_MEDIA_F = ",\n  ".join(
+    f"CAST('0x' || substr(sha256(text), {2 * i + 1}, 2) AS INTEGER) / 255.0 AS f{i}"
+    for i in range(4)
+)
+
+# DuckDB md5/sha256 over VARCHAR hash the utf-8 bytes — identical to the
+# Spark side hashing encode(text,'UTF-8') binary content.
+ORACLES["media_features"] = f"""
+SELECT doc_id AS media_id,
+  octet_length(encode(text)) AS n_bytes,
+  md5(text) AS content_md5,
+  {_MEDIA_F}
+FROM documents
+"""

@@ -926,6 +926,39 @@ def q_sql_model_sales_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     return reg.execute("SalesByPriority", "select", {"min_total": 50000})
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline over opaque binary media columns.
+
+    Documents re-encoded as binary stand in for image/audio payloads:
+    cheap metadata (byte length, md5) stays JVM-side; the 'decode'
+    stage runs the real Arrow/mapInPandas plumbing with the
+    deterministic sha256 stub kernel (operators/multimodal.py), so the
+    DuckDB oracle reproduces it exactly (sha256 hex bytes / 255).
+    """
+    from linkmerce_spark.operators.multimodal import (
+        attach_media_metadata,
+        decode_media_features,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    meta = attach_media_metadata(media).select("media_id", "content_md5")
+    feats = decode_media_features(media)
+    return meta.join(feats, "media_id").select(
+        "media_id",
+        "n_bytes",
+        "content_md5",
+        F.element_at("features", 1).alias("f0"),
+        F.element_at("features", 2).alias("f1"),
+        F.element_at("features", 3).alias("f2"),
+        F.element_at("features", 4).alias("f3"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "star_join_revenue": q_star_join_revenue,
@@ -968,4 +1001,5 @@ QUERIES = {
     "ngram_jaccard_blocked": q_ngram_jaccard_blocked,
     "embedding_near_dups": q_embedding_near_dups,
     "sql_model_sales_by_priority": q_sql_model_sales_by_priority,
+    "media_features": q_media_features,
 }
