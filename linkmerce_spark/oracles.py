@@ -559,3 +559,62 @@ SELECT doc_id AS media_id,
   {_MEDIA_F}
 FROM documents
 """
+
+# --- marts layer ---------------------------------------------------------
+_MART_DAILY = """
+  SELECT CAST(o_orderdate AS DATE) AS ymd, o_orderpriority AS priority,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DECIMAL(28,4)) AS revenue_dec,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+         COUNT(DISTINCT o_orderkey) AS n_orders,
+         CAST(SUM(CASE WHEN l_discount > 0.05
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS high_disc_revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '{start}' AND DATE '{end}'
+  GROUP BY 1, 2
+"""
+
+ORACLES["mart_sales_daily"] = f"""
+SELECT ymd, priority, CAST(revenue_dec AS DOUBLE) AS revenue, qty, n_orders, high_disc_revenue
+FROM ({_MART_DAILY.format(start='1996-01-01', end='1996-03-31')})
+"""
+
+ORACLES["mart_profit_mom"] = f"""
+WITH daily AS ({_MART_DAILY.format(start='1996-01-01', end='1996-02-29')}),
+cur AS (
+  SELECT priority, CAST(SUM(revenue_dec) AS DOUBLE) AS cur_revenue, SUM(n_orders) AS cur_orders
+  FROM daily WHERE ymd BETWEEN DATE '1996-02-01' AND DATE '1996-02-29' GROUP BY priority
+), prev AS (
+  SELECT priority, CAST(SUM(revenue_dec) AS DOUBLE) AS prev_revenue, SUM(n_orders) AS prev_orders
+  FROM daily WHERE ymd BETWEEN DATE '1996-01-01' AND DATE '1996-01-31' GROUP BY priority
+)
+SELECT COALESCE(cur.priority, prev.priority) AS priority,
+  COALESCE(cur_revenue, 0.0) AS cur_revenue,
+  COALESCE(prev_revenue, 0.0) AS prev_revenue,
+  COALESCE(cur_orders, 0) AS cur_orders,
+  COALESCE(prev_orders, 0) AS prev_orders,
+  FLOOR((cur_revenue / NULLIF(prev_revenue, 0.0) - 1.0) * 100.0 * 100.0 + 0.5) / 100.0 AS mom_pct
+FROM cur FULL OUTER JOIN prev ON cur.priority = prev.priority
+"""
+
+ORACLES["mart_rolling_sales"] = f"""
+WITH daily AS ({_MART_DAILY.format(start='1996-01-02', end='1996-02-14')}),
+spine AS (
+  SELECT CAST(UNNEST(generate_series(DATE '1996-01-02', DATE '1996-02-14', INTERVAL 1 DAY)) AS DATE) AS ymd
+), pri AS (SELECT DISTINCT priority FROM daily),
+grid AS (SELECT ymd, priority FROM spine CROSS JOIN pri),
+merged AS (
+  SELECT g.ymd, g.priority, COALESCE(CAST(d.revenue_dec AS DOUBLE), 0.0) AS revenue
+  FROM grid g LEFT JOIN daily d ON g.ymd = d.ymd AND g.priority = d.priority
+)
+SELECT ymd, priority, revenue, trailing_revenue FROM (
+  SELECT ymd, priority, revenue,
+    COALESCE(CAST(SUM(CAST(revenue AS DECIMAL(18,4))) OVER (
+      PARTITION BY priority
+      ORDER BY datediff('day', DATE '1970-01-01', ymd)
+      RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING) AS DOUBLE), 0.0) AS trailing_revenue
+  FROM merged
+) WHERE ymd >= DATE '1996-02-01'
+"""

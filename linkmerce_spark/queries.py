@@ -959,6 +959,30 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mart_sales_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TVF-style parameterized daily sales fact (marts layer)."""
+    from linkmerce_spark.marts import sales_daily
+
+    return sales_daily(spark, sf_dir, "1996-01-01", "1996-03-31")
+
+
+def q_mart_profit_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month mart: TVF calling TVF with shifted windows,
+    FULL OUTER merge on COALESCE'd keys."""
+    from linkmerce_spark.marts import profit_mom
+
+    return profit_mom(
+        spark, sf_dir, "1996-02-01", "1996-02-29", "1996-01-01", "1996-01-31"
+    )
+
+
+def q_mart_rolling_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine mart with trailing 30-day window per priority."""
+    from linkmerce_spark.marts import rolling_priority_sales
+
+    return rolling_priority_sales(spark, sf_dir, "1996-02-01", "1996-02-14", 30)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "star_join_revenue": q_star_join_revenue,
@@ -1002,4 +1026,7 @@ QUERIES = {
     "embedding_near_dups": q_embedding_near_dups,
     "sql_model_sales_by_priority": q_sql_model_sales_by_priority,
     "media_features": q_media_features,
+    "mart_sales_daily": q_mart_sales_daily,
+    "mart_profit_mom": q_mart_profit_mom,
+    "mart_rolling_sales": q_mart_rolling_sales,
 }
