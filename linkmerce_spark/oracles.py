@@ -618,3 +618,35 @@ SELECT ymd, priority, revenue, trailing_revenue FROM (
   FROM merged
 ) WHERE ymd >= DATE '1996-02-01'
 """
+
+# --- fingerprints / LSH --------------------------------------------------
+ORACLES["doc_winnow_fingerprints"] = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s FROM documents
+), grams AS (
+  SELECT doc_id, CASE WHEN len(s) < 5 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(range(1, len(s) - 3), i -> substr(s, i, 5)) END AS gs
+  FROM norm
+), hs AS (
+  SELECT doc_id, list_transform(gs, g -> CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)) AS h
+  FROM grams
+), wins AS (
+  SELECT doc_id, UNNEST(CASE WHEN len(h) < 4 THEN CAST([] AS BIGINT[])
+    ELSE list_transform(range(1, len(h) - 2), i -> list_min(list_slice(h, i, i + 3))) END) AS fp
+  FROM hs
+)
+SELECT DISTINCT doc_id, fp FROM wins
+"""
+
+from linkmerce_spark.operators.fingerprint import lsh_hyperplanes
+
+_LSH_BITS = ",\n  ".join(
+    "CASE WHEN list_sum(list_transform(range(1, 65), i -> "
+    "CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) * "
+    f"(CAST({plane} AS BIGINT[]))[i])) > 0 THEN '1' ELSE '0' END"
+    for plane in lsh_hyperplanes(64, 8)
+)
+
+ORACLES["embedding_lsh_buckets"] = f"""
+SELECT vec_id, concat({_LSH_BITS}) AS bucket FROM embeddings
+"""

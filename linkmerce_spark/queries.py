@@ -983,6 +983,26 @@ def q_mart_rolling_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_priority_sales(spark, sf_dir, "1996-02-01", "1996-02-14", 30)
 
 
+def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) document fingerprints: char 5-grams, window-4
+    minima, distinct selected hashes per doc."""
+    from linkmerce_spark.operators.fingerprint import winnow_fingerprints
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "text", "doc_id", k=5, w=4)
+
+
+def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket per embedding (integer-quantized,
+    engine-exact) — the ANN candidate-generation scale path."""
+    from linkmerce_spark.operators.fingerprint import embedding_lsh_buckets
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return embedding_lsh_buckets(emb, "embedding", "vec_id", dim=64, nbits=8).select(
+        "vec_id", "bucket"
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "star_join_revenue": q_star_join_revenue,
@@ -1029,4 +1049,6 @@ QUERIES = {
     "mart_sales_daily": q_mart_sales_daily,
     "mart_profit_mom": q_mart_profit_mom,
     "mart_rolling_sales": q_mart_rolling_sales,
+    "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
+    "embedding_lsh_buckets": q_embedding_lsh_buckets,
 }
