@@ -650,3 +650,12 @@ _LSH_BITS = ",\n  ".join(
 ORACLES["embedding_lsh_buckets"] = f"""
 SELECT vec_id, concat({_LSH_BITS}) AS bucket FROM embeddings
 """
+
+ORACLES["date_pruned_orders"] = """
+SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM orders
+WHERE (CAST(o_orderdate AS DATE) BETWEEN DATE '1996-03-01' AND DATE '1996-03-10')
+   OR CAST(o_orderdate AS DATE) IN (DATE '1996-04-15', DATE '1996-06-01')
+GROUP BY 1
+"""

@@ -1003,6 +1003,25 @@ def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_date_pruned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruning WHERE synthesis: a date *list* (one run + two
+    singletons) collapsed into BETWEEN + IN before planning, so the
+    scan sees literal prunable predicates (common/load.py:232-267)."""
+    from linkmerce_spark.relops import date_range_predicate
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    dates = [f"1996-03-{d:02d}" for d in range(1, 11)] + ["1996-04-15", "1996-06-01"]
+    pred = date_range_predicate(F.col("o_orderdate").cast("date"), dates)
+    return (
+        orders.filter(pred)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum("o_totalprice").alias("total_value"),
+        )
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "star_join_revenue": q_star_join_revenue,
@@ -1051,4 +1070,5 @@ QUERIES = {
     "mart_rolling_sales": q_mart_rolling_sales,
     "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
     "embedding_lsh_buckets": q_embedding_lsh_buckets,
+    "date_pruned_orders": q_date_pruned_orders,
 }
