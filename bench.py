@@ -23,9 +23,13 @@ def main() -> None:
     from linkmerce_spark.session import get_spark
 
     spark = get_spark("linkmerce_spark-bench")
-    # Warm the JVM + parquet footers once so per-query numbers measure
-    # the pipelines, not session bootstrap.
+    # Warm the JVM (JIT + codegen compiler + parquet footers) with a
+    # few representative pipelines, untimed: per-query numbers should
+    # measure steady-state execution — the regime a long-lived cluster
+    # actually runs in — not first-query compiler bootstrap.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    for warm in ("pricing_summary", "star_join_revenue", "doc_lang_guess"):
+        QUERIES[warm](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():

@@ -1,0 +1,68 @@
+"""Vectorized similarity kernels: exact-parity quantized cosine.
+
+Scoring 10^5..10^9 candidate pairs with per-element SQL expressions is
+the slow path twice over: higher-order array functions evaluate
+interpreted, and an unrolled 64-term codegen expression gets duplicated
+at every plan site a filter pushdown copies it to. The scale answer is
+an Arrow-batched Pandas UDF: whole batches of pairs hit numpy as one
+(n, dim) matrix op.
+
+Float matrix math is NOT engine-portable (summation order differs), so
+the kernel quantizes components to int64 first — floor(x*quant + 0.5)
+— making the dot product and squared norms exact integer arithmetic:
+bit-identical in numpy, Spark, and a DuckDB oracle, independent of
+summation order. The division and sqrt that follow are single IEEE
+double ops on exact inputs, deterministic everywhere.
+
+At cluster scale, pair generation stays a join (bucketed by LSH cell,
+IVF label, or broadcast query set — see queries.py); this kernel is
+the per-pair scorer. For dense all-pairs blocks, the same math lifts
+to cogrouped applyInPandas with one BLAS-style matmul per block pair.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+__all__ = ["quantized_cosine", "QUANT_DEFAULT"]
+
+QUANT_DEFAULT = 1000
+
+
+def _make_kernel(quant: int):
+    @pandas_udf("double")
+    def _qcos(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        A = np.array([np.asarray(x, dtype="float64") for x in a])
+        B = np.array([np.asarray(x, dtype="float64") for x in b])
+        Aq = np.floor(A * quant + 0.5).astype("int64")
+        Bq = np.floor(B * quant + 0.5).astype("int64")
+        dot = (Aq * Bq).sum(axis=1).astype("float64")
+        na = np.sqrt((Aq * Aq).sum(axis=1).astype("float64"))
+        nb = np.sqrt((Bq * Bq).sum(axis=1).astype("float64"))
+        denom = na * nb
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dot / denom
+        cos[denom == 0.0] = np.nan
+        return pd.Series(cos)
+
+    return _qcos
+
+
+def quantized_cosine(
+    a: Column | str, b: Column | str, quant: int = QUANT_DEFAULT
+) -> Column:
+    """Cosine of two array<float> columns on quant-ized components.
+
+    NULL (not NaN) when either vector quantizes to zero. The value is
+    deterministic across engines; round with floor(x*10^s + 0.5) for
+    threshold comparisons against a SQL oracle.
+    """
+    c = _make_kernel(quant)(
+        F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    )
+    return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c)

@@ -328,16 +328,19 @@ SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
 FROM fp GROUP BY fp
 """
 
-ORACLES["embedding_topk"] = """
+_QVEC = "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+
+ORACLES["embedding_topk"] = f"""
 WITH q AS (
-  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  SELECT vec_id AS query_id, {_QVEC} AS qv
   FROM embeddings WHERE vec_id % 50 = 0
 ), c AS (
-  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+  SELECT vec_id AS neighbor_id, {_QVEC} AS cv FROM embeddings
 ), pairs AS (
   SELECT query_id, neighbor_id,
-         FLOOR(list_dot_product(qv, cv)
-               / NULLIF(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 0.0)
+         FLOOR(CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i])) AS DOUBLE)
+               / NULLIF(sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))
+                        * sqrt(CAST(list_sum(list_transform(cv, x -> x * x)) AS DOUBLE)), 0.0)
                * 1000000.0 + 0.5) / 1000000.0 AS cosine
   FROM c, q WHERE query_id <> neighbor_id
 )
@@ -531,18 +534,18 @@ WITH toks AS (
 SELECT source, id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.02
 """
 
-ORACLES["embedding_near_dups"] = """
+ORACLES["embedding_near_dups"] = f"""
 WITH e AS (
-  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  SELECT label, vec_id, {_QVEC} AS v,
+         sqrt(CAST(list_sum(list_transform({_QVEC}, x -> x * x)) AS DOUBLE)) AS nrm
   FROM embeddings
+), pairs AS (
+  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+    FLOOR(CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS DOUBLE)
+          / NULLIF(a.nrm * b.nrm, 0.0) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 )
-SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
-  FLOOR(list_dot_product(a.v, b.v) / NULLIF(a.nrm * b.nrm, 0.0)
-        * 1000000.0 + 0.5) / 1000000.0 AS cosine
-FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE FLOOR(list_dot_product(a.v, b.v) / NULLIF(a.nrm * b.nrm, 0.0)
-      * 1000000.0 + 0.5) / 1000000.0 >= 0.9
+SELECT label, id_a, id_b, cosine FROM pairs WHERE cosine >= 0.25
 """
 
 _MEDIA_F = ",\n  ".join(

