@@ -1,0 +1,112 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference has no streaming surface (SURVEY §2.11) — its event-time
+state lives in ordinary tables keyed (order_id, status) with re-runs
+for late data. These operators carry that semantics into Structured
+Streaming as the beyond-parity extension:
+
+- ``first_seen_dedup``: exactly-once-per-key emission — the streaming
+  twin of the batch ``insert_ignore`` (ON CONFLICT DO NOTHING). State
+  is one marker per key; a processing-time timeout bounds the store
+  exactly like the reference's lookback window bounds re-processing.
+- ``running_counts``: per-key cumulative counters emitted every
+  micro-batch — the streaming twin of the incremental fact rollup.
+
+Scale notes: state is hash-partitioned by key across executors; the
+timeout (TTL) is the state-size lever. Output/state schemas are
+explicit StructTypes — required by the Arrow codec and stable for
+checkpoint compatibility.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+__all__ = ["first_seen_dedup", "running_counts"]
+
+
+def first_seen_dedup(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Emit only the FIRST event per key, across micro-batches.
+
+    Batch-internal ties resolve by minimum event time. ``ttl_ms`` sets
+    a processing-time timeout after which the key's marker is dropped
+    (a later event would then be treated as first again) — the bounded
+    late-data window, reference-style.
+    """
+    out_schema = StructType(
+        [
+            StructField("key", StringType(), True),
+            StructField("first_ts", TimestampType(), True),
+            StructField("n_in_batch", LongType(), True),
+        ]
+    )
+    state_schema = StructType([StructField("seen", LongType(), True)])
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        total = 0
+        first_ts = None
+        for pdf in pdfs:
+            total += len(pdf)
+            batch_min = pdf[ts_col].min()
+            if first_ts is None or batch_min < first_ts:
+                first_ts = batch_min
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if not state.exists and total > 0:
+            state.update((1,))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            yield pd.DataFrame(
+                {"key": [str(key[0])], "first_ts": [first_ts], "n_in_batch": [total]}
+            )
+        # key already seen: emit nothing, keep state
+
+    timeout = "ProcessingTimeTimeout" if ttl_ms is not None else "NoTimeout"
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", timeout)
+    )
+
+
+def running_counts(
+    events: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Cumulative event count per key, emitted on every batch the key
+    appears in (update-style counters with explicit state)."""
+    out_schema = StructType(
+        [
+            StructField("key", StringType(), True),
+            StructField("total", LongType(), True),
+        ]
+    )
+    state_schema = StructType([StructField("total", LongType(), True)])
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        n = sum(len(pdf) for pdf in pdfs)
+        prev = state.get[0] if state.exists else 0
+        total = prev + n
+        state.update((total,))
+        yield pd.DataFrame({"key": [str(key[0])], "total": [total]})
+
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(fn, out_schema, state_schema, "update", "NoTimeout")
+    )
