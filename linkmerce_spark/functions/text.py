@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "normalize_text",
     "token_count",
+    "bpe_token_count",
+    "BPE_ISH_PATTERN",
     "word_tokens",
     "char_ngrams",
     "shingles_from_tokens",
@@ -59,6 +61,20 @@ def word_tokens(c: Column | str) -> Column:
 def token_count(c: Column | str) -> Column:
     """Token count under the same tokenizer (BPE-ish proxy: word pieces)."""
     return F.size(word_tokens(c)).cast("bigint")
+
+
+# GPT-2-style pre-tokenizer classes: contraction suffixes, letter runs,
+# digit runs, symbol runs (each optionally space-prefixed). A cheap,
+# deterministic stand-in for a real BPE vocab — counts track BPE token
+# counts closely enough for length filtering/budgeting.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(c: Column | str) -> Column:
+    """BPE-ish token count via the pre-tokenizer regex (JVM-side)."""
+    return F.size(
+        F.regexp_extract_all(_col(c), F.lit(BPE_ISH_PATTERN), F.lit(0))
+    ).cast("bigint")
 
 
 def char_ngrams(c: Column | str, n: int = 5) -> Column:

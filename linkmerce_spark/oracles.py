@@ -272,6 +272,7 @@ _STOPWORDS = "['the','and','of','to','in','is','that','for','with','was']"
 ORACLES["doc_text_metrics"] = f"""
 SELECT doc_id,
   CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{{L}}+| ?\p{{N}}+| ?[^\s\p{{L}}\p{{N}}]+')) AS BIGINT) AS n_bpe_tokens,
   CAST(length(text) AS INTEGER) AS n_chars_exact,
   round(CASE WHEN length(text) = 0 THEN 0.0
         ELSE CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)

@@ -41,6 +41,7 @@ from linkmerce_spark.functions.scalar import (
     split_part,
 )
 from linkmerce_spark.functions.text import (
+    bpe_token_count,
     fingerprint,
     lang_guess,
     normalize_text,
@@ -612,6 +613,7 @@ def q_doc_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
         F.length("text").alias("n_chars_exact"),
         punct_ratio("text").alias("punct_ratio"),
         stopword_ratio("text").alias("stopword_ratio"),
