@@ -21,7 +21,7 @@ from concurrent.futures import ThreadPoolExecutor
 from itertools import product
 from typing import Any
 
-__all__ = ["run_loop", "request_each", "paginate_all", "cursor_all", "expand_params"]
+__all__ = ["run_loop", "request_each", "paginate_all", "cursor_all", "expand_params", "distributed_fetch"]
 
 
 def run_loop(
@@ -138,3 +138,36 @@ def cursor_all(
         if cursor is None:
             break
     return out
+
+
+def distributed_fetch(
+    spark,
+    params: list[dict[str, Any]],
+    fetch: Callable[[dict[str, Any]], list[dict[str, Any]]],
+    schema: str | Any,
+    parallelism: int | None = None,
+):
+    """Parallel pulls as a DataFrame pipeline: params -> mapInPandas(fetch).
+
+    The Spark-era shape for thousands of requests (SURVEY §2.10): the
+    param list becomes a DataFrame, each partition's params are fetched
+    inside executor tasks (bounded concurrency = task slots), and the
+    fetched row dicts come back as ordinary columns for the transform
+    layer. ``fetch`` is cloudpickled to tasks (closures work; module
+    globals must be importable on executors); ``schema`` is the OUTPUT
+    row schema (DDL string or StructType).
+    """
+    import pandas as pd
+
+    pdf = spark.createDataFrame(params)
+    if parallelism:
+        pdf = pdf.repartition(parallelism)
+
+    def _kernel(batches):
+        for batch in batches:
+            rows: list[dict[str, Any]] = []
+            for rec in batch.to_dict("records"):
+                rows.extend(fetch(rec))
+            yield pd.DataFrame(rows) if rows else pd.DataFrame()
+
+    return pdf.mapInPandas(_kernel, schema=schema)

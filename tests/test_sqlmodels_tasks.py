@@ -103,3 +103,27 @@ def test_request_each_distributed(spark):
         lambda x: x * x, [{"x": i} for i in range(8)], spark=spark, distribute=True
     )
     assert sorted(out) == [i * i for i in range(8)]
+
+
+def test_distributed_fetch_mapinpandas(spark):
+    from linkmerce_spark.tasks import distributed_fetch
+
+    def _fake_fetch(param):
+        # a closure: cloudpickle ships it by value to executor tasks
+        page = param["page"]
+        return [
+            {"page": page, "item_id": page * 10 + i, "name": f"item-{page}-{i}"}
+            for i in range(3)
+        ]
+
+    out = distributed_fetch(
+        spark,
+        [{"page": p} for p in range(1, 5)],
+        _fake_fetch,
+        schema="page long, item_id long, name string",
+        parallelism=2,
+    )
+    rows = out.collect()
+    assert len(rows) == 12
+    assert {r["page"] for r in rows} == {1, 2, 3, 4}
+    assert any(r["name"] == "item-3-2" for r in rows)
