@@ -27,7 +27,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-__all__ = ["quantized_cosine", "QUANT_DEFAULT"]
+__all__ = ["quantized_cosine", "QUANT_DEFAULT", "ivf_centroids", "ivf_assign"]
 
 QUANT_DEFAULT = 1000
 
@@ -66,3 +66,51 @@ def quantized_cosine(
         F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
     )
     return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c)
+
+
+def ivf_centroids(dim: int, k: int, quant: int = QUANT_DEFAULT) -> list[list[int]]:
+    """Deterministic integer centroids in [-quant, quant], shared with
+    the SQL oracle (same closed-form constants)."""
+    return [
+        [((j * 131 + i * 2654435761 + 13) % (2 * quant + 1)) - quant for i in range(dim)]
+        for j in range(k)
+    ]
+
+
+def ivf_assign(
+    df,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 8,
+    quant: int = QUANT_DEFAULT,
+):
+    """Add ``cell`` (nearest centroid, 1-based) and ``dist2`` (its
+    squared L2 distance) — the IVF coarse quantizer.
+
+    All arithmetic is int64 on quantized components: the assignment is
+    exact and engine-portable (ties break to the lowest cell index via
+    first-position-of-min, same rule as SQL list_position). The cell is
+    the shuffle key for probe-time candidate generation; at index-build
+    scale this is a pure per-row map — no shuffle at all.
+    """
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * quant + F.lit(0.5)).cast("bigint"),
+    )
+    df = df.withColumn("__q", q)
+    dists = []
+    for plane in ivf_centroids(dim, k, quant):
+        consts = F.array(*[F.lit(c).cast("bigint") for c in plane])
+        d = F.aggregate(
+            F.zip_with(F.col("__q"), consts, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        dists.append(d)
+    darr = F.array(*dists)
+    return (
+        df.withColumn("__d", darr)
+        .withColumn("dist2", F.array_min("__d"))
+        .withColumn("cell", F.array_position("__d", F.col("dist2")).cast("int"))
+        .drop("__q", "__d")
+    )

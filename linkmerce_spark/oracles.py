@@ -663,3 +663,25 @@ WHERE (CAST(o_orderdate AS DATE) BETWEEN DATE '1996-03-01' AND DATE '1996-03-10'
    OR CAST(o_orderdate AS DATE) IN (DATE '1996-04-15', DATE '1996-06-01')
 GROUP BY 1
 """
+
+from linkmerce_spark.operators.similarity import ivf_centroids
+
+_IVF_DISTS = ",\n    ".join(
+    f"list_sum(list_transform(range(1, 65), i -> (q[i] - (CAST({c} AS BIGINT[]))[i]) * (q[i] - (CAST({c} AS BIGINT[]))[i])))"
+    for c in ivf_centroids(64, 8)
+)
+
+ORACLES["embedding_ivf_cells"] = f"""
+WITH e AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+), d AS (
+  SELECT vec_id, [
+    {_IVF_DISTS}
+  ] AS dists FROM e
+)
+SELECT vec_id, CAST(list_position(dists, list_min(dists)) AS INTEGER) AS cell,
+       CAST(list_min(dists) AS BIGINT) AS dist2
+FROM d
+"""

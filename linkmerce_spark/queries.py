@@ -1018,6 +1018,15 @@ def q_date_pruned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer assignment: nearest of 8 fixed centroids,
+    exact int64 distance math (the ANN index-build step)."""
+    from linkmerce_spark.operators.similarity import ivf_assign
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return ivf_assign(emb, "embedding", dim=64, k=8).select("vec_id", "cell", "dist2")
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "star_join_revenue": q_star_join_revenue,
@@ -1067,4 +1076,5 @@ QUERIES = {
     "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
     "embedding_lsh_buckets": q_embedding_lsh_buckets,
     "date_pruned_orders": q_date_pruned_orders,
+    "embedding_ivf_cells": q_embedding_ivf_cells,
 }
