@@ -685,3 +685,13 @@ SELECT vec_id, CAST(list_position(dists, list_min(dists)) AS INTEGER) AS cell,
        CAST(list_min(dists) AS BIGINT) AS dist2
 FROM d
 """
+
+ORACLES["array_predicates"] = """
+SELECT p_partkey,
+  len(list_filter(string_split(p_name, ' '), w -> w = 'green')) > 0 AS has_green,
+  NOT list_contains(string_split(p_name, ' '), 'red') AS not_red,
+  CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words,
+  string_split(p_name, ' ')[1] AS w1,
+  CAST(from_base64(to_base64(encode(p_brand))) AS VARCHAR) AS brand_rt
+FROM part
+"""

@@ -1027,6 +1027,27 @@ def q_embedding_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_assign(emb, "embedding", dim=64, k=8).select("vec_id", "cell", "dist2")
 
 
+def q_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array semi/anti predicates + base64 (SURVEY J8/J9, §2.8).
+
+    Parity: EXISTS over unnest(string_to_array(...)) and its negation
+    (dbt_postgres/.../relation__ad_id_to_ranged_sbn_ids.sql:28-48),
+    cardinality/index access (searchad__insight_daily.sql:223;
+    analytics__stock_report.sql:20), FROM_BASE64 round-trip
+    (core/searchad/center/exposure/models.sql:25).
+    """
+    (part,) = _t(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return part.select(
+        "p_partkey",
+        F.exists(words, lambda w: w == F.lit("green")).alias("has_green"),
+        (~F.array_contains(words, "red")).alias("not_red"),
+        F.size(words).alias("n_words"),
+        F.element_at(words, 1).alias("w1"),
+        F.unbase64(F.base64(F.encode(F.col("p_brand"), "UTF-8"))).cast("string").alias("brand_rt"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "star_join_revenue": q_star_join_revenue,
@@ -1077,4 +1098,5 @@ QUERIES = {
     "embedding_lsh_buckets": q_embedding_lsh_buckets,
     "date_pruned_orders": q_date_pruned_orders,
     "embedding_ivf_cells": q_embedding_ivf_cells,
+    "array_predicates": q_array_predicates,
 }
