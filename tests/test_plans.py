@@ -43,3 +43,54 @@ def test_window_dedup_is_single_shuffle(spark):
     orders = load_star(spark, SF_DIR, ["orders"])["orders"]
     out = dedupe_keep_first(orders, ["o_custkey"], [F.col("o_orderdate").desc()])
     assert count_shuffles(out) == 1
+
+
+def test_mart_date_filter_reaches_scan(spark):
+    from linkmerce_spark.marts import sales_daily
+
+    df = sales_daily(spark, SF_DIR, "1996-01-01", "1996-03-31")
+    pushed = pushed_filters(df)
+    assert any("o_orderdate" in p for p in pushed), pushed
+
+
+def test_date_range_predicate_is_pushed(spark):
+    from linkmerce_spark.relops import date_range_predicate
+
+    orders = load_star(spark, SF_DIR, ["orders"])["orders"]
+    pred = date_range_predicate(
+        F.col("o_orderdate").cast("date"),
+        [f"1996-03-{d:02d}" for d in range(1, 11)] + ["1996-06-01"],
+    )
+    plan = physical_plan(orders.filter(pred), "formatted")
+    # the collapsed BETWEEN/IN predicate must appear in the scan's data
+    # filters (cast prevents parquet-level pushdown, but the filter is
+    # evaluated at the scan, before any exchange)
+    assert "1996-03-01" in plan or "9556" in plan  # date literal or days-epoch
+
+
+def test_effective_dated_join_broadcasts_relation(spark):
+    from linkmerce_spark.queries import q_effective_dated_campaign
+
+    df = q_effective_dated_campaign(spark, SF_DIR)
+    assert has_broadcast_join(df)
+    # final aggregate adds exactly one exchange on the group key
+    assert count_shuffles(df) <= 2
+
+
+def test_allocation_two_windows_one_shuffle(spark):
+    from linkmerce_spark.queries import q_allocation_proportional
+
+    df = q_allocation_proportional(spark, SF_DIR)
+    # two window passes over the same partitioning must NOT re-shuffle:
+    # shuffles = lineitem/orders join sides + (maybe) the window key
+    assert count_shuffles(df) <= 3
+
+
+def test_minhash_signature_aggregates_map_side(spark):
+    from linkmerce_spark.operators.minhash import minhash_signature
+
+    docs = load_star(spark, SF_DIR, ["documents"])["documents"]
+    plan = physical_plan(minhash_signature(docs, "text", "doc_id", 8, 3), "simple")
+    # partial aggregation before the exchange: HashAggregate appears on
+    # both sides (map-side combine keeps the shuffle at one row/doc)
+    assert plan.count("HashAggregate") >= 2
