@@ -128,6 +128,9 @@ def decode_media_features(
                 }
             )
 
+    from linkmerce_spark.shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
     if batch_hint is not None:
         df = repartition_for_media(df, rows_per_partition=batch_hint)
     return df.mapInPandas(_kernel, schema=_FEATURE_SCHEMA)

@@ -62,6 +62,13 @@ def quantized_cosine(
     deterministic across engines; round with floor(x*10^s + 0.5) for
     threshold comparisons against a SQL oracle.
     """
+    from linkmerce_spark.shipping import ensure_shipped
+
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        ensure_shipped(active)
     c = _make_kernel(quant)(
         F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
     )

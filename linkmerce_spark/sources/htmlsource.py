@@ -147,4 +147,7 @@ def parse_html_column(df: DataFrame, html_col: str = "html", id_col: str = "doc_
                         recs.append((int(did), ti, ri, cells))
             yield pd.DataFrame(recs, columns=["doc_id", "table_idx", "row_idx", "cells"])
 
+    from linkmerce_spark.shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
     return df.mapInPandas(_kernel, schema=HTML_ROW_SCHEMA)

@@ -78,6 +78,9 @@ def first_seen_dedup(
             )
         # key already seen: emit nothing, keep state
 
+    from linkmerce_spark.shipping import ensure_shipped
+
+    ensure_shipped(events.sparkSession)
     timeout = "ProcessingTimeTimeout" if ttl_ms is not None else "NoTimeout"
     return (
         events.groupBy(key_col)
@@ -106,6 +109,9 @@ def running_counts(
         state.update((total,))
         yield pd.DataFrame({"key": [str(key[0])], "total": [total]})
 
+    from linkmerce_spark.shipping import ensure_shipped
+
+    ensure_shipped(events.sparkSession)
     return (
         events.groupBy(key_col)
         .applyInPandasWithState(fn, out_schema, state_schema, "update", "NoTimeout")

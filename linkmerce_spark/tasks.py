@@ -159,6 +159,9 @@ def distributed_fetch(
     """
     import pandas as pd
 
+    from linkmerce_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
     pdf = spark.createDataFrame(params)
     if parallelism:
         pdf = pdf.repartition(parallelism)
