@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from linkmerce_spark.operators.dedup import dedupe_keep_first
 from linkmerce_spark.operators.merge import merge_frames
 
-__all__ = ["write_append", "write_overwrite_where", "write_merge", "validate_partitions"]
+__all__ = ["write_append", "write_overwrite_where", "write_merge", "write_bucketed", "validate_partitions"]
 
 
 def validate_partitions(
@@ -124,3 +124,25 @@ def write_merge(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: Sequence[str],
+    n_buckets: int = 32,
+    sort_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed managed table (co-located join layout).
+
+    Two fact tables bucketed the same way join WITHOUT any Exchange —
+    the shuffle is paid once at write time, amortized over every
+    subsequent join/aggregation on the bucket key (SURVEY §4 join
+    strategy; the scale lever for repeated fact-fact joins). Bucket
+    count is a layout contract: both sides must match.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)

@@ -1,0 +1,55 @@
+"""Skew mitigation + bucketed co-located joins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from linkmerce_spark.operators.skew import salted_group_count, salted_join
+
+
+def _skewed(spark):
+    # one hot key (k=0: 5000 rows) + a long tail
+    hot = spark.range(5000).select(F.lit(0).alias("k"), F.col("id").alias("rid"))
+    tail = spark.range(100).select((F.col("id") + 1).alias("k"), (F.col("id") + 10_000).alias("rid"))
+    return hot.unionByName(tail)
+
+
+def test_salted_join_equals_plain_join(spark):
+    big = _skewed(spark)
+    small = spark.createDataFrame([(0, "hot"), (1, "a"), (2, "b")], "k long, label string")
+    plain = big.join(small, ["k"], "inner").orderBy("rid")
+    salted = salted_join(big, small, ["k"], salt_by="rid", n_salts=8).orderBy("rid")
+    assert salted.columns == plain.columns
+    assert [tuple(r) for r in salted.collect()] == [tuple(r) for r in plain.collect()]
+
+
+def test_salted_join_is_deterministic(spark):
+    big = _skewed(spark)
+    small = spark.createDataFrame([(0, "hot")], "k long, label string")
+    a = salted_join(big, small, ["k"], "rid", 4).count()
+    b = salted_join(big, small, ["k"], "rid", 4).count()
+    assert a == b == 5000
+
+
+def test_salted_group_count(spark):
+    big = _skewed(spark)
+    got = {r["k"]: r["n"] for r in salted_group_count(big, ["k"], "rid", 8).collect()}
+    assert got[0] == 5000 and got[1] == 1 and len(got) == 101
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from linkmerce_spark.plans.explain import count_shuffles, physical_plan
+    from linkmerce_spark.sources.writers import write_bucketed
+
+    a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    write_bucketed(a, "bkt_a", ["k"], n_buckets=8, sort_by=["k"])
+    write_bucketed(b, "bkt_b", ["k"], n_buckets=8, sort_by=["k"])
+    try:
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        # co-located layout: no Exchange on either join side
+        assert count_shuffles(joined) == 0, physical_plan(joined, "simple")
+        assert joined.count() == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
