@@ -695,3 +695,37 @@ SELECT p_partkey,
   CAST(from_base64(to_base64(encode(p_brand))) AS VARCHAR) AS brand_rt
 FROM part
 """
+
+_QUALITY = f"""(
+    LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+    + GREATEST(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+        ELSE CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
+             / length(text) END) * 4.0) * 0.3
+    + LEAST((CASE WHEN len({_TOKENS}) = 0 THEN 0.0
+        ELSE CAST(len(list_filter({_TOKENS}, t -> list_contains({_STOPWORDS}, t))) AS DOUBLE)
+             / len({_TOKENS}) END) * 5.0, 1.0) * 0.3)"""
+
+_LANG_CASE = """CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+       WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+       WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+       ELSE 'es' END"""
+
+ORACLES["doc_clean_corpus"] = f"""
+WITH base AS (
+  SELECT doc_id,
+    {_SCORES},
+    {_QUALITY} AS q,
+    CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), filt AS (
+  SELECT doc_id, q, n_tokens, fp FROM base
+  WHERE q >= 0.5 AND {_LANG_CASE} = 'en'
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM filt
+)
+SELECT doc_id, fp, n_tokens,
+       FLOOR(q * 1000000.0 + 0.5) / 1000000.0 AS quality
+FROM ranked WHERE rn = 1
+"""

@@ -1048,6 +1048,37 @@ def q_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data cleaning pipeline (the capstone op):
+
+    quality-score filter -> English route -> exact-content dedup
+    (keep lowest id per fingerprint) -> token accounting. One pass of
+    narrow maps + a single fingerprint shuffle: the shape of a real
+    corpus-cleaning job, where each stage's selectivity multiplies.
+    """
+    (docs,) = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        lang_guess("text").alias("lang_g"),
+        quality_score("text").alias("q"),
+        token_count("text").alias("n_tokens"),
+        fingerprint("text").alias("fp"),
+    ).filter((F.col("q") >= 0.5) & (F.col("lang_g") == "en"))
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    kept = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "text")
+    )
+    return kept.select(
+        "doc_id",
+        "fp",
+        "n_tokens",
+        (F.floor(F.col("q") * 1000000.0 + 0.5) / 1000000.0).alias("quality"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "star_join_revenue": q_star_join_revenue,
@@ -1099,4 +1130,5 @@ QUERIES = {
     "date_pruned_orders": q_date_pruned_orders,
     "embedding_ivf_cells": q_embedding_ivf_cells,
     "array_predicates": q_array_predicates,
+    "doc_clean_corpus": q_doc_clean_corpus,
 }
