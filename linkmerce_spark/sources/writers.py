@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from linkmerce_spark.operators.dedup import dedupe_keep_first
 from linkmerce_spark.operators.merge import merge_frames
 
-__all__ = ["write_append", "write_overwrite_where", "write_merge", "write_bucketed", "validate_partitions"]
+__all__ = ["write_append", "write_overwrite_where", "write_merge", "write_bucketed", "compact", "validate_partitions"]
 
 
 def validate_partitions(
@@ -146,3 +146,45 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 256,
+    sort_within_by: Sequence[str] | None = None,
+    partition_by: Sequence[str] | None = None,
+) -> int:
+    """Rewrite a parquet location into ~target_mb files; returns the
+    new file count.
+
+    The small-files problem is the silent killer of big scans (every
+    file is a task + a footer read + an object-store request); daily
+    incremental appends produce thousands of slivers. ``sort_within_by``
+    clusters rows inside each output file so parquet row-group min/max
+    statistics prune point/range predicates on those columns — the
+    poor-man's Z-order, free at rewrite time.
+    """
+    df = spark.read.parquet(path)
+    # Portable size probe: sum file sizes via Python (local/DBFS-style
+    # paths; object stores would use the FileSystem API).
+    import os
+
+    size = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                size += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, -(-size // (target_mb * 1024 * 1024)))
+    out = df.repartition(n_files, *(partition_by or [])) if partition_by else df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    staged = out.localCheckpoint(eager=True)  # break lineage off the files being replaced
+    writer = staged.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    written = 0
+    for root, _dirs, files in os.walk(path):
+        written += sum(1 for f in files if f.endswith(".parquet"))
+    return written

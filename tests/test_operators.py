@@ -117,3 +117,22 @@ def test_unpivot_drops_nulls(spark):
     df = spark.createDataFrame([(1, 10.0, None), (2, None, 5.0)], "id int, a double, b double")
     out = unpivot(df, ["id"], ["a", "b"], var_name="m", value_name="v")
     assert rows(out, "id", "m", "v") == [(1, "a", 10.0), (2, "b", 5.0)]
+
+
+def test_vec_dot_unrolled_equals_hof(spark):
+    from pyspark.sql import functions as F
+
+    from linkmerce_spark.functions.vectors import vec_cosine, vec_dot, vec_norm
+
+    df = spark.createDataFrame(
+        [([0.1, -0.2, 0.3, 0.4], [0.5, 0.6, -0.7, 0.8])], "a array<float>, b array<float>"
+    )
+    r = df.select(
+        vec_dot("a", "b").alias("d1"),
+        vec_dot("a", "b", dim=4).alias("d2"),
+        vec_norm("a").alias("n1"),
+        vec_norm("a", dim=4).alias("n2"),
+        vec_cosine("a", "b").alias("c1"),
+        vec_cosine("a", "b", dim=4).alias("c2"),
+    ).first()
+    assert r["d1"] == r["d2"] and r["n1"] == r["n2"] and r["c1"] == r["c2"]

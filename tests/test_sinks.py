@@ -63,3 +63,23 @@ def test_write_merge_upsert(spark, tmp_path):
     write_merge(src, path, keys=["k"], matched={"m": "source_first", "v": "replace"})
     got = {r["k"]: (r["m"], r["v"]) for r in _read(spark, path).collect()}
     assert got == {1: (10, "a"), 2: (20, "b2"), 3: (30, "c")}
+
+
+def test_compact_merges_small_files(spark, tmp_path):
+    from linkmerce_spark.sources.writers import compact
+
+    path = str(tmp_path / "slivers")
+    # simulate incremental appends: 20 tiny files
+    for i in range(10):
+        spark.range(i * 100, (i + 1) * 100).selectExpr(
+            "id", "id % 7 AS k"
+        ).coalesce(2).write.mode("append").parquet(path)
+    import os
+
+    before = sum(1 for r, d, fs in os.walk(path) for f in fs if f.endswith(".parquet"))
+    assert before >= 20
+    after = compact(spark, path, target_mb=256, sort_within_by=["k"])
+    assert after < before and after >= 1
+    df = spark.read.parquet(path)
+    assert df.count() == 1000
+    assert df.agg({"id": "sum"}).first()[0] == sum(range(1000))
