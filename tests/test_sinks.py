@@ -83,3 +83,33 @@ def test_compact_merges_small_files(spark, tmp_path):
     df = spark.read.parquet(path)
     assert df.count() == 1000
     assert df.agg({"id": "sum"}).first()[0] == sum(range(1000))
+
+
+def test_write_in_date_batches(spark, tmp_path):
+    import datetime as dt
+
+    from linkmerce_spark.sources.writers import write_in_date_batches
+
+    path = str(tmp_path / "daily")
+    rows = [
+        (i, dt.date(2026, 1, 1) + dt.timedelta(days=i % 10), i * 10)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, ymd date, amount long")
+    batches = write_in_date_batches(df, path, "ymd", batch_days=4)
+    assert batches == [
+        ("2026-01-01", "2026-01-04"),
+        ("2026-01-05", "2026-01-08"),
+        ("2026-01-09", "2026-01-10"),
+    ]
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    # re-running a corrected subset only replaces its own partitions
+    fix = df.filter("ymd = DATE'2026-01-03'").withColumn(
+        "amount", df.amount * 0 - 1
+    )
+    write_in_date_batches(fix, path, "ymd", batch_days=4)
+    back2 = spark.read.parquet(path)
+    assert back2.count() == 200
+    assert back2.filter("ymd = DATE'2026-01-03'").agg({"amount": "max"}).first()[0] == -1
+    assert back2.filter("ymd = DATE'2026-01-04'").agg({"amount": "min"}).first()[0] >= 0
