@@ -729,3 +729,42 @@ SELECT doc_id, fp, n_tokens,
        FLOOR(q * 1000000.0 + 0.5) / 1000000.0 AS quality
 FROM ranked WHERE rn = 1
 """
+
+ORACLES["events_sessions"] = """
+WITH e AS (
+  SELECT user_id, date_trunc('second', ts) AS ts2 FROM events
+), d AS (
+  SELECT user_id, ts2,
+    CASE WHEN LAG(ts2) OVER w IS NULL
+              OR ts2 - LAG(ts2) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts2)
+), s AS (
+  SELECT user_id, ts2,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts2
+                     ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id,
+  strftime(MIN(ts2), '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(MAX(ts2), '%Y-%m-%d %H:%M:%S') AS session_last,
+  COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+ORACLES["order_value_quantiles"] = """
+SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) AS q25,
+  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS q50,
+  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75) AS q75
+FROM orders GROUP BY 1
+"""
+
+ORACLES["sales_rollup"] = """
+SELECT r_name, n_name, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""

@@ -1079,6 +1079,63 @@ def q_doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via session_window (gap 30 min).
+
+    The same operator the streaming layer uses (unified API); the
+    oracle reproduces it with classic gaps-and-islands SQL, proving
+    the semantics equivalence. Timestamps truncated to seconds first
+    so both engines sessionize identical inputs.
+    """
+    (events,) = _t(spark, sf_dir, "events")
+    ev = events.select("user_id", F.date_trunc("second", F.col("ts")).alias("ts2"))
+    sess = ev.groupBy(
+        F.session_window("ts2", "30 minutes").alias("w"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts2").alias("mn"),
+        F.max("ts2").alias("mx"),
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return sess.select(
+        "user_id",
+        F.date_format("mn", fmt).alias("session_start"),
+        F.date_format("mx", fmt).alias("session_last"),
+        "n_events",
+    )
+
+
+def q_order_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per priority (sort-based, order-
+    independent -> deterministic under any partitioning)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    q = F.percentile("o_totalprice", F.lit([0.25, 0.5, 0.75]))
+    return orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.element_at(q, 1).alias("q25"),
+        F.element_at(q, 2).alias("q50"),
+        F.element_at(q, 3).alias("q75"),
+    )
+
+
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals over the region/nation hierarchy — beyond the
+    reference's surface (it has no grouping sets), standard warehouse
+    capability at scale (one pass, partial-aggregated)."""
+    orders, cust, nation, region = _t(
+        spark, sf_dir, "orders", "customer", "nation", "region"
+    )
+    j = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum("o_totalprice").alias("total_value"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "star_join_revenue": q_star_join_revenue,
@@ -1131,4 +1188,7 @@ QUERIES = {
     "embedding_ivf_cells": q_embedding_ivf_cells,
     "array_predicates": q_array_predicates,
     "doc_clean_corpus": q_doc_clean_corpus,
+    "events_sessions": q_events_sessions,
+    "order_value_quantiles": q_order_value_quantiles,
+    "sales_rollup": q_sales_rollup,
 }
