@@ -768,3 +768,34 @@ JOIN nation   ON c_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
 """
+
+ORACLES["events_funnel"] = """
+WITH ev AS (
+  SELECT user_id, event_type, date_trunc('second', ts) AS ts2 FROM events
+), agg AS (
+  SELECT user_id,
+    MIN(ts2) FILTER (WHERE event_type = 'signup') AS t_signup,
+    MIN(ts2) FILTER (WHERE event_type = 'view') AS t_view,
+    MIN(ts2) FILTER (WHERE event_type = 'purchase') AS t_purchase
+  FROM ev GROUP BY user_id
+)
+SELECT user_id,
+  t_signup IS NOT NULL AS did_signup,
+  t_view > t_signup AS viewed_after_signup,
+  (t_purchase > t_view AND t_view > t_signup) AS full_funnel
+FROM agg
+"""
+
+ORACLES["customer_spend_deciles"] = """
+WITH spend AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+), tiled AS (
+  SELECT o_custkey, spend,
+         NTILE(10) OVER (ORDER BY spend DESC, o_custkey ASC) AS decile
+  FROM spend
+)
+SELECT decile, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS decile_spend
+FROM tiled GROUP BY decile
+"""

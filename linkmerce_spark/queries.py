@@ -1136,6 +1136,56 @@ def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: signup -> view -> purchase per user.
+
+    One conditional min-aggregation pass (no self-joins): the step
+    timestamps are MIN(ts) FILTER(step), conversion requires strict
+    event-time ordering. The classic product-analytics query shape.
+    """
+    (events,) = _t(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id", "event_type", F.date_trunc("second", F.col("ts")).alias("ts2")
+    )
+
+    def first_ts(kind: str) -> Column:
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts2")))
+
+    agg = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("view").alias("t_view"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("t_signup").isNotNull().alias("did_signup"),
+        (F.col("t_view") > F.col("t_signup")).alias("viewed_after_signup"),
+        (
+            (F.col("t_purchase") > F.col("t_view"))
+            & (F.col("t_view") > F.col("t_signup"))
+        ).alias("full_funnel"),
+    )
+
+
+def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE deciles over total customer spend (exact decimal totals,
+    total order with key tiebreak -> identical tiles in any engine).
+
+    The global window runs on ONE row per customer (post-aggregation),
+    so the single-partition sort is |customers|, not |orders|; for
+    billion-customer scale swap NTILE for approx percentile cutpoints
+    + a broadcast range join.
+    """
+    (orders,) = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(_dsum("o_totalprice").alias("spend"))
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
+    tiled = spend.withColumn("decile", F.ntile(10).over(w))
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("spend").cast("decimal(18,2)")).cast("double").alias("decile_spend"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "star_join_revenue": q_star_join_revenue,
@@ -1191,4 +1241,6 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "order_value_quantiles": q_order_value_quantiles,
     "sales_rollup": q_sales_rollup,
+    "events_funnel": q_events_funnel,
+    "customer_spend_deciles": q_customer_spend_deciles,
 }
