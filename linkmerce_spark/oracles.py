@@ -799,3 +799,18 @@ SELECT decile, COUNT(*) AS n_customers,
   CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS decile_spend
 FROM tiled GROUP BY decile
 """
+
+ORACLES["doc_hash_splits"] = """
+WITH b AS (
+  SELECT doc_id,
+    CAST('0x' || substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS bkt
+  FROM documents
+), s AS (
+  SELECT doc_id, CASE WHEN bkt < 9000 THEN 'train'
+                      WHEN bkt < 9500 THEN 'val'
+                      ELSE 'test' END AS split
+  FROM b
+)
+SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM s GROUP BY split
+"""

@@ -1186,6 +1186,21 @@ def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_hash_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test corpus split (90/5/5 by doc_id
+    hash): reproducible across runs, engines, and appends — the
+    training-data splitting primitive (operators/sampling)."""
+    from linkmerce_spark.operators.sampling import hash_split
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "star_join_revenue": q_star_join_revenue,
@@ -1243,4 +1258,5 @@ QUERIES = {
     "sales_rollup": q_sales_rollup,
     "events_funnel": q_events_funnel,
     "customer_spend_deciles": q_customer_spend_deciles,
+    "doc_hash_splits": q_doc_hash_splits,
 }

@@ -136,3 +136,27 @@ def test_vec_dot_unrolled_equals_hof(spark):
         vec_cosine("a", "b", dim=4).alias("c2"),
     ).first()
     assert r["d1"] == r["d2"] and r["n1"] == r["n2"] and r["c1"] == r["c2"]
+
+
+def test_hash_split_stable_and_disjoint(spark):
+    from pyspark.sql import functions as F
+
+    from linkmerce_spark.operators.sampling import hash_split, stable_sample
+
+    df = spark.range(10_000).select(F.col("id"))
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["id"]: r["split"] for r in hash_split(df, "id", splits).collect()}
+    b = {r["id"]: r["split"] for r in hash_split(df, "id", splits).collect()}
+    assert a == b  # identical across runs
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["train"] - 8000) < 300 and abs(c["val"] - 1000) < 150
+    # appends never move existing rows
+    bigger = spark.range(20_000).select(F.col("id"))
+    c2 = {r["id"]: r["split"] for r in hash_split(bigger, "id", splits).collect()}
+    assert all(c2[k] == v for k, v in a.items())
+    # independent salted sample decorrelates from the split
+    sample = {r["id"] for r in stable_sample(df, "id", 0.1, salt="dbg").collect()}
+    in_train = sum(1 for i in sample if a[i] == "train")
+    assert 0.7 < in_train / max(len(sample), 1) < 0.9  # ~train fraction, not 0/1
