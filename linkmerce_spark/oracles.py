@@ -736,7 +736,7 @@ WITH e AS (
 ), d AS (
   SELECT user_id, ts2,
     CASE WHEN LAG(ts2) OVER w IS NULL
-              OR ts2 - LAG(ts2) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+              OR ts2 - LAG(ts2) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts2)
 ), s AS (
   SELECT user_id, ts2,
