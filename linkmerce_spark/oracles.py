@@ -814,3 +814,34 @@ WITH b AS (
 SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
 FROM s GROUP BY split
 """
+
+ORACLES["doc_top_bigrams"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_DTOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(range(1, len(t)), i -> array_to_string(list_slice(t, i, i + 1), ' ')) END AS shingles
+  FROM toks
+), grams AS (
+  SELECT UNNEST(shingles) AS bigram FROM sh
+), counts AS (
+  SELECT bigram, COUNT(*) AS n FROM grams GROUP BY bigram
+)
+SELECT bigram, n FROM counts ORDER BY n DESC, bigram ASC LIMIT 50
+"""
+
+ORACLES["events_cohort_retention"] = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(ts AS DATE) AS d FROM events
+), cohorts AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(d)) AS DATE) AS cohort_week
+  FROM ev WHERE event_type = 'signup' GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', d) AS DATE) AS act_week FROM ev
+)
+SELECT cohort_week, CAST(datediff('day', cohort_week, act_week) / 7 AS INTEGER) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+WHERE act_week >= cohort_week
+GROUP BY 1, 2
+"""

@@ -1201,6 +1201,46 @@ def q_doc_hash_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 bigrams (explode -> count -> deterministic
+    top-k): the n-gram statistics pass of corpus analysis. Partial
+    aggregation keeps the shuffle at one row per distinct bigram."""
+    from linkmerce_spark.functions.text import shingles_from_tokens, word_tokens
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = docs.withColumn("__toks", word_tokens("text"))
+    grams = toks.select(
+        F.explode_outer(shingles_from_tokens(F.col("__toks"), 2)).alias("bigram")
+    ).filter(F.col("bigram").isNotNull())
+    counts = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("bigram").asc()).limit(50)
+
+
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by signup week, counted
+    per activity-week offset — the classic retention matrix, built
+    from two aggregates and one broadcastable join."""
+    (events,) = _t(spark, sf_dir, "events")
+    ev = events.select("user_id", "event_type", F.col("ts").cast("date").alias("d"))
+    cohorts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("d")).cast("date").alias("cohort_week"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("d")).cast("date").alias("act_week")
+    ).distinct()
+    j = activity.join(cohorts, "user_id").filter(F.col("act_week") >= F.col("cohort_week"))
+    return (
+        j.withColumn(
+            "week_offset",
+            (F.datediff("act_week", "cohort_week") / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "star_join_revenue": q_star_join_revenue,
@@ -1259,4 +1299,6 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "customer_spend_deciles": q_customer_spend_deciles,
     "doc_hash_splits": q_doc_hash_splits,
+    "doc_top_bigrams": q_doc_top_bigrams,
+    "events_cohort_retention": q_events_cohort_retention,
 }
