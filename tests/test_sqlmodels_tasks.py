@@ -127,3 +127,28 @@ def test_distributed_fetch_mapinpandas(spark):
     assert len(rows) == 12
     assert {r["page"] for r in rows} == {1, 2, 3, 4}
     assert any(r["name"] == "item-3-2" for r in rows)
+
+
+def test_udtf_date_range_and_pairs(spark):
+    from linkmerce_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    days = spark.sql("SELECT * FROM date_range('2026-02-26', '2026-03-02')").collect()
+    assert [r["ymd"].isoformat() for r in days] == [
+        "2026-02-26", "2026-02-27", "2026-02-28", "2026-03-01", "2026-03-02"
+    ]
+    pairs = spark.sql("SELECT * FROM date_pairs('2026-01-01', '2026-01-10', 4)").collect()
+    assert [(r["batch_start"].isoformat(), r["batch_end"].isoformat()) for r in pairs] == [
+        ("2026-01-01", "2026-01-04"),
+        ("2026-01-05", "2026-01-08"),
+        ("2026-01-09", "2026-01-10"),
+    ]
+    # LATERAL correlation: expand each row's own window
+    spark.createDataFrame(
+        [("a", "2026-01-01", "2026-01-03"), ("b", "2026-01-05", "2026-01-05")],
+        "k string, s string, e string",
+    ).createOrReplaceTempView("spans")
+    n = spark.sql(
+        "SELECT k, ymd FROM spans, LATERAL date_range(s, e)"
+    ).count()
+    assert n == 4
