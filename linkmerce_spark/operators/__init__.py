@@ -20,5 +20,6 @@ from linkmerce_spark.operators.rangejoin import (  # noqa: F401
     effective_dated_join,
     rolling_range_agg,
 )
+from linkmerce_spark.operators.rownum import global_row_number  # noqa: F401
 from linkmerce_spark.operators.topk import top_k_per_group  # noqa: F401
 from linkmerce_spark.operators.unpivot import unpivot  # noqa: F401

@@ -160,3 +160,28 @@ def test_hash_split_stable_and_disjoint(spark):
     sample = {r["id"] for r in stable_sample(df, "id", 0.1, salt="dbg").collect()}
     in_train = sum(1 for i in sample if a[i] == "train")
     assert 0.7 < in_train / max(len(sample), 1) < 0.9  # ~train fraction, not 0/1
+
+
+def test_global_row_number_matches_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from linkmerce_spark.operators.rownum import global_row_number
+
+    df = spark.range(5_000).select(
+        F.col("id"),
+        (F.pmod(F.hash("id"), F.lit(997))).alias("k"),
+    )
+    got = {
+        r["id"]: r["rn"]
+        for r in global_row_number(df, ["k", "id"], num_partitions=7).collect()
+    }
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("k", "id"))
+        ).collect()
+    }
+    assert got == want
+    # sanity: dense 1..N numbering
+    assert sorted(got.values()) == list(range(1, 5_001))
