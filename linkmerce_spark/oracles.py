@@ -845,3 +845,85 @@ FROM activity a JOIN cohorts c ON a.user_id = c.user_id
 WHERE act_week >= cohort_week
 GROUP BY 1, 2
 """
+
+ORACLES["stock_report"] = """
+WITH lots AS (
+  SELECT l_partkey AS product_id,
+         CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS lot_month,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS stock_qty_d
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) > DATE '2001-06-01' - 120
+    AND CAST(l_shipdate AS DATE) <= DATE '2001-06-01'
+  GROUP BY 1, 2
+), sold AS (
+  SELECT l_partkey AS product_id,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sold_raw
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '2001-06-01' - 30
+    AND CAST(l_shipdate AS DATE) < DATE '2001-06-01'
+  GROUP BY 1
+), dims AS (
+  SELECT p_partkey AS product_id, p_brand AS brand,
+         CASE WHEN p_name LIKE 'small%' THEN 0 ELSE 1 END AS priority,
+         p_type, p_retailprice AS org_price
+  FROM part
+), base AS (
+  SELECT lots.product_id, lots.lot_month, lots.stock_qty_d,
+         d.brand, d.priority, d.org_price,
+         CASE WHEN d.p_type = 'PROMO' THEN NULL
+              ELSE CAST(lots.lot_month + INTERVAL 6 MONTH AS DATE) END AS expiration_date,
+         COALESCE(s.sold_raw, 0.0) AS sold_qty_30d
+  FROM lots
+  JOIN dims d USING (product_id)
+  LEFT JOIN sold s USING (product_id)
+), enriched AS (
+  SELECT *,
+         CAST(SUM(stock_qty_d) OVER (
+           PARTITION BY product_id
+           ORDER BY priority DESC, expiration_date ASC NULLS LAST, lot_month ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS DOUBLE) AS cum_stock_qty,
+         CAST(stock_qty_d AS DOUBLE) AS stock_qty,
+         COALESCE(NULLIF(sold_qty_30d, 0.0) / 30.0, 0.0) AS avg_sold_qty_30d,
+         CAST(COALESCE(FLOOR(
+           CAST(SUM(stock_qty_d) OVER (
+             PARTITION BY product_id
+             ORDER BY priority DESC, expiration_date ASC NULLS LAST, lot_month ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / (NULLIF(sold_qty_30d, 0.0) / 30.0)
+         ), 0) AS INTEGER) AS remain_days
+  FROM base
+), dates AS (
+  SELECT product_id, string_agg(ed, chr(10) ORDER BY ed) AS expiration_dates
+  FROM (
+    SELECT DISTINCT product_id, strftime(expiration_date, '%Y-%m-%d') AS ed
+    FROM base WHERE expiration_date IS NOT NULL
+  ) GROUP BY product_id
+), classified AS (
+  SELECT e.*, DATE '2001-06-01' + e.remain_days AS expected_date,
+         dt.expiration_dates,
+         e.org_price * CAST(e.stock_qty_d AS DOUBLE) AS stock_cost
+  FROM enriched e LEFT JOIN dates dt USING (product_id)
+), final AS (
+  SELECT *,
+         CASE
+           WHEN priority = 0 THEN 'excluded'
+           WHEN expiration_date IS NULL THEN 'no-expiry'
+           WHEN DATE '2001-06-01' > expiration_date THEN 'expired'
+           WHEN sold_qty_30d = 0.0 THEN 'no-sales'
+           WHEN expected_date > expiration_date THEN 'sellout-after-expiry'
+           WHEN CAST(expected_date + INTERVAL 6 MONTH AS DATE) > expiration_date THEN 'slow'
+           ELSE 'ok'
+         END AS performance,
+         ROW_NUMBER() OVER (
+           ORDER BY brand ASC, priority DESC, expiration_date ASC NULLS LAST,
+                    product_id ASC, lot_month ASC
+         ) AS lot_seq
+  FROM classified
+)
+SELECT lot_seq, MIN(lot_seq) OVER (PARTITION BY product_id) AS option_seq,
+       brand, product_id, lot_month, expiration_date, expiration_dates,
+       stock_qty, cum_stock_qty, sold_qty_30d, avg_sold_qty_30d,
+       remain_days, expected_date, performance, stock_cost, priority
+FROM final
+"""

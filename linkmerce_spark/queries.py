@@ -1241,6 +1241,19 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- marts: stock report
+def q_stock_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock report mart (SURVEY W2/W4/W7, J7-as-window, A4, O1).
+
+    Parity: analytics__stock_report.sql end-to-end — lot ordering,
+    running cumulative stock, remain-days, performance CASE ladder,
+    per-product date string_agg, global lot_seq + option_seq anchor.
+    """
+    from linkmerce_spark.marts.stock import stock_report
+
+    return stock_report(spark, sf_dir, "2001-06-01")
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "star_join_revenue": q_star_join_revenue,
@@ -1301,4 +1314,5 @@ QUERIES = {
     "doc_hash_splits": q_doc_hash_splits,
     "doc_top_bigrams": q_doc_top_bigrams,
     "events_cohort_retention": q_events_cohort_retention,
+    "stock_report": q_stock_report,
 }
