@@ -118,7 +118,11 @@ def profit_mom(
         F.coalesce("prev_revenue", F.lit(0.0)).alias("prev_revenue"),
         F.coalesce("cur_orders", F.lit(0)).alias("cur_orders"),
         F.coalesce("prev_orders", F.lit(0)).alias("prev_orders"),
-        (F.floor(pct * 100.0 + F.lit(0.5)) / 100.0).alias("mom_pct"),
+        # decimal(18,2) makes the hash canonical: double rounding can
+        # emit -0.0 / last-ULP values that hash-differ across engines.
+        (F.floor(pct * 100.0 + F.lit(0.5)) / 100.0)
+        .cast("decimal(18,2)")
+        .alias("mom_pct"),
     )
 
 

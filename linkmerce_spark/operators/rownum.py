@@ -57,16 +57,19 @@ def global_row_number(
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # `ranged` feeds two jobs (the offsets collect and the final join);
-    # the persist pins the range shuffle + sort so neither recomputes —
-    # and, critically, so monotonically_increasing_id() is assigned ONCE
-    # (a recompute after task retry could renumber rows between jobs).
+    # `ranged` feeds two jobs (the offsets collect and the final join).
+    # localCheckpoint (eager) MATERIALIZES the partitions and truncates
+    # lineage, so monotonically_increasing_id() is assigned exactly once:
+    # unlike persist(), a cache eviction cannot silently recompute (and
+    # renumber) partitions between the two jobs — block loss becomes a
+    # loud failure instead of wrong row numbers. Blocks are freed by the
+    # ContextCleaner once the returned DataFrame is unreferenced.
     ranged = (
         df.repartitionByRange(n, *cols)
         .sortWithinPartitions(*cols)
         .withColumn(_PID, F.spark_partition_id())
         .withColumn(_MID, F.monotonically_increasing_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     stats = (
         ranged.groupBy(_PID)

@@ -52,7 +52,20 @@ def salted_join(
     payload). Result equals ``big.join(small, keys, how)`` exactly —
     verified by tests/test_skew.py — but the hot key fans out over
     ``n_salts`` tasks.
+
+    Only big-side-preserving joins are supported: the small side is
+    replicated once per salt, so right/full/right_semi joins would emit
+    up to ``n_salts`` null-padded duplicates for small-side keys with no
+    matching big-side salt. Those hows raise ValueError.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated "
+            "small side would duplicate unmatched small-side keys. "
+            f"Use one of {sorted(allowed)}."
+        )
     b = big.withColumn("__salt", _salt_col(salt_by, n_salts))
     s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -489,10 +489,15 @@ WITH toks AS (
   SELECT doc_id, b.band_id,
          md5(array_to_string(list_slice(sig, b.band_id * 4 + 1, b.band_id * 4 + 4), '|')) AS band_key
   FROM sig, (SELECT UNNEST([0, 1, 2, 3]) AS band_id) b
+), kept AS (
+  SELECT band_id, band_key FROM bands
+  GROUP BY band_id, band_key HAVING COUNT(*) <= 500
+), capped AS (
+  SELECT bands.* FROM bands JOIN kept USING (band_id, band_key)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
-  FROM bands a
-  JOIN bands b2 ON a.band_id = b2.band_id AND a.band_key = b2.band_key
+  FROM capped a
+  JOIN capped b2 ON a.band_id = b2.band_id AND a.band_key = b2.band_key
               AND a.doc_id < b2.doc_id
 )
 SELECT id_a, id_b,
@@ -535,18 +540,33 @@ WITH toks AS (
 SELECT source, id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.02
 """
 
+from linkmerce_spark.operators.similarity import ivf_centroids
+
+_IVF_DISTS = ",\n    ".join(
+    f"list_sum(list_transform(range(1, 65), i -> (q[i] - (CAST({c} AS BIGINT[]))[i]) * (q[i] - (CAST({c} AS BIGINT[]))[i])))"
+    for c in ivf_centroids(64, 8)
+)
+
 ORACLES["embedding_near_dups"] = f"""
 WITH e AS (
-  SELECT label, vec_id, {_QVEC} AS v,
+  SELECT vec_id, {_QVEC} AS q,
          sqrt(CAST(list_sum(list_transform({_QVEC}, x -> x * x)) AS DOUBLE)) AS nrm
   FROM embeddings
+), d AS (
+  SELECT vec_id, q, nrm, [
+    {_IVF_DISTS}
+  ] AS dists FROM e
+), c AS (
+  SELECT vec_id, q AS v, nrm,
+         CAST(list_position(dists, list_min(dists)) AS INTEGER) AS cell
+  FROM d
 ), pairs AS (
-  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
     FLOOR(CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS DOUBLE)
           / NULLIF(a.nrm * b.nrm, 0.0) * 1000000.0 + 0.5) / 1000000.0 AS cosine
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
 )
-SELECT label, id_a, id_b, cosine FROM pairs WHERE cosine >= 0.25
+SELECT cell, id_a, id_b, cosine FROM pairs WHERE cosine >= 0.25
 """
 
 _MEDIA_F = ",\n  ".join(
@@ -599,7 +619,7 @@ SELECT COALESCE(cur.priority, prev.priority) AS priority,
   COALESCE(prev_revenue, 0.0) AS prev_revenue,
   COALESCE(cur_orders, 0) AS cur_orders,
   COALESCE(prev_orders, 0) AS prev_orders,
-  FLOOR((cur_revenue / NULLIF(prev_revenue, 0.0) - 1.0) * 100.0 * 100.0 + 0.5) / 100.0 AS mom_pct
+  CAST(FLOOR((cur_revenue / NULLIF(prev_revenue, 0.0) - 1.0) * 100.0 * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS mom_pct
 FROM cur FULL OUTER JOIN prev ON cur.priority = prev.priority
 """
 
@@ -663,13 +683,6 @@ WHERE (CAST(o_orderdate AS DATE) BETWEEN DATE '1996-03-01' AND DATE '1996-03-10'
    OR CAST(o_orderdate AS DATE) IN (DATE '1996-04-15', DATE '1996-06-01')
 GROUP BY 1
 """
-
-from linkmerce_spark.operators.similarity import ivf_centroids
-
-_IVF_DISTS = ",\n    ".join(
-    f"list_sum(list_transform(range(1, 65), i -> (q[i] - (CAST({c} AS BIGINT[]))[i]) * (q[i] - (CAST({c} AS BIGINT[]))[i])))"
-    for c in ivf_centroids(64, 8)
-)
 
 ORACLES["embedding_ivf_cells"] = f"""
 WITH e AS (
@@ -792,7 +805,7 @@ WITH spend AS (
   FROM orders GROUP BY o_custkey
 ), tiled AS (
   SELECT o_custkey, spend,
-         NTILE(10) OVER (ORDER BY spend DESC, o_custkey ASC) AS decile
+         CAST(NTILE(10) OVER (ORDER BY spend DESC, o_custkey ASC) AS BIGINT) AS decile
   FROM spend
 )
 SELECT decile, COUNT(*) AS n_customers,

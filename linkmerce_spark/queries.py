@@ -853,11 +853,16 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle(3-word) -> 16 md5 minhashes -> 4 bands of 4 -> bucket
     self-join -> Jaccard >= 0.5. One uniform-key shuffle for candidate
     generation; verification cost is O(candidates).
+
+    ``max_bucket=500`` is the skew guard: a boilerplate cluster landing
+    one band bucket with n docs would emit n^2/2 candidate pairs; the
+    cap drops oversized buckets before the self-join (the oracle twin
+    applies the identical cap).
     """
     (docs,) = _t(spark, sf_dir, "documents")
     return minhash_near_dups(
         docs, text_col="text", id_col="doc_id", k=16, shingle_words=3,
-        bands=4, rows_per_band=4, min_jaccard=0.5,
+        bands=4, rows_per_band=4, min_jaccard=0.5, max_bucket=500,
     )
 
 
@@ -881,24 +886,28 @@ def q_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, label-bucketed (IVF-style).
+    """Embedding-cosine near-dup pairs, bucketed by IVF coarse cell.
 
-    The label column acts as the coarse quantizer cell: pairs are only
-    scored within a bucket — the scale path for ANN near-dup (the
-    brute-force baseline is q_embedding_topk).
+    The coarse quantizer (ivf_assign, k=8 cells) is the blocking key:
+    pairs are scored only within a cell, so the pair count is
+    O(sum(cell^2)) and CONTROLLED BY k — unlike blocking on a data
+    column whose cardinality is luck. Raising k shrinks buckets
+    linearly; the assignment itself is a pure map (no shuffle). The
+    brute-force baseline is q_embedding_topk.
     """
-    from linkmerce_spark.operators.similarity import quantized_cosine
+    from linkmerce_spark.operators.similarity import ivf_assign, quantized_cosine
 
     (emb,) = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cells = ivf_assign(emb, "embedding", dim=64, k=8)
+    a = cells.select(F.col("cell"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = cells.select(F.col("cell"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     cos = quantized_cosine("va", "vb")
     return (
-        a.join(b, "label")
+        a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", F.floor(cos * 1000000.0 + 0.5) / 1000000.0)
         .filter(F.col("cosine") >= 0.25)
-        .select("label", "id_a", "id_b", "cosine")
+        .select("cell", "id_a", "id_b", "cosine")
     )
 
 
@@ -1171,15 +1180,31 @@ def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE deciles over total customer spend (exact decimal totals,
     total order with key tiebreak -> identical tiles in any engine).
 
-    The global window runs on ONE row per customer (post-aggregation),
-    so the single-partition sort is |customers|, not |orders|; for
-    billion-customer scale swap NTILE for approx percentile cutpoints
-    + a broadcast range join.
+    Scale path: NTILE(k) OVER (ORDER BY ...) is a single-reducer global
+    window; instead we number rows with the range-partitioned
+    ``global_row_number`` (no one-task sort) and apply the exact SQL
+    NTILE bucket formula — with n rows and remainder r = n % k, the
+    first r tiles get floor(n/k)+1 rows, the rest floor(n/k) — so the
+    result is bit-identical to the oracle's NTILE at any cluster size.
     """
+    from linkmerce_spark.operators.rownum import global_row_number
+
     (orders,) = _t(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(_dsum("o_totalprice").alias("spend"))
-    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
-    tiled = spend.withColumn("decile", F.ntile(10).over(w))
+    rn = global_row_number(
+        spend, [F.col("spend").desc(), F.col("o_custkey").asc()], "rn"
+    )
+    total = spend.agg(F.count(F.lit(1)).alias("__n"))
+    k = 10
+    q = F.floor(F.col("__n") / k)
+    r = F.col("__n") % k
+    cut = r * (q + 1)  # last row covered by the (q+1)-sized tiles
+    decile = (
+        F.when(F.col("rn") <= cut, F.ceil(F.col("rn") / (q + 1)))
+        .otherwise(r + F.ceil((F.col("rn") - cut) / q))
+        .cast("long")
+    )
+    tiled = rn.crossJoin(F.broadcast(total)).withColumn("decile", decile)
     return tiled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(F.col("spend").cast("decimal(18,2)")).cast("double").alias("decile_spend"),

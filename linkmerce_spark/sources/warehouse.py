@@ -55,10 +55,15 @@ def export_json(df: DataFrame) -> list[str]:
     return df.toJSON().collect()
 
 
-def export_csv(df: DataFrame, sep: str = ",") -> list[tuple]:
-    """Result as header-row-first tuples (load.py csv shape)."""
+def export_csv(df: DataFrame, sep: str | None = None) -> list:
+    """Result as header-row-first tuples (load.py csv shape). With
+    ``sep`` set, each row is instead rendered as one delimited string
+    (None -> empty field)."""
     rows = df.collect()
-    return [tuple(df.columns)] + [tuple(r) for r in rows]
+    out = [tuple(df.columns)] + [tuple(r) for r in rows]
+    if sep is None:
+        return out
+    return [sep.join("" if v is None else str(v) for v in row) for row in out]
 
 
 def export_parquet_bytes(df: DataFrame) -> bytes:

@@ -27,6 +27,7 @@ from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from linkmerce_spark.operators.dedup import dedupe_keep_first
 from linkmerce_spark.operators.merge import merge_frames
@@ -72,8 +73,12 @@ def write_append(
         try:
             existing = spark.read.parquet(path).select(*keys).distinct()
             df = df.join(existing, on=list(keys), how="left_anti")
-        except Exception:
-            pass  # first write: target doesn't exist yet
+        except AnalysisException:
+            # First write: target doesn't exist yet. Only PATH_NOT_FOUND
+            # is treated as "no prior data" — a transient read error must
+            # propagate, or the anti-join silently drops and duplicates
+            # land in a keyed table.
+            pass
     writer = df.write.mode("append")
     if partition_by:
         writer = writer.partitionBy(*partition_by)

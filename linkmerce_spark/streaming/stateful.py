@@ -76,6 +76,11 @@ def first_seen_dedup(
             yield pd.DataFrame(
                 {"key": [str(key[0])], "first_ts": [first_ts], "n_in_batch": [total]}
             )
+        elif state.exists and ttl_ms is not None:
+            # GroupState clears the timeout on every invocation: re-arm
+            # it on the seen-key path too, otherwise a key with ongoing
+            # traffic would never expire and state grows unbounded.
+            state.setTimeoutDuration(ttl_ms)
         # key already seen: emit nothing, keep state
 
     from linkmerce_spark.shipping import ensure_shipped

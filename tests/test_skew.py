@@ -53,3 +53,38 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_salted_join_rejects_small_side_preserving_hows(spark):
+    import pytest
+
+    big = _skewed(spark)
+    small = spark.createDataFrame([(0, "hot")], "k long, label string")
+    for how in ("right", "full_outer", "full", "right_outer"):
+        with pytest.raises(ValueError):
+            salted_join(big, small, ["k"], "rid", 4, how=how)
+
+
+def test_salted_join_left_keeps_unmatched_big_rows(spark):
+    big = _skewed(spark)
+    small = spark.createDataFrame([(0, "hot")], "k long, label string")
+    plain = big.join(small, ["k"], "left").orderBy("rid")
+    salted = salted_join(big, small, ["k"], "rid", 4, how="left").orderBy("rid")
+    assert [tuple(r) for r in salted.collect()] == [tuple(r) for r in plain.collect()]
+
+
+def test_minhash_max_bucket_caps_hot_band(spark):
+    """A boilerplate cluster (identical text) lands one band bucket with
+    all n docs; max_bucket below n must drop the whole bucket, bounding
+    candidate pairs at 0 instead of n^2/2."""
+    from linkmerce_spark.operators.minhash import minhash_near_dups
+
+    rows = [(i, "the same boilerplate legal disclaimer text repeated verbatim")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = minhash_near_dups(docs, "text", "doc_id", k=8, shingle_words=3,
+                                 bands=2, rows_per_band=4)
+    assert uncapped.count() == 40 * 39 // 2
+    capped = minhash_near_dups(docs, "text", "doc_id", k=8, shingle_words=3,
+                               bands=2, rows_per_band=4, max_bucket=10)
+    assert capped.count() == 0
