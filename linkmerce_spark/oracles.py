@@ -940,3 +940,159 @@ SELECT lot_seq, MIN(lot_seq) OVER (PARTITION BY product_id) AS option_seq,
        remain_days, expected_date, performance, stock_cost, priority
 FROM final
 """
+
+# --- searchad dataset module ---------------------------------------------
+ORACLES["searchad_report_merge"] = """
+WITH base AS (
+  SELECT 'ad-' || CAST(user_id % 50 AS VARCHAR) AS ad_id,
+    user_id % 5 AS customer_id,
+    COALESCE(NULLIF(event_id % 4, 3), 0) AS media_code,
+    CASE WHEN event_id % 3 = 0 THEN 0 WHEN event_id % 3 = 1 THEN 1 ELSE 2 END AS pc_mobile_type,
+    CAST(ts AS DATE) AS ymd,
+    event_type, event_id, value
+  FROM events
+), stat AS (
+  SELECT ymd, customer_id, ad_id, media_code, pc_mobile_type,
+    SUM(CAST(FLOOR(value) AS BIGINT)) AS impression_count,
+    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click_count,
+    SUM(CAST(FLOOR(value * 7) AS BIGINT)) AS ad_cost,
+    SUM(event_id % 10) AS ad_rank_sum
+  FROM base WHERE event_type IN ('view', 'click')
+  GROUP BY 1, 2, 3, 4, 5
+), conv AS (
+  SELECT ymd, customer_id, ad_id, media_code, pc_mobile_type,
+    SUM(1) AS conv_count,
+    SUM(CASE WHEN 1 + event_id % 2 = 1 THEN 1 ELSE 0 END) AS direct_conv_count,
+    SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS conv_amount,
+    SUM(CASE WHEN 1 + event_id % 2 = 1 THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS direct_conv_amount
+  FROM base WHERE event_type = 'purchase'
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT COALESCE(stat.ad_id, conv.ad_id) AS ad_id,
+  COALESCE(stat.customer_id, conv.customer_id) AS customer_id,
+  COALESCE(stat.media_code, conv.media_code) AS media_code,
+  COALESCE(stat.pc_mobile_type, conv.pc_mobile_type) AS pc_mobile_type,
+  COALESCE(impression_count, 0) AS impression_count,
+  COALESCE(click_count, 0) AS click_count,
+  COALESCE(ad_cost, 0) AS ad_cost,
+  COALESCE(ad_rank_sum, 0) AS ad_rank_sum,
+  COALESCE(conv_count, 0) AS conv_count,
+  COALESCE(direct_conv_count, 0) AS direct_conv_count,
+  COALESCE(conv_amount, 0) AS conv_amount,
+  COALESCE(direct_conv_amount, 0) AS direct_conv_amount,
+  COALESCE(stat.ymd, conv.ymd) AS ymd
+FROM (SELECT * FROM stat WHERE customer_id = 2) stat
+FULL OUTER JOIN (SELECT * FROM conv WHERE customer_id = 2) conv
+  ON stat.ymd = conv.ymd AND stat.customer_id = conv.customer_id
+ AND stat.ad_id = conv.ad_id AND stat.media_code = conv.media_code
+ AND stat.pc_mobile_type = conv.pc_mobile_type
+"""
+
+_SA_URL_PAT = r"^https://(brand|smartstore)\.naver\.com/[^/]+/products/(\d+)"
+
+
+def _sa_product_id(url: str) -> str:
+    return (
+        f"TRY_CAST(CASE WHEN regexp_matches({url}, '{_SA_URL_PAT}') "
+        f"THEN regexp_extract({url}, '(\\d+)$') END AS BIGINT)"
+    )
+
+
+ORACLES["searchad_master_ads"] = f"""
+WITH link AS (
+  SELECT 'ad-' || CAST(p_partkey AS VARCHAR) AS ad_id,
+    'g' || CAST(p_partkey % 10 AS VARCHAR) AS adgroup_id,
+    p_partkey % 5 AS customer_id,
+    p_partkey % 2 AS on_off,
+    CASE WHEN p_partkey % 7 = 0 THEN TIMESTAMP '2024-01-01 00:00:00' END AS del_tm,
+    p_name AS subject,
+    CASE WHEN p_partkey % 3 = 0
+           THEN 'https://smartstore.naver.com/' || p_brand || '/products/' || CAST(p_partkey AS VARCHAR)
+         WHEN p_partkey % 3 = 2
+           THEN 'https://example.com/items/' || CAST(p_partkey AS VARCHAR) END AS landing_url_pc,
+    CASE WHEN p_partkey % 3 = 1
+           THEN 'https://brand.naver.com/m/products/' || CAST(p_partkey AS VARCHAR) END AS landing_url_mobile
+  FROM part WHERE p_partkey % 4 = 0
+), shop AS (
+  SELECT 'ad-' || CAST(p_partkey AS VARCHAR) AS ad_id,
+    'g' || CAST(p_partkey % 10 AS VARCHAR) AS adgroup_id,
+    p_partkey % 5 AS customer_id,
+    p_partkey % 2 AS on_off,
+    CASE WHEN p_partkey % 7 = 0 THEN TIMESTAMP '2024-01-01 00:00:00' END AS del_tm,
+    CASE WHEN p_size < 15 THEN '' ELSE p_name END AS ad_product_name,
+    p_type AS product_name,
+    CAST(p_partkey * 100 AS VARCHAR) AS product_id_of_mall,
+    'https://shopping.example.com/' || CAST(p_partkey AS VARCHAR) AS landing_url_pc,
+    p_size * 10 AS bid,
+    CAST(FLOOR(p_retailprice) AS INTEGER) AS price,
+    CAST(p_size AS VARCHAR) AS category_id1,
+    CASE WHEN p_size % 2 = 0 THEN CAST(p_size * 10 AS VARCHAR) END AS category_id2,
+    CASE WHEN p_size % 3 = 0 THEN 'x' || CAST(p_size AS VARCHAR) END AS category_id3,
+    CASE WHEN p_size % 5 = 0 THEN CAST(p_size * 1000 AS VARCHAR) END AS category_id4
+  FROM part WHERE p_partkey % 4 = 1
+), brandish AS (
+  SELECT p_partkey, 'g' || CAST(p_partkey % 10 AS VARCHAR) AS adgroup_id,
+    p_partkey % 5 AS customer_id,
+    p_partkey % 2 AS on_off,
+    CASE WHEN p_partkey % 7 = 0 THEN TIMESTAMP '2024-01-01 00:00:00' END AS del_tm,
+    p_name AS title,
+    CASE WHEN p_partkey % 2 = 0
+           THEN 'https://brand.naver.com/' || p_brand || '/products/' || CAST(p_partkey AS VARCHAR)
+         ELSE 'https://shop.example.com/' || CAST(p_partkey AS VARCHAR) END AS link_url
+  FROM part
+), staged AS (
+  SELECT ad_id, adgroup_id, 1 AS ad_type, customer_id, subject AS title,
+    landing_url_pc,
+    {_sa_product_id("COALESCE(landing_url_pc, landing_url_mobile)")} AS product_id,
+    CAST(NULL AS INTEGER) AS category_id,
+    (on_off = 0) AS is_enabled, (del_tm IS NOT NULL) AS is_deleted,
+    CAST(NULL AS INTEGER) AS bid_amount, CAST(NULL AS INTEGER) AS sales_price,
+    0 AS stage
+  FROM link
+  UNION ALL
+  SELECT ad_id, adgroup_id, 2 AS ad_type, customer_id,
+    COALESCE(NULLIF(ad_product_name, ''), product_name) AS title,
+    landing_url_pc,
+    TRY_CAST(product_id_of_mall AS BIGINT) AS product_id,
+    COALESCE(TRY_CAST(category_id4 AS INTEGER), TRY_CAST(category_id3 AS INTEGER),
+             TRY_CAST(category_id2 AS INTEGER), TRY_CAST(category_id1 AS INTEGER)) AS category_id,
+    (on_off = 0) AS is_enabled, (del_tm IS NOT NULL) AS is_deleted,
+    bid AS bid_amount, price AS sales_price,
+    1 AS stage
+  FROM shop
+  UNION ALL
+  SELECT CASE WHEN p_partkey % 8 = 2 THEN 'ad-' || CAST(p_partkey - 10 AS VARCHAR)
+              ELSE 'ad-' || CAST(p_partkey AS VARCHAR) END AS ad_id,
+    adgroup_id, 9 AS ad_type, customer_id, title, link_url AS landing_url_pc,
+    {_sa_product_id("link_url")} AS product_id,
+    CAST(NULL AS INTEGER) AS category_id,
+    (on_off = 0) AS is_enabled, (del_tm IS NOT NULL) AS is_deleted,
+    CAST(NULL AS INTEGER) AS bid_amount, CAST(NULL AS INTEGER) AS sales_price,
+    2 AS stage
+  FROM brandish WHERE p_partkey % 8 IN (2, 6)
+  UNION ALL
+  SELECT 'ad-' || CAST(p_partkey AS VARCHAR) AS ad_id,
+    adgroup_id, 12 AS ad_type, customer_id, title, link_url AS landing_url_pc,
+    {_sa_product_id("link_url")} AS product_id,
+    CAST(NULL AS INTEGER) AS category_id,
+    (on_off = 0) AS is_enabled, (del_tm IS NOT NULL) AS is_deleted,
+    CAST(NULL AS INTEGER) AS bid_amount, CAST(NULL AS INTEGER) AS sales_price,
+    3 AS stage
+  FROM brandish WHERE p_partkey % 8 = 3
+  UNION ALL
+  SELECT 'ad-' || CAST(p_partkey AS VARCHAR) AS ad_id,
+    adgroup_id, 13 AS ad_type, customer_id, title, link_url AS landing_url_pc,
+    {_sa_product_id("link_url")} AS product_id,
+    CAST(NULL AS INTEGER) AS category_id,
+    (on_off = 0) AS is_enabled, (del_tm IS NOT NULL) AS is_deleted,
+    CAST(NULL AS INTEGER) AS bid_amount, CAST(NULL AS INTEGER) AS sales_price,
+    4 AS stage
+  FROM brandish WHERE p_partkey % 8 = 7
+), scoped AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY ad_id ORDER BY stage ASC) AS rn
+  FROM staged WHERE customer_id = 2
+)
+SELECT ad_id, adgroup_id, ad_type, customer_id, title, landing_url_pc,
+       product_id, category_id, is_enabled, is_deleted, bid_amount, sales_price
+FROM scoped WHERE rn = 1
+"""

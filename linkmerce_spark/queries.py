@@ -1279,6 +1279,169 @@ def q_stock_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stock_report(spark, sf_dir, "2001-06-01")
 
 
+# -------------------------------------------------- searchad dataset module
+def _searchad_report_raw(spark: SparkSession, sf_dir: str):
+    """Deterministic raw ad-report rows synthesized from `events` in the
+    reference's pre-parse shape (models/searchad docstring): view/click
+    events become stat rows, purchases become conversion rows."""
+    (events,) = _t(spark, sf_dir, "events")
+    base = events.select(
+        F.concat(F.lit("ad-"), (F.col("user_id") % 50).cast("string")).alias("ad_id"),
+        (F.col("user_id") % 5).alias("customer_id"),
+        # every 4th event has no media code -> exercises COALESCE(media, 0)
+        F.nullif(F.col("event_id") % 4, F.lit(3)).alias("media_code"),
+        F.when(F.col("event_id") % 3 == 0, "P")
+        .when(F.col("event_id") % 3 == 1, "M")
+        .otherwise("O")
+        .alias("pc_mobile_type"),
+        F.col("ts").cast("date").alias("date"),
+        "event_type",
+        "event_id",
+        "value",
+    )
+    stat_raw = base.filter(F.col("event_type").isin("view", "click")).select(
+        "ad_id", "customer_id", "media_code", "pc_mobile_type", "date",
+        F.floor("value").cast("long").alias("impression"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("click"),
+        F.floor(F.col("value") * 7).cast("long").alias("cost"),
+        (F.col("event_id") % 10).alias("ad_rank"),
+    )
+    conv_raw = base.filter(F.col("event_type") == "purchase").select(
+        "ad_id", "customer_id", "media_code", "pc_mobile_type", "date",
+        (F.lit(1) + F.col("event_id") % 2).alias("conv_method"),
+        F.lit(1).alias("conv_count"),
+        F.floor(F.col("value") * 100).cast("long").alias("conv_amount"),
+    )
+    return stat_raw, conv_raw
+
+
+def q_searchad_report_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AdvancedReport pipeline (models/searchad): stat + conv raw rows
+    -> PK-grain rollups (conditional direct-conversion sums) -> FULL
+    OUTER merge with COALESCE'd keys and zero-filled measures — the
+    reference's stat-vs-conv merge idiom end-to-end
+    (core/searchad/api/report/models.sql:712-797)."""
+    from linkmerce_spark.models.searchad import (
+        advanced_report,
+        rollup_ad_conv,
+        rollup_ad_stat,
+    )
+
+    stat_raw, conv_raw = _searchad_report_raw(spark, sf_dir)
+    return advanced_report(
+        rollup_ad_stat(stat_raw), rollup_ad_conv(conv_raw), customer_id=2
+    )
+
+
+def q_searchad_master_ads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MasterAd assembly (models/searchad): staged link / shopping /
+    brand ad shapes -> landing-URL product-id regex extraction,
+    COALESCE(NULLIF()) name fallback, TRY_CAST category COALESCE chain,
+    stage-ordered UNION with first-stage-wins conflict resolution
+    (core/searchad/api/report/models.sql:279-608)."""
+    from linkmerce_spark.models.searchad import master_ads
+
+    (part,) = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    common = [
+        (pk % 5).alias("customer_id"),
+        F.concat(F.lit("g"), (pk % 10).cast("string")).alias("adgroup_id"),
+        (pk % 2).alias("on_off"),
+        F.when(pk % 7 == 0, F.lit("2024-01-01 00:00:00").cast("timestamp")).alias(
+            "del_tm"
+        ),
+    ]
+    link = part.filter(pk % 4 == 0).select(
+        F.concat(F.lit("ad-"), pk.cast("string")).alias("ad_id"),
+        *common,
+        F.col("p_name").alias("subject"),
+        F.when(
+            pk % 3 == 0,
+            F.concat(
+                F.lit("https://smartstore.naver.com/"),
+                F.col("p_brand"),
+                F.lit("/products/"),
+                pk.cast("string"),
+            ),
+        )
+        .when(
+            pk % 3 == 2,
+            F.concat(F.lit("https://example.com/items/"), pk.cast("string")),
+        )
+        .alias("landing_url_pc"),
+        F.when(
+            pk % 3 == 1,
+            F.concat(
+                F.lit("https://brand.naver.com/m/products/"), pk.cast("string")
+            ),
+        ).alias("landing_url_mobile"),
+    )
+    shopping = part.filter(pk % 4 == 1).select(
+        F.concat(F.lit("ad-"), pk.cast("string")).alias("ad_id"),
+        *common,
+        F.when(F.col("p_size") < 15, F.lit("")).otherwise(F.col("p_name")).alias(
+            "ad_product_name"
+        ),
+        F.col("p_type").alias("product_name"),
+        (pk * 100).cast("string").alias("product_id_of_mall"),
+        F.concat(F.lit("https://shopping.example.com/"), pk.cast("string")).alias(
+            "landing_url_pc"
+        ),
+        (F.col("p_size") * 10).alias("bid"),
+        F.floor("p_retailprice").cast("int").alias("price"),
+        F.col("p_size").cast("string").alias("category_id1"),
+        F.when(F.col("p_size") % 2 == 0, (F.col("p_size") * 10).cast("string")).alias(
+            "category_id2"
+        ),
+        F.when(
+            F.col("p_size") % 3 == 0,
+            F.concat(F.lit("x"), F.col("p_size").cast("string")),
+        ).alias("category_id3"),
+        F.when(
+            F.col("p_size") % 5 == 0, (F.col("p_size") * 1000).cast("string")
+        ).alias("category_id4"),
+    )
+
+    def brand_frame(mod8: tuple[int, ...], collide: bool) -> DataFrame:
+        # pk % 8 == 2 -> reuse the link ad id of partkey pk-10: same
+        # customer bucket (offset multiple of 5) and (pk-10) % 4 == 0,
+        # so the conflict survives the customer scoping and the
+        # stage-ordered dedup must resolve it (link wins).
+        ad_id = (
+            F.when(pk % 8 == 2, F.concat(F.lit("ad-"), (pk - 10).cast("string")))
+            .otherwise(F.concat(F.lit("ad-"), pk.cast("string")))
+            if collide
+            else F.concat(F.lit("ad-"), pk.cast("string"))
+        )
+        return part.filter(F.pmod(pk, 8).isin(*mod8)).select(
+            ad_id.alias("ad_id"),
+            *common,
+            F.col("p_name").alias("title"),
+            F.when(
+                pk % 2 == 0,
+                F.concat(
+                    F.lit("https://brand.naver.com/"),
+                    F.col("p_brand"),
+                    F.lit("/products/"),
+                    pk.cast("string"),
+                ),
+            )
+            .otherwise(
+                F.concat(F.lit("https://shop.example.com/"), pk.cast("string"))
+            )
+            .alias("link_url"),
+        )
+
+    return master_ads(
+        customer_id=2,
+        link_ad=link,
+        shopping_product=shopping,
+        brand_ad=brand_frame((2, 6), collide=True),
+        brand_thumbnail_ad=brand_frame((3,), collide=False),
+        brand_banner_ad=brand_frame((7,), collide=False),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "star_join_revenue": q_star_join_revenue,
@@ -1340,4 +1503,6 @@ QUERIES = {
     "doc_top_bigrams": q_doc_top_bigrams,
     "events_cohort_retention": q_events_cohort_retention,
     "stock_report": q_stock_report,
+    "searchad_report_merge": q_searchad_report_merge,
+    "searchad_master_ads": q_searchad_master_ads,
 }
