@@ -1096,3 +1096,106 @@ SELECT ad_id, adgroup_id, ad_type, customer_id, title, landing_url_pc,
        product_id, category_id, is_enabled, is_deleted, bid_amount, sales_price
 FROM scoped WHERE rn = 1
 """
+
+# --- naversearch dataset module ------------------------------------------
+ORACLES["naver_shop_rank"] = """
+WITH raw AS (
+  SELECT p_partkey AS seq,
+    CAST(p_partkey AS VARCHAR) AS productId,
+    CASE WHEN p_partkey % 3 = 0
+           THEN 'https://shopping.example.com/catalog/' || CAST(p_partkey AS VARCHAR)
+         WHEN p_partkey % 3 = 1
+           THEN 'https://smartstore.example.com/shop/products/' || CAST(p_partkey AS VARCHAR)
+         ELSE 'https://mall.example.com/item?id=' || CAST(p_partkey AS VARCHAR) END AS link,
+    CASE WHEN p_partkey % 10 = 7 THEN 'x' ELSE CAST(p_partkey % 4 AS VARCHAR) END AS productType
+  FROM part
+)
+SELECT 'widget' AS keyword,
+  CAST(ROW_NUMBER() OVER (ORDER BY seq ASC) + 101 - 1 AS INTEGER) AS display_rank,
+  CAST(productId AS BIGINT) AS nv_mid,
+  TRY_CAST(regexp_extract(link, '/products/(\\d+)$', 1) AS BIGINT) AS product_id,
+  (TRY_CAST(productType AS INTEGER) + 2) % 3 AS product_type
+FROM raw
+"""
+
+_NV_PROD = """
+  SELECT CAST(productId AS BIGINT) AS nv_mid,
+    TRY_CAST(regexp_extract(link, '/products/(\\d+)$', 1) AS BIGINT) AS product_id,
+    CASE WHEN link LIKE '%/catalog/%' THEN 0 ELSE 1 END AS product_type,
+    regexp_replace(title, '<[^>]+>', '', 'g') AS product_name,
+    CAST(NULL AS INTEGER) AS category_id,
+    CONCAT_WS('>', category1, category2, category3, category4) AS full_category_name,
+    NULLIF(mallName, '네이버') AS mall_name,
+    NULLIF(brand, '') AS brand_name,
+    TRY_CAST(lprice AS INTEGER) AS sales_price
+"""
+
+ORACLES["naver_product_upsert"] = f"""
+WITH raw1 AS (
+  SELECT CAST(p_partkey AS VARCHAR) AS productId,
+    CASE WHEN p_partkey % 4 = 0
+           THEN 'https://shopping.example.com/catalog/' || CAST(p_partkey AS VARCHAR)
+         ELSE 'https://smartstore.example.com/shop/products/' || CAST(p_partkey AS VARCHAR) END AS link,
+    '<b>' || p_name || '</b>' AS title,
+    p_type AS category1,
+    CASE WHEN p_partkey % 3 = 0 THEN 'c2-' || CAST(p_partkey % 5 AS VARCHAR) END AS category2,
+    CAST(NULL AS VARCHAR) AS category3,
+    CAST(NULL AS VARCHAR) AS category4,
+    'mall-' || CAST(p_partkey % 7 AS VARCHAR) AS mallName,
+    CASE WHEN p_partkey % 5 = 0 THEN '' ELSE 'brand-' || CAST(p_partkey % 5 AS VARCHAR) END AS brand,
+    CAST(p_size * 100 AS VARCHAR) AS lprice
+  FROM part WHERE p_partkey % 2 = 0
+), raw2 AS (
+  SELECT CAST(p_partkey AS VARCHAR) AS productId,
+    'https://smartstore.example.com/shop2/products/' || CAST(p_partkey AS VARCHAR) AS link,
+    p_name || ' v2' AS title,
+    'fresh1' AS category1, 'fresh2' AS category2,
+    CAST(NULL AS VARCHAR) AS category3, CAST(NULL AS VARCHAR) AS category4,
+    CASE WHEN p_partkey % 2 = 0 THEN '네이버' ELSE 'mall2-' || CAST(p_partkey % 3 AS VARCHAR) END AS mallName,
+    CASE WHEN p_partkey % 2 = 0 THEN '' ELSE 'b2' END AS brand,
+    CAST(p_size * 110 AS VARCHAR) AS lprice
+  FROM part WHERE p_partkey % 3 = 0
+), b1 AS ({_NV_PROD} FROM raw1), b2 AS ({_NV_PROD} FROM raw2)
+SELECT COALESCE(b2.nv_mid, b1.nv_mid) AS nv_mid,
+  COALESCE(b2.product_id, b1.product_id) AS product_id,
+  CASE WHEN b1.nv_mid IS NOT NULL THEN b1.product_type ELSE b2.product_type END AS product_type,
+  COALESCE(b2.product_name, b1.product_name) AS product_name,
+  CAST(NULL AS INTEGER) AS category_id,
+  COALESCE(b2.full_category_name, b1.full_category_name) AS full_category_name,
+  COALESCE(b2.mall_name, b1.mall_name) AS mall_name,
+  COALESCE(b2.brand_name, b1.brand_name) AS brand_name,
+  CASE WHEN b1.nv_mid IS NOT NULL THEN b1.sales_price ELSE b2.sales_price END AS sales_price,
+  CASE WHEN b2.nv_mid IS NOT NULL THEN '2024-02-01 00:00:00' ELSE '2024-01-01 00:00:00' END AS updated_at
+FROM b1 FULL OUTER JOIN b2 ON b1.nv_mid = b2.nv_mid
+"""
+
+ORACLES["naver_book_parse"] = """
+WITH raw AS (
+  SELECT p_partkey AS seq, p_name AS title,
+    'https://books.example.com/v/' || CAST(p_partkey AS VARCHAR) AS link,
+    CASE WHEN p_partkey % 6 = 0 THEN '' ELSE p_type END AS description,
+    'https://img.example.com/' || CAST(p_partkey AS VARCHAR) AS image,
+    CASE WHEN p_partkey % 4 = 0 THEN ''
+         ELSE 'author-' || CAST(p_partkey % 13 AS VARCHAR) END AS author,
+    CASE WHEN p_partkey % 9 = 0 THEN 'N/A' ELSE CAST(p_size * 100 AS VARCHAR) END AS discount,
+    p_brand AS publisher,
+    CASE WHEN p_partkey % 5 = 0 THEN 'isbn' || CAST(p_partkey AS VARCHAR)
+         ELSE CAST(9780000000000 + p_partkey AS VARCHAR) END AS isbn,
+    CASE WHEN p_partkey % 11 = 0 THEN ''
+         ELSE CAST(1990 + p_partkey % 30 AS VARCHAR)
+              || lpad(CAST(1 + p_partkey % 12 AS VARCHAR), 2, '0')
+              || lpad(CAST(1 + p_partkey % 28 AS VARCHAR), 2, '0') END AS pubdate
+  FROM part
+)
+SELECT 'novel' AS keyword,
+  CAST(ROW_NUMBER() OVER (ORDER BY seq ASC) + 11 - 1 AS INTEGER) AS display_rank,
+  title, link AS url,
+  NULLIF(description, '') AS description,
+  image AS image_url,
+  NULLIF(author, '') AS author,
+  TRY_CAST(discount AS INTEGER) AS sales_price,
+  publisher,
+  TRY_CAST(isbn AS BIGINT) AS isbn,
+  TRY_CAST(TRY_STRPTIME(pubdate, '%Y%m%d') AS DATE) AS publish_date
+FROM raw
+"""

@@ -1442,6 +1442,141 @@ def q_searchad_master_ads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- naversearch dataset module
+def q_naver_shop_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ShopRank rank build (models/naversearch): insertion-order global
+    display_rank (+page offset) via range-partitioned global_row_number,
+    '/products/(\\d+)$' id extraction, (type+2)%3 recode with TRY_CAST
+    junk tolerance (core/naver/openapi/search/models.sql:234-247)."""
+    from linkmerce_spark.models.naversearch import shop_rank
+
+    (part,) = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    raw = part.select(
+        pk.alias("seq"),
+        pk.cast("string").alias("productId"),
+        F.when(
+            pk % 3 == 0,
+            F.concat(F.lit("https://shopping.example.com/catalog/"), pk.cast("string")),
+        )
+        .when(
+            pk % 3 == 1,
+            F.concat(
+                F.lit("https://smartstore.example.com/shop/products/"),
+                pk.cast("string"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://mall.example.com/item?id="), pk.cast("string")))
+        .alias("link"),
+        F.when(pk % 10 == 7, F.lit("x"))
+        .otherwise((pk % 4).cast("string"))
+        .alias("productType"),
+    )
+    return shop_rank(raw, keyword="widget", start=101)
+
+
+def _naver_shop_raw(part: DataFrame, which: int) -> DataFrame:
+    """Two deterministic crawl batches of the ShopRank product shape."""
+    pk = F.col("p_partkey")
+    if which == 1:
+        return part.filter(pk % 2 == 0).select(
+            pk.cast("string").alias("productId"),
+            F.when(
+                pk % 4 == 0,
+                F.concat(
+                    F.lit("https://shopping.example.com/catalog/"), pk.cast("string")
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("https://smartstore.example.com/shop/products/"),
+                    pk.cast("string"),
+                )
+            )
+            .alias("link"),
+            F.concat(F.lit("<b>"), F.col("p_name"), F.lit("</b>")).alias("title"),
+            F.col("p_type").alias("category1"),
+            F.when(pk % 3 == 0, F.concat(F.lit("c2-"), (pk % 5).cast("string"))).alias(
+                "category2"
+            ),
+            F.lit(None).cast("string").alias("category3"),
+            F.lit(None).cast("string").alias("category4"),
+            F.concat(F.lit("mall-"), (pk % 7).cast("string")).alias("mallName"),
+            F.when(pk % 5 == 0, F.lit("")).otherwise(
+                F.concat(F.lit("brand-"), (pk % 5).cast("string"))
+            ).alias("brand"),
+            (F.col("p_size") * 100).cast("string").alias("lprice"),
+        )
+    return part.filter(pk % 3 == 0).select(
+        pk.cast("string").alias("productId"),
+        F.concat(
+            F.lit("https://smartstore.example.com/shop2/products/"), pk.cast("string")
+        ).alias("link"),
+        F.concat(F.col("p_name"), F.lit(" v2")).alias("title"),
+        F.lit("fresh1").alias("category1"),
+        F.lit("fresh2").alias("category2"),
+        F.lit(None).cast("string").alias("category3"),
+        F.lit(None).cast("string").alias("category4"),
+        # even keys report the first-party placeholder -> NULLIF -> NULL
+        # -> COALESCE keeps the batch-1 mall (the upsert's point)
+        F.when(pk % 2 == 0, F.lit("네이버")).otherwise(
+            F.concat(F.lit("mall2-"), (pk % 3).cast("string"))
+        ).alias("mallName"),
+        F.when(pk % 2 == 0, F.lit("")).otherwise(F.lit("b2")).alias("brand"),
+        (F.col("p_size") * 110).cast("string").alias("lprice"),
+    )
+
+
+def q_naver_product_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ShopRank product upsert (models/naversearch): two crawl batches
+    merged with COALESCE(EXCLUDED.col, col) per updated column and a
+    replace'd updated_at (core/naver/openapi/search/models.sql:249-261).
+    Batch-2 gaps (NULLIF'd mall/brand) must not clobber batch-1 data."""
+    from linkmerce_spark.models.naversearch import shop_product, upsert_products
+
+    (part,) = _t(spark, sf_dir, "part")
+    b1 = shop_product(_naver_shop_raw(part, 1), "2024-01-01 00:00:00")
+    b2 = shop_product(_naver_shop_raw(part, 2), "2024-02-01 00:00:00")
+    merged = upsert_products(b1, b2)
+    return merged.withColumn(
+        "updated_at", F.date_format("updated_at", "yyyy-MM-dd HH:mm:ss")
+    )
+
+
+def q_naver_book_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BookSearch parse (models/naversearch): NULLIF scrubbing, TRY_CAST
+    isbn/price junk tolerance, TRY_STRPTIME('%Y%m%d') dates, and the
+    paged global display_rank (models.sql:71-86)."""
+    from linkmerce_spark.models.naversearch import parse_book
+
+    (part,) = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    pubdate = F.concat(
+        (F.lit(1990) + pk % 30).cast("string"),
+        F.lpad((F.lit(1) + pk % 12).cast("string"), 2, "0"),
+        F.lpad((F.lit(1) + pk % 28).cast("string"), 2, "0"),
+    )
+    raw = part.select(
+        pk.alias("seq"),
+        F.col("p_name").alias("title"),
+        F.concat(F.lit("https://books.example.com/v/"), pk.cast("string")).alias("link"),
+        F.when(pk % 6 == 0, F.lit("")).otherwise(F.col("p_type")).alias("description"),
+        F.concat(F.lit("https://img.example.com/"), pk.cast("string")).alias("image"),
+        F.when(pk % 4 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("author-"), (pk % 13).cast("string"))
+        ).alias("author"),
+        F.when(pk % 9 == 0, F.lit("N/A")).otherwise(
+            (F.col("p_size") * 100).cast("string")
+        ).alias("discount"),
+        F.col("p_brand").alias("publisher"),
+        F.when(pk % 5 == 0, F.concat(F.lit("isbn"), pk.cast("string"))).otherwise(
+            (F.lit(9780000000000) + pk).cast("string")
+        ).alias("isbn"),
+        F.when(pk % 11 == 0, F.lit("")).otherwise(pubdate).alias("pubdate"),
+    )
+    return parse_book(raw, keyword="novel", start=11)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "star_join_revenue": q_star_join_revenue,
@@ -1505,4 +1640,7 @@ QUERIES = {
     "stock_report": q_stock_report,
     "searchad_report_merge": q_searchad_report_merge,
     "searchad_master_ads": q_searchad_master_ads,
+    "naver_shop_rank": q_naver_shop_rank,
+    "naver_product_upsert": q_naver_product_upsert,
+    "naver_book_parse": q_naver_book_parse,
 }
