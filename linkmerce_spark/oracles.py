@@ -1199,3 +1199,168 @@ SELECT 'novel' AS keyword,
   TRY_CAST(TRY_STRPTIME(pubdate, '%Y%m%d') AS DATE) AS publish_date
 FROM raw
 """
+
+_SA_REPORT_FULL = """
+base AS (
+  SELECT 'ad-' || CAST(user_id % 50 AS VARCHAR) AS ad_id,
+    user_id % 5 AS customer_id,
+    COALESCE(NULLIF(event_id % 4, 3), 0) AS media_code,
+    CASE WHEN event_id % 3 = 0 THEN 0 WHEN event_id % 3 = 1 THEN 1 ELSE 2 END AS pc_mobile_type,
+    CAST(ts AS DATE) AS ymd,
+    event_type, event_id, value
+  FROM events
+), stat AS (
+  SELECT ymd, customer_id, ad_id, media_code, pc_mobile_type,
+    SUM(CAST(FLOOR(value) AS BIGINT)) AS impression_count,
+    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click_count,
+    SUM(CAST(FLOOR(value * 7) AS BIGINT)) AS ad_cost,
+    SUM(event_id % 10) AS ad_rank_sum
+  FROM base WHERE event_type IN ('view', 'click')
+  GROUP BY 1, 2, 3, 4, 5
+), conv AS (
+  SELECT ymd, customer_id, ad_id, media_code, pc_mobile_type,
+    SUM(1) AS conv_count,
+    SUM(CASE WHEN 1 + event_id % 2 = 1 THEN 1 ELSE 0 END) AS direct_conv_count,
+    SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS conv_amount,
+    SUM(CASE WHEN 1 + event_id % 2 = 1 THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS direct_conv_amount
+  FROM base WHERE event_type = 'purchase'
+  GROUP BY 1, 2, 3, 4, 5
+), report AS (
+  SELECT COALESCE(stat.ad_id, conv.ad_id) AS ad_id,
+    COALESCE(stat.customer_id, conv.customer_id) AS customer_id,
+    COALESCE(stat.media_code, conv.media_code) AS media_code,
+    COALESCE(stat.pc_mobile_type, conv.pc_mobile_type) AS pc_mobile_type,
+    COALESCE(impression_count, 0) AS impression_count,
+    COALESCE(click_count, 0) AS click_count,
+    COALESCE(ad_cost, 0) AS ad_cost,
+    COALESCE(ad_rank_sum, 0) AS ad_rank_sum,
+    COALESCE(conv_count, 0) AS conv_count,
+    COALESCE(direct_conv_count, 0) AS direct_conv_count,
+    COALESCE(conv_amount, 0) AS conv_amount,
+    COALESCE(direct_conv_amount, 0) AS direct_conv_amount,
+    COALESCE(stat.ymd, conv.ymd) AS ymd
+  FROM stat FULL OUTER JOIN conv
+    ON stat.ymd = conv.ymd AND stat.customer_id = conv.customer_id
+   AND stat.ad_id = conv.ad_id AND stat.media_code = conv.media_code
+   AND stat.pc_mobile_type = conv.pc_mobile_type
+)
+"""
+
+_SA_ALLOC = ",\n  ".join(
+    f"({m} // bundle_product_count) + CASE WHEN ord1 = 1 THEN {m} % bundle_product_count ELSE 0 END AS {m}"
+    for m in ["impression_count", "click_count", "ad_cost", "ad_rank_sum",
+              "conv_count", "direct_conv_count", "conv_amount", "direct_conv_amount"]
+)
+
+ORACLES["searchad_insight_daily"] = f"""
+WITH {_SA_REPORT_FULL},
+ad_dim AS (
+  SELECT 'ad-' || CAST(id AS VARCHAR) AS ad_id,
+         'g' || CAST(id % 10 AS VARCHAR) AS adgroup_id,
+         100080 + id % 12 AS product_id
+  FROM range(0, 50) t(id)
+), adgroup_dim AS (
+  SELECT 'g' || CAST(id AS VARCHAR) AS adgroup_id,
+         'c' || CAST(id % 3 AS VARCHAR) AS campaign_id
+  FROM range(0, 10) t(id)
+), rel_raw(ad_id, ad_level, bundle_product_ids, platform_name) AS (VALUES
+  ('c0', 0, '100088', 'NAVER'),
+  ('c1', 0, '100010,100011', 'NAVER'),
+  ('c2', 0, '100012,100088', 'OTHER'),
+  ('g0', 1, '100020,100021', 'NAVER'),
+  ('g3', 1, '100088,100022', 'NAVER'),
+  ('g6', 1, '100023', 'NAVER'),
+  ('ad-0', 2, '100030,100031', 'NAVER'),
+  ('ad-8', 2, '100088', 'NAVER'),
+  ('ad-16', 2, '100032,100033,100034', 'NAVER'),
+  ('ad-24', 2, '100088,100035', 'NAVER')
+), ranged AS (
+  SELECT ad_id, ad_level, bundle_product_ids, platform_name,
+         DATE '2000-01-01' AS start_date, DATE '2999-12-31' AS end_date
+  FROM rel_raw
+  WHERE NOT list_contains(string_split(bundle_product_ids, ','), '100088')
+  UNION ALL
+  SELECT ad_id, ad_level, bundle_product_ids, platform_name,
+         DATE '2000-01-01', DATE '2024-01-15'
+  FROM rel_raw
+  WHERE list_contains(string_split(bundle_product_ids, ','), '100088')
+  UNION ALL
+  SELECT ad_id, ad_level,
+    CASE WHEN bundle_product_ids = '100088' THEN '100081,100082,100083'
+         ELSE NULLIF(array_to_string(
+                list_filter(string_split(bundle_product_ids, ','), x -> x != '100088'), ','), '')
+    END,
+    platform_name, DATE '2024-01-16', DATE '2999-12-31'
+  FROM rel_raw
+  WHERE list_contains(string_split(bundle_product_ids, ','), '100088')
+), rel AS (
+  SELECT * FROM ranged WHERE platform_name = 'NAVER'
+), product_rel(product_id, bundle_product_ids, start_date, end_date) AS (VALUES
+  (100081, '100050,100051', DATE '2000-01-01', DATE '2024-01-10'),
+  (100081, '100052', DATE '2024-01-11', DATE '2999-12-31'),
+  (100085, '200077', DATE '2000-01-01', DATE '2999-12-31'),
+  (100090, '100060', DATE '2000-01-01', DATE '2999-12-31')
+), account(customer_id, bundle_brand_ids) AS (VALUES
+  (0, '200010'), (1, '200011'), (3, '200013')
+), renewal(product_id_new, product_id_old, renewal_date) AS (VALUES
+  ('100031', '100931', DATE '2024-01-12')
+), fact AS (
+  SELECT r.*, ad.adgroup_id, ad.product_id, grp.campaign_id,
+    cmp.bundle_product_ids AS bundle_cmp,
+    g1.bundle_product_ids AS bundle_grp,
+    a2.bundle_product_ids AS bundle_ad,
+    prd.bundle_product_ids AS bundle_prd,
+    brd.bundle_product_ids AS bundle_brd,
+    acc.bundle_brand_ids
+  FROM report r
+  LEFT JOIN ad_dim ad ON r.ad_id = ad.ad_id
+  LEFT JOIN adgroup_dim grp ON ad.adgroup_id = grp.adgroup_id
+  LEFT JOIN (SELECT * FROM rel WHERE ad_level = 0) cmp
+    ON grp.campaign_id = cmp.ad_id AND r.ymd BETWEEN cmp.start_date AND cmp.end_date
+  LEFT JOIN (SELECT * FROM rel WHERE ad_level = 1) g1
+    ON ad.adgroup_id = g1.ad_id AND r.ymd BETWEEN g1.start_date AND g1.end_date
+  LEFT JOIN (SELECT * FROM rel WHERE ad_level = 2) a2
+    ON r.ad_id = a2.ad_id AND r.ymd BETWEEN a2.start_date AND a2.end_date
+  LEFT JOIN (SELECT * FROM product_rel WHERE NOT starts_with(bundle_product_ids, '2')) prd
+    ON ad.product_id = prd.product_id AND r.ymd BETWEEN prd.start_date AND prd.end_date
+  LEFT JOIN (SELECT * FROM product_rel WHERE starts_with(bundle_product_ids, '2')) brd
+    ON ad.product_id = brd.product_id AND r.ymd BETWEEN brd.start_date AND brd.end_date
+  LEFT JOIN account acc ON r.customer_id = acc.customer_id
+), grain AS (
+  SELECT ymd, campaign_id, ad_id, device_type,
+    MIN(bundle) AS bundle_product_ids,
+    SUM(impression_count) AS impression_count,
+    SUM(click_count) AS click_count,
+    SUM(ad_cost2) AS ad_cost,
+    SUM(ad_rank_sum) AS ad_rank_sum,
+    SUM(conv_count) AS conv_count,
+    SUM(direct_conv_count) AS direct_conv_count,
+    SUM(conv_amount) AS conv_amount,
+    SUM(direct_conv_amount) AS direct_conv_amount
+  FROM (
+    SELECT *, pc_mobile_type AS device_type,
+      COALESCE(bundle_prd, bundle_ad, bundle_grp, bundle_cmp, bundle_brd,
+               bundle_brand_ids, '200000') AS bundle,
+      CASE WHEN ymd < DATE '2024-01-16'
+        THEN CAST(ROUND(CAST(ad_cost AS DECIMAL(18,1)) * CAST(1.1 AS DECIMAL(2,1)), 0) AS BIGINT)
+        ELSE ad_cost END AS ad_cost2
+    FROM fact
+  ) f
+  GROUP BY 1, 2, 3, 4
+), exploded AS (
+  SELECT *,
+    len(string_split(bundle_product_ids, ',')) AS bundle_product_count,
+    UNNEST(string_split(bundle_product_ids, ',')) AS bundle_product_id,
+    UNNEST(range(1, len(string_split(bundle_product_ids, ',')) + 1)) AS ord1
+  FROM grain
+), remapped AS (
+  SELECT e.*, COALESCE(rn.product_id_old, e.bundle_product_id) AS final_product_id
+  FROM exploded e
+  LEFT JOIN renewal rn
+    ON e.bundle_product_id = rn.product_id_new AND e.ymd < rn.renewal_date
+)
+SELECT campaign_id, ad_id, device_type, final_product_id AS product_id,
+  {_SA_ALLOC},
+  ymd
+FROM remapped
+"""

@@ -1577,6 +1577,91 @@ def q_naver_book_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_book(raw, keyword="novel", start=11)
 
 
+def q_searchad_insight_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """searchad__insight_daily mart (marts/ads): the reference's densest
+    operator combination — effective-dated bundle relations (J5) with
+    EXISTS-over-array pivot splitting (J8), a 6-way COALESCE bundle
+    priority, pre-pivot decimal cost uplift, grain aggregation, and
+    DIV/MOD equal-weight integer allocation over the exploded bundle
+    (W6) with renewal remapping."""
+    from linkmerce_spark.marts.ads import insight_daily, ranged_bundle_relation
+    from linkmerce_spark.models.searchad import (
+        advanced_report,
+        rollup_ad_conv,
+        rollup_ad_stat,
+    )
+
+    stat_raw, conv_raw = _searchad_report_raw(spark, sf_dir)
+    report = advanced_report(rollup_ad_stat(stat_raw), rollup_ad_conv(conv_raw))
+
+    ids = spark.range(0, 50)
+    ad_dim = ids.select(
+        F.concat(F.lit("ad-"), F.col("id").cast("string")).alias("ad_id"),
+        F.concat(F.lit("g"), (F.col("id") % 10).cast("string")).alias("adgroup_id"),
+        (F.lit(100080) + F.col("id") % 12).alias("product_id"),
+    )
+    adgroup_dim = spark.range(0, 10).select(
+        F.concat(F.lit("g"), F.col("id").cast("string")).alias("adgroup_id"),
+        F.concat(F.lit("c"), (F.col("id") % 3).cast("string")).alias("campaign_id"),
+    )
+    rel_raw = spark.createDataFrame(
+        [
+            ("c0", 0, "100088", "NAVER"),
+            ("c1", 0, "100010,100011", "NAVER"),
+            ("c2", 0, "100012,100088", "OTHER"),
+            ("g0", 1, "100020,100021", "NAVER"),
+            ("g3", 1, "100088,100022", "NAVER"),
+            ("g6", 1, "100023", "NAVER"),
+            ("ad-0", 2, "100030,100031", "NAVER"),
+            ("ad-8", 2, "100088", "NAVER"),
+            ("ad-16", 2, "100032,100033,100034", "NAVER"),
+            ("ad-24", 2, "100088,100035", "NAVER"),
+        ],
+        "ad_id string, ad_level int, bundle_product_ids string, platform_name string",
+    )
+    ranged = ranged_bundle_relation(
+        rel_raw,
+        pivot_product="100088",
+        expansion="100081,100082,100083",
+        pre_end="2024-01-15",
+        post_start="2024-01-16",
+    )
+    product_rel = spark.createDataFrame(
+        [
+            (100081, "100050,100051", "2000-01-01", "2024-01-10"),
+            (100081, "100052", "2024-01-11", "2999-12-31"),
+            (100085, "200077", "2000-01-01", "2999-12-31"),
+            (100090, "100060", "2000-01-01", "2999-12-31"),
+        ],
+        "product_id long, bundle_product_ids string, start string, end string",
+    ).select(
+        "product_id",
+        "bundle_product_ids",
+        F.col("start").cast("date").alias("start_date"),
+        F.col("end").cast("date").alias("end_date"),
+    )
+    account = spark.createDataFrame(
+        [(0, "200010"), (1, "200011"), (3, "200013")],
+        "customer_id long, bundle_brand_ids string",
+    )
+    renewal = spark.createDataFrame(
+        [("100031", "100931", "2024-01-12")],
+        "product_id_new string, product_id_old string, renewal string",
+    ).select("product_id_new", "product_id_old", F.col("renewal").cast("date").alias("renewal_date"))
+
+    return insight_daily(
+        report,
+        ad_dim,
+        adgroup_dim,
+        ranged,
+        product_rel,
+        account,
+        renewal,
+        cost_uplift_before="2024-01-16",
+        platform_name="NAVER",
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "star_join_revenue": q_star_join_revenue,
@@ -1643,4 +1728,5 @@ QUERIES = {
     "naver_shop_rank": q_naver_shop_rank,
     "naver_product_upsert": q_naver_product_upsert,
     "naver_book_parse": q_naver_book_parse,
+    "searchad_insight_daily": q_searchad_insight_daily,
 }
