@@ -1364,3 +1364,122 @@ SELECT campaign_id, ad_id, device_type, final_product_id AS product_id,
   ymd
 FROM remapped
 """
+
+# --- smartstore sales mart -----------------------------------------------
+ORACLES["smartstore_max_delivery_fee"] = """
+WITH base AS (
+  SELECT o_orderkey AS order_id, o_orderkey, UNNEST([0, 1]) AS n FROM orders
+), po AS (
+  SELECT order_id,
+    'i' || CAST((o_orderkey + n) % 2 AS VARCHAR) AS invoice_no,
+    CASE WHEN (o_orderkey + n) % 5 = 4 THEN 'dg-missing'
+         ELSE 'dg-' || CAST((o_orderkey + n) % 3 AS VARCHAR) END AS delivery_group,
+    CASE WHEN (o_orderkey + n) % 6 = 0 THEN 7 ELSE 1 END AS delivery_type,
+    CASE WHEN o_orderkey % 5 = 0 AND n = 0 THEN 3000 ELSE 0 END AS delivery_fee,
+    CASE WHEN (o_orderkey + n) % 7 = 0 THEN 500 ELSE 0 END AS box_cost,
+    (o_orderkey + n) % 12 AS delivery_quantity
+  FROM base
+), tiers_raw(delivery_group, min_unit, delivery_fee, coolant_cost, label_cost,
+             wrap_cost, box_cost, n_arrival_fee, n_arrival_add) AS (VALUES
+  ('dg-0', 1, 2500, 100, NULL, 0, 50, 4000, 200),
+  ('dg-0', 5, 2000, 100, NULL, 0, 50, 3500, 150),
+  ('dg-0', 10, 1500, 100, NULL, 0, 50, 3000, 100),
+  ('dg-1', 1, 1800, 0, 30, 0, 0, 2500, 120),
+  ('dg-1', 6, 1200, 0, 30, 0, 0, 2000, 80),
+  ('dg-2', 2, 900, NULL, NULL, NULL, NULL, 1000, 50)
+), tiers AS (
+  SELECT delivery_group,
+    COALESCE(min_unit, 1) AS min_unit,
+    CASE WHEN MAX(min_unit) OVER (PARTITION BY delivery_group) = min_unit THEN 9999
+         ELSE LEAD(min_unit) OVER (PARTITION BY delivery_group ORDER BY min_unit ASC)
+    END AS max_unit,
+    COALESCE(delivery_fee, 0) AS tier_fee,
+    COALESCE(coolant_cost, 0) + COALESCE(label_cost, 0)
+      + COALESCE(wrap_cost, 0) + COALESCE(box_cost, 0) AS extra_cost,
+    COALESCE(n_arrival_fee, 0) AS n_arrival_fee,
+    COALESCE(n_arrival_add, 0) AS n_arrival_add
+  FROM tiers_raw
+), agg AS (
+  SELECT order_id, invoice_no, delivery_group,
+    MAX(delivery_type) AS delivery_type,
+    MAX(delivery_fee) AS delivery_fee,
+    SUM(box_cost) AS box_cost,
+    COALESCE(SUM(delivery_quantity), 0) AS delivery_quantity
+  FROM po GROUP BY 1, 2, 3
+), scored AS (
+  SELECT a.order_id, a.invoice_no, a.delivery_group,
+    (CASE
+      WHEN t.delivery_group IS NULL THEN a.delivery_fee
+      WHEN a.delivery_fee > 0
+        THEN a.delivery_fee + (CASE WHEN a.box_cost > 0 THEN a.box_cost ELSE t.extra_cost END)
+      WHEN a.delivery_type = 7
+        THEN t.n_arrival_fee + t.n_arrival_add * (a.delivery_quantity - t.min_unit)
+      ELSE t.tier_fee + t.extra_cost
+    END) AS delivery_fee
+  FROM agg a
+  LEFT JOIN tiers t
+    ON a.delivery_group = t.delivery_group
+   AND a.delivery_quantity BETWEEN t.min_unit AND t.max_unit
+)
+SELECT order_id, invoice_no, delivery_group, delivery_fee FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY order_id, invoice_no
+    ORDER BY ABS(delivery_fee) DESC, delivery_fee DESC, delivery_group ASC
+  ) AS rn FROM scored
+) WHERE rn = 1
+"""
+
+ORACLES["smartstore_split_sales"] = """
+WITH base AS (
+  SELECT o_orderkey AS product_order_id,
+    CAST(o_orderdate AS DATE) AS order_date,
+    o_orderkey % 4 + 1 AS order_quantity,
+    CAST(FLOOR(o_totalprice) AS BIGINT) AS payment_amount,
+    CAST(FLOOR(o_totalprice * 0.9) AS BIGINT) AS supply_amount,
+    CASE WHEN o_orderkey % 12 = 2 THEN 'p4:2,p7'
+         WHEN o_orderkey % 3 = 0 THEN 'p0:2,p3,p5'
+         WHEN o_orderkey % 3 = 1 THEN 'p1:3,p4:x'
+         ELSE 'p2' END AS bundle_product_ids
+  FROM orders
+), ex AS (
+  SELECT *, UNNEST(string_split(bundle_product_ids, ',')) AS bundle_product FROM base
+), parsed AS (
+  SELECT product_order_id, order_date,
+    string_split(bundle_product, ':')[1] AS product_id,
+    (CASE WHEN regexp_matches(string_split(bundle_product, ':')[2], '^[0-9]+$')
+          THEN CAST(string_split(bundle_product, ':')[2] AS INTEGER)
+          ELSE 1 END) * order_quantity AS sku_quantity,
+    payment_amount, supply_amount
+  FROM ex
+), prices(product_id, org_price) AS (VALUES
+  ('p0', 1000), ('p1', 2000), ('p2', 1500), ('p3', 800), ('p4', 0)
+), costed AS (
+  SELECT p.*, COALESCE(pr.org_price, 0) * p.sku_quantity AS cost_amount
+  FROM parsed p LEFT JOIN prices pr ON p.product_id = pr.product_id
+), marked AS (
+  SELECT *,
+    COUNT(*) OVER (PARTITION BY product_order_id) AS n,
+    SUM(cost_amount) OVER (PARTITION BY product_order_id) AS total_cost,
+    ROW_NUMBER() OVER (PARTITION BY product_order_id ORDER BY product_id ASC) AS rn
+  FROM costed
+), splits AS (
+  SELECT *,
+    COALESCE(CAST(FLOOR(payment_amount * (cost_amount / NULLIF(total_cost, 0)) + 0.5) AS BIGINT), 0) AS pay_split,
+    COALESCE(CAST(FLOOR(supply_amount * (cost_amount / NULLIF(total_cost, 0)) + 0.5) AS BIGINT), 0) AS sup_split
+  FROM marked
+), adjusted AS (
+  SELECT *,
+    CASE WHEN n > 1 THEN
+      (CASE WHEN rn = 1 THEN payment_amount - SUM(pay_split) OVER (PARTITION BY product_order_id) ELSE 0 END) + pay_split
+    ELSE payment_amount END AS payment_final,
+    CASE WHEN n > 1 THEN
+      (CASE WHEN rn = 1 THEN supply_amount - SUM(sup_split) OVER (PARTITION BY product_order_id) ELSE 0 END) + sup_split
+    ELSE supply_amount END AS supply_final
+  FROM splits
+)
+SELECT order_date, product_id,
+  SUM(sku_quantity) AS sku_quantity,
+  SUM(payment_final) AS payment_amount,
+  SUM(supply_final) AS supply_amount
+FROM adjusted GROUP BY 1, 2
+"""

@@ -1662,6 +1662,101 @@ def q_searchad_insight_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- smartstore sales mart
+def q_smartstore_max_delivery_fee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """smartstore__sales_daily steps 5-1..5-3 (marts/smartstore): tier
+    LEAD bounds (W5), quantity-range tier join, the 4-branch fee rule,
+    and the largest-absolute-fee DISTINCT ON per (order, invoice) (A7
+    with ABS ordering)."""
+    from linkmerce_spark.marts.smartstore import delivery_tiers, max_delivery_fee
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    okn = ok + F.col("n")
+    base = orders.select(
+        ok.alias("order_id"), "o_orderkey",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("n"),
+    )
+    po = base.select(
+        "order_id",
+        F.concat(F.lit("i"), (okn % 2).cast("string")).alias("invoice_no"),
+        F.when(okn % 5 == 4, F.lit("dg-missing"))
+        .otherwise(F.concat(F.lit("dg-"), (okn % 3).cast("string")))
+        .alias("delivery_group"),
+        F.when(okn % 6 == 0, 7).otherwise(1).alias("delivery_type"),
+        F.when((ok % 5 == 0) & (F.col("n") == 0), 3000).otherwise(0).alias(
+            "delivery_fee"
+        ),
+        F.when(okn % 7 == 0, 500).otherwise(0).alias("box_cost"),
+        (okn % 12).alias("delivery_quantity"),
+    )
+    tiers_raw = spark.createDataFrame(
+        [
+            ("dg-0", 1, 2500, 100, None, 0, 50, 4000, 200),
+            ("dg-0", 5, 2000, 100, None, 0, 50, 3500, 150),
+            ("dg-0", 10, 1500, 100, None, 0, 50, 3000, 100),
+            ("dg-1", 1, 1800, 0, 30, 0, 0, 2500, 120),
+            ("dg-1", 6, 1200, 0, 30, 0, 0, 2000, 80),
+            ("dg-2", 2, 900, None, None, None, None, 1000, 50),
+        ],
+        "delivery_group string, min_unit int, delivery_fee int, coolant_cost int, "
+        "label_cost int, wrap_cost int, box_cost int, n_arrival_fee int, n_arrival_add int",
+    )
+    return max_delivery_fee(po, delivery_tiers(tiers_raw))
+
+
+def q_smartstore_split_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """smartstore__sales_daily steps 2-3 + 8 (marts/smartstore): CSV
+    bundle explode with ':N' SKU multipliers (regex-guarded), org-price
+    cost lookup, cost-weight proportional allocation with the rounding
+    remainder on the first bundle row (W6), singleton bypass, daily
+    re-aggregation. Group totals are preserved exactly."""
+    from linkmerce_spark.marts.smartstore import sku_quantity, split_by_cost_weight
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    bundle = (
+        F.when(ok % 12 == 2, F.lit("p4:2,p7"))  # zero-cost group
+        .when(ok % 3 == 0, F.lit("p0:2,p3,p5"))
+        .when(ok % 3 == 1, F.lit("p1:3,p4:x"))
+        .otherwise(F.lit("p2"))
+    )
+    base = orders.select(
+        ok.alias("product_order_id"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        (ok % 4 + 1).alias("order_quantity"),
+        F.floor("o_totalprice").cast("long").alias("payment_amount"),
+        F.floor(F.col("o_totalprice") * 0.9).cast("long").alias("supply_amount"),
+        bundle.alias("bundle_product_ids"),
+    )
+    ex = base.select(
+        "*", F.explode(F.split("bundle_product_ids", ",")).alias("bundle_product")
+    )
+    parsed = ex.select(
+        "product_order_id",
+        "order_date",
+        F.try_element_at(F.split("bundle_product", ":"), F.lit(1)).alias("product_id"),
+        sku_quantity("bundle_product", "order_quantity"),
+        "payment_amount",
+        "supply_amount",
+    )
+    prices = spark.createDataFrame(
+        [("p0", 1000), ("p1", 2000), ("p2", 1500), ("p3", 800), ("p4", 0)],
+        "product_id string, org_price int",
+    )
+    costed = parsed.join(broadcast(prices), "product_id", "left").withColumn(
+        "cost_amount", F.coalesce("org_price", F.lit(0)) * F.col("sku_quantity")
+    )
+    split = split_by_cost_weight(
+        costed, ["product_order_id"], ["payment_amount", "supply_amount"]
+    )
+    return split.groupBy("order_date", "product_id").agg(
+        F.sum("sku_quantity").alias("sku_quantity"),
+        F.sum("payment_amount").alias("payment_amount"),
+        F.sum("supply_amount").alias("supply_amount"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "star_join_revenue": q_star_join_revenue,
@@ -1729,4 +1824,6 @@ QUERIES = {
     "naver_product_upsert": q_naver_product_upsert,
     "naver_book_parse": q_naver_book_parse,
     "searchad_insight_daily": q_searchad_insight_daily,
+    "smartstore_max_delivery_fee": q_smartstore_max_delivery_fee,
+    "smartstore_split_sales": q_smartstore_split_sales,
 }
