@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 __all__ = [
     "compose_merge_sql",
     "compose_overwrite_where_sql",
+    "run_jdbc_script",
     "stage_and_script",
 ]
 
@@ -113,25 +114,68 @@ def compose_overwrite_where_sql(
     ]
 
 
+def run_jdbc_script(
+    spark,
+    url: str,
+    script: Sequence[str],
+    properties: Mapping[str, str] | None = None,
+) -> None:
+    """Run script statements on one driver-side JVM JDBC connection.
+
+    ``BEGIN`` / ``COMMIT`` markers are interpreted through the JDBC
+    autocommit API rather than executed as SQL — Postgres happens to
+    accept ``BEGIN`` as a statement but Derby/Oracle/SQLServer do not,
+    and ``setAutoCommit(false)`` + ``commit()`` is the portable
+    transaction bracket. A failure inside an open bracket rolls back,
+    so a crashed scoped-overwrite never leaves the partition deleted
+    but not reinserted."""
+    jvm = spark._jvm
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, str(v))
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        st = conn.createStatement()
+        try:
+            for stmt in script:
+                marker = stmt.strip().rstrip(";").upper()
+                if marker == "BEGIN":
+                    conn.setAutoCommit(False)
+                elif marker == "COMMIT":
+                    conn.commit()
+                    conn.setAutoCommit(True)
+                else:
+                    st.execute(stmt)
+        except Exception:
+            if not conn.getAutoCommit():
+                conn.rollback()
+                conn.setAutoCommit(True)
+            raise
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+
 def stage_and_script(
     df: DataFrame,
     url: str,
     staging: str,
     script: Sequence[str],
     properties: Mapping[str, str] | None = None,
+    column_types: str | None = None,
 ) -> None:
     """Write ``df`` to the staging table, then run the script statements
     on one JVM JDBC connection (transactional: the script brackets its
     own BEGIN/COMMIT). Driver-side control, executor-side data movement
-    — the reference's exact split."""
-    df.write.jdbc(url, staging, mode="overwrite", properties=dict(properties or {}))
-    spark = df.sparkSession
-    jvm = spark._jvm
-    conn = jvm.java.sql.DriverManager.getConnection(url)
-    try:
-        st = conn.createStatement()
-        for stmt in script:
-            st.execute(stmt)
-        st.close()
-    finally:
-        conn.close()
+    — the reference's exact split.
+
+    ``column_types`` passes ``createTableColumnTypes`` to the staging
+    write — needed when the dialect's default type mapping is not
+    joinable/comparable (e.g. Derby maps strings to CLOB, which cannot
+    appear in a MERGE ON clause; Postgres TEXT is fine)."""
+    writer = df.write
+    if column_types:
+        writer = writer.option("createTableColumnTypes", column_types)
+    writer.jdbc(url, staging, mode="overwrite", properties=dict(properties or {}))
+    run_jdbc_script(df.sparkSession, url, script, properties)
