@@ -1483,3 +1483,232 @@ SELECT order_date, product_id,
   SUM(supply_final) AS supply_amount
 FROM adjusted GROUP BY 1, 2
 """
+
+# --- full profit dim stack -------------------------------------------------
+_PROFIT_FACT_CTE = """
+fact AS (
+  SELECT 'p' || CAST(o_orderkey % 40 AS VARCHAR) AS product_id,
+    (['shop0055','shop0075','adop0001','adop0002','adop0006','adop0003',
+      'adop9000','shop1234'])[CAST((o_orderkey // 8) % 8 + 1 AS INT)] AS shop_id,
+    CAST(o_orderkey % 8 AS INT) AS order_status,
+    CAST(o_orderkey % 5 AS BIGINT) AS sku_quantity,
+    CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) AS payment_amount,
+    CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)) * CAST('0.9' AS DECIMAL(2,1))) AS BIGINT) AS supply_amount,
+    CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)) * CAST('0.6' AS DECIMAL(2,1))) AS BIGINT) AS supply_cost,
+    CAST((o_orderkey % 7) * 100 AS BIGINT) AS delivery_fee,
+    CAST((o_orderkey % 11) * 50 AS BIGINT) AS ad_cost,
+    CAST((o_orderkey % 13) * 10 AS BIGINT) AS extra_cost,
+    CAST(o_orderdate AS DATE) AS order_date
+  FROM orders
+), gated AS (
+  SELECT product_id, shop_id, order_status,
+    CAST(CASE WHEN order_status = 0 THEN COALESCE(sku_quantity, 0) ELSE 0 END AS BIGINT) AS sku_quantity,
+    CAST(CASE WHEN shop_id = 'adop9000' THEN 0
+              WHEN order_status = 0 THEN COALESCE(payment_amount, 0)
+              ELSE 0 END AS BIGINT) AS payment_amount,
+    CAST(CASE WHEN order_status = 0 THEN COALESCE(supply_amount, 0) ELSE 0 END AS BIGINT) AS supply_amount,
+    CAST(CASE WHEN order_status IN (0,2,6) THEN COALESCE(supply_cost, 0) ELSE 0 END AS BIGINT) AS supply_cost,
+    CAST(CASE WHEN order_status IN (0,1,2,5,7) THEN COALESCE(delivery_fee, 0) ELSE 0 END AS BIGINT) AS delivery_fee,
+    ad_cost, extra_cost, order_date
+  FROM fact
+), pb AS (
+  SELECT product_id, shop_id, order_status, sku_quantity, payment_amount,
+    supply_amount, supply_cost, delivery_fee,
+    supply_amount - supply_cost - delivery_fee AS margin_amount,
+    ad_cost, extra_cost,
+    supply_amount - supply_cost - delivery_fee - ad_cost - extra_cost AS profit,
+    order_date
+  FROM gated
+), extra AS (
+  SELECT 'p' || CAST(o_orderkey % 40 AS VARCHAR) AS product_id,
+    'adop0003' AS shop_id, 0 AS order_status,
+    CAST(0 AS BIGINT) AS sku_quantity, CAST(0 AS BIGINT) AS payment_amount,
+    CAST(0 AS BIGINT) AS supply_amount, CAST(0 AS BIGINT) AS supply_cost,
+    CAST(0 AS BIGINT) AS delivery_fee, CAST(0 AS BIGINT) AS margin_amount,
+    CAST(0 AS BIGINT) AS ad_cost, CAST(0 AS BIGINT) AS extra_cost,
+    CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) // 10 AS profit,
+    CAST(o_orderdate AS DATE) AS order_date
+  FROM orders WHERE o_orderkey % 97 = 0
+)
+"""
+
+ORACLES["profit_base_gates"] = f"""
+WITH {_PROFIT_FACT_CTE}
+SELECT * FROM pb WHERE order_date BETWEEN DATE '1995-06-01' AND DATE '1995-06-30'
+UNION ALL
+SELECT * FROM extra WHERE order_date BETWEEN DATE '1995-06-01' AND DATE '1995-06-30'
+"""
+
+_PROFIT_MEASURE_SUMS = """
+    CAST(SUM(sku_quantity) AS BIGINT) AS sku_quantity,
+    CAST(SUM(payment_amount) AS BIGINT) AS payment_amount,
+    CAST(SUM(supply_amount) AS BIGINT) AS supply_amount,
+    CAST(SUM(supply_cost) AS BIGINT) AS supply_cost,
+    CAST(SUM(delivery_fee) AS BIGINT) AS delivery_fee,
+    CAST(SUM(margin_amount) AS BIGINT) AS margin_amount,
+    CAST(SUM(ad_cost) AS BIGINT) AS ad_cost,
+    CAST(SUM(extra_cost) AS BIGINT) AS extra_cost,
+    CAST(SUM(profit) AS BIGINT) AS profit,
+    MIN(order_date) AS order_start_date,
+    MAX(order_date) AS order_end_date
+"""
+
+ORACLES["profit_mom_dims"] = f"""
+WITH {_PROFIT_FACT_CTE},
+pb_all AS (
+  SELECT * FROM pb UNION ALL SELECT * FROM extra
+), ds_range AS (
+  SELECT product_id, shop_id, order_status,
+    {_PROFIT_MEASURE_SUMS},
+    DATE '1995-06-01' AS order_ym
+  FROM pb_all
+  WHERE order_date BETWEEN DATE '1995-06-01' AND DATE '1995-06-21'
+  GROUP BY 1, 2, 3
+), lookback AS (
+  SELECT product_id, shop_id, order_status,
+    {_PROFIT_MEASURE_SUMS},
+    CAST(date_trunc('month', order_date) AS DATE) AS order_ym
+  FROM pb_all
+  WHERE order_date BETWEEN DATE '1995-04-01' AND DATE '1995-05-31'
+  GROUP BY 1, 2, 3, CAST(date_trunc('month', order_date) AS DATE)
+), factu AS (
+  SELECT * FROM ds_range UNION ALL SELECT * FROM lookback
+), pm AS (
+  SELECT 'p' || CAST(i AS VARCHAR) AS product_id,
+    'IT-' || lpad(CAST(i AS VARCHAR), 6, '0') AS item_id,
+    CAST(i * 10 AS INT) AS item_seq,
+    'team' || CAST(i % 3 AS VARCHAR) AS team_name,
+    'brand' || CAST(i % 5 AS VARCHAR) AS brand_name,
+    'cat' || CAST(i % 2 AS VARCHAR) AS category_name1,
+    'sub' || CAST(i % 3 AS VARCHAR) AS category_name2,
+    'leaf' || CAST(i % 4 AS VARCHAR) AS category_name3,
+    'g4-' || CAST(i % 5 AS VARCHAR) AS category_name4,
+    'color' || CAST(i % 4 AS VARCHAR) AS color,
+    'product ' || CAST(i AS VARCHAR) AS product_name,
+    CASE WHEN i % 3 = 0 THEN NULL ELSE 'ea' || CAST(i % 3 AS VARCHAR) END AS unit_name,
+    CAST(i % 4 + 1 AS INT) AS unit_scale
+  FROM range(35) AS t(i)
+), shop_dim(shop_id, shop_group, shop_alias) AS (VALUES
+  ('shop0055', 'smartstore', 'SS-A'),
+  ('shop0075', 'coupang', 'CP-A'),
+  ('adop0001', 'adops', 'Google'),
+  ('adop0002', 'adops', 'Meta'),
+  ('adop9000', 'extra', 'Manual')
+), monthly AS (
+  SELECT f.product_id, f.shop_id, f.order_status, f.order_ym,
+    MIN(f.order_start_date) OVER (PARTITION BY f.order_ym) AS order_start_date,
+    MAX(f.order_end_date) OVER (PARTITION BY f.order_ym) AS order_end_date,
+    f.profit,
+    CAST(COALESCE(f.sku_quantity * COALESCE(item.unit_scale, 1), 0) AS BIGINT) AS unit_quantity,
+    f.payment_amount, f.supply_amount, f.supply_cost, f.delivery_fee,
+    f.margin_amount, f.ad_cost,
+    CAST(CASE WHEN f.shop_id IN ('shop0055','shop9000') THEN f.ad_cost ELSE 0 END AS BIGINT) AS ad_cost__searchad,
+    CAST(CASE WHEN f.shop_id IN ('shop0075','shop9001') THEN f.ad_cost ELSE 0 END AS BIGINT) AS ad_cost__coupang,
+    CAST(CASE WHEN f.shop_id = 'adop0001' THEN f.ad_cost ELSE 0 END AS BIGINT) AS ad_cost__google,
+    CAST(CASE WHEN f.shop_id = 'adop0002' THEN f.ad_cost ELSE 0 END AS BIGINT) AS ad_cost__meta,
+    CAST(CASE WHEN f.shop_id = 'adop0006' THEN f.ad_cost ELSE 0 END AS BIGINT) AS ad_cost__tiktok,
+    f.extra_cost,
+    CAST(CASE WHEN f.shop_id = 'adop0003' THEN f.extra_cost ELSE 0 END AS BIGINT) AS extra_cost__marketing,
+    CAST(CASE WHEN f.shop_id = 'adop0004' THEN f.extra_cost ELSE 0 END AS BIGINT) AS extra_cost__sales,
+    CAST(CASE WHEN f.shop_id = 'adop0005' THEN f.extra_cost ELSE 0 END AS BIGINT) AS extra_cost__expense,
+    f.profit AS roi__top,
+    f.ad_cost + f.extra_cost AS roi__bottom
+  FROM factu AS f
+  LEFT JOIN pm AS item ON f.product_id = item.product_id
+), unp AS (
+  SELECT product_id, shop_id, order_status, order_ym,
+    order_start_date, order_end_date, m.metric_name, m.metric_value
+  FROM monthly
+  CROSS JOIN LATERAL (VALUES
+    ('profit', CAST(profit AS BIGINT)),
+    ('unit_quantity', CAST(unit_quantity AS BIGINT)),
+    ('payment_amount', CAST(payment_amount AS BIGINT)),
+    ('supply_amount', CAST(supply_amount AS BIGINT)),
+    ('supply_cost', CAST(supply_cost AS BIGINT)),
+    ('delivery_fee', CAST(delivery_fee AS BIGINT)),
+    ('margin_amount', CAST(margin_amount AS BIGINT)),
+    ('ad_cost', CAST(ad_cost AS BIGINT)),
+    ('ad_cost__searchad', CAST(ad_cost__searchad AS BIGINT)),
+    ('ad_cost__coupang', CAST(ad_cost__coupang AS BIGINT)),
+    ('ad_cost__google', CAST(ad_cost__google AS BIGINT)),
+    ('ad_cost__meta', CAST(ad_cost__meta AS BIGINT)),
+    ('ad_cost__tiktok', CAST(ad_cost__tiktok AS BIGINT)),
+    ('extra_cost', CAST(extra_cost AS BIGINT)),
+    ('extra_cost__marketing', CAST(extra_cost__marketing AS BIGINT)),
+    ('extra_cost__sales', CAST(extra_cost__sales AS BIGINT)),
+    ('extra_cost__expense', CAST(extra_cost__expense AS BIGINT)),
+    ('roi__top', CAST(roi__top AS BIGINT)),
+    ('roi__bottom', CAST(roi__bottom AS BIGINT))
+  ) AS m(metric_name, metric_value)
+  WHERE m.metric_value IS NOT NULL
+), status_map(code, label) AS (VALUES
+  (0, '결제완료'), (1, '발송대기'), (2, '배송중'),
+  (3, '배송완료'), (4, '구매확정'), (5, '취소')
+), metric_map(name_en, sort_seq, sub_seq, name_ko) AS (VALUES
+  ('profit', 1, CAST(NULL AS INT), '이익'),
+  ('unit_quantity', 2, NULL, '판매수량'),
+  ('payment_amount', 3, NULL, '결제금액'),
+  ('supply_amount', 4, NULL, '공급가액'),
+  ('supply_cost', 5, NULL, '공급원가'),
+  ('delivery_fee', 6, NULL, '배송비'),
+  ('margin_amount', 7, NULL, '마진액'),
+  ('ad_cost', 8, NULL, '광고비'),
+  ('ad_cost__searchad', 8, 1, '광고비-검색광고'),
+  ('ad_cost__coupang', 8, 2, '광고비-쿠팡'),
+  ('ad_cost__google', 8, 3, '광고비-구글'),
+  ('ad_cost__meta', 8, 4, '광고비-메타'),
+  ('ad_cost__tiktok', 8, 5, '광고비-틱톡'),
+  ('extra_cost', 9, NULL, '기타비용'),
+  ('extra_cost__marketing', 9, 1, '기타비용-마케팅'),
+  ('extra_cost__sales', 9, 2, '기타비용-영업'),
+  ('extra_cost__expense', 9, 3, '기타비용-경비'),
+  ('roi__top', 10, 1, 'ROI-분자'),
+  ('roi__bottom', 10, 2, 'ROI-분모')
+), dow_map(dayofweek, name_ko) AS (VALUES
+  (1, '(일)'), (2, '(월)'), (3, '(화)'), (4, '(수)'),
+  (5, '(목)'), (6, '(금)'), (7, '(토)')
+)
+SELECT f.product_id,
+  COALESCE(item.item_id, 'NA-AAAAAA-00') AS item_id,
+  COALESCE(item.item_seq, 99999999) AS item_seq,
+  COALESCE(item.team_name, '담당팀 없음') AS team_name,
+  COALESCE(item.brand_name, '브랜드 없음') AS brand_name,
+  COALESCE(item.category_name1, '-') AS category_name1,
+  COALESCE(item.category_name2, '-') AS category_name2,
+  COALESCE(item.category_name3, '-') AS category_name3,
+  COALESCE(item.category_name4, '-') AS category_name4,
+  COALESCE(item.color, '-') AS color,
+  COALESCE(item.product_name, '매칭 불가 상품') AS product_name,
+  COALESCE(
+    CASE WHEN item.unit_name IS NULL THEN item.category_name3
+         ELSE item.category_name3 || ' (' || item.unit_name || ')' END,
+    '-') AS category_unit_name,
+  f.shop_id,
+  COALESCE(shop.shop_group, '-') AS shop_group,
+  COALESCE(shop.shop_alias, '-') AS shop_name,
+  COALESCE(st.label, '알 수 없음') AS order_status,
+  f.metric_name AS metric_name_en,
+  CONCAT(
+    lpad(CAST(m.sort_seq AS VARCHAR), 2, '0'),
+    COALESCE('-' || lpad(CAST(m.sub_seq AS VARCHAR), 1, '0'), ''),
+    '. ', m.name_ko) AS metric_name_ko,
+  f.metric_value,
+  f.order_start_date,
+  f.order_end_date,
+  f.order_ym,
+  CONCAT(
+    '[ ', strftime(f.order_end_date, '%y'), '년 ',
+    strftime(f.order_end_date, '%m'), '월 ]', chr(10),
+    CASE WHEN f.order_start_date != f.order_end_date
+      THEN CONCAT(strftime(f.order_start_date, '%y/%m/%d'), sd.name_ko,
+                  chr(10), '~ ')
+      ELSE chr(10) END,
+    strftime(f.order_end_date, '%y/%m/%d'), ed.name_ko) AS order_date_range
+FROM unp AS f
+LEFT JOIN pm AS item ON f.product_id = item.product_id
+LEFT JOIN shop_dim AS shop ON f.shop_id = shop.shop_id
+LEFT JOIN status_map AS st ON f.order_status = st.code
+LEFT JOIN metric_map AS m ON f.metric_name = m.name_en
+LEFT JOIN dow_map AS sd ON dayofweek(f.order_start_date) + 1 = sd.dayofweek
+LEFT JOIN dow_map AS ed ON dayofweek(f.order_end_date) + 1 = ed.dayofweek
+"""

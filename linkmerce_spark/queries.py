@@ -1757,6 +1757,114 @@ def q_smartstore_split_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- full profit dim stack
+_PROFIT_SHOPS = [
+    "shop0055", "shop0075", "adop0001", "adop0002",
+    "adop0006", "adop0003", "adop9000", "shop1234",
+]
+
+
+def _profit_inputs(spark: SparkSession, sf_dir: str):
+    """Synthetic core__sales_daily-shaped fact + extra_profit rows from
+    orders: shop decorrelated from status ((key DIV 8) % 8 vs key % 8),
+    amounts derived in exact decimal so both engines floor identically."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    shops = F.array(*[F.lit(s) for s in _PROFIT_SHOPS])
+    pid = F.concat(F.lit("p"), (ok % 40).cast("string"))
+    fact = orders.select(
+        pid.alias("product_id"),
+        F.element_at(
+            shops, (F.expr("(o_orderkey DIV 8) % 8") + 1).cast("int")
+        ).alias("shop_id"),
+        (ok % 8).cast("int").alias("order_status"),
+        (ok % 5).cast("long").alias("sku_quantity"),
+        F.floor(dec).cast("long").alias("payment_amount"),
+        F.floor(dec * F.lit("0.9").cast("decimal(2,1)")).cast("long").alias(
+            "supply_amount"
+        ),
+        F.floor(dec * F.lit("0.6").cast("decimal(2,1)")).cast("long").alias(
+            "supply_cost"
+        ),
+        ((ok % 7) * 100).cast("long").alias("delivery_fee"),
+        ((ok % 11) * 50).cast("long").alias("ad_cost"),
+        ((ok % 13) * 10).cast("long").alias("extra_cost"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+    extra = orders.filter(ok % 97 == 0).select(
+        pid.alias("product_id"),
+        F.lit("adop0003").alias("shop_id"),
+        F.expr(
+            "CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) DIV 10"
+        ).alias("profit"),
+        F.col("o_orderdate").cast("date").alias("ymd"),
+    )
+    return fact, extra
+
+
+def _profit_product_master(spark: SparkSession) -> DataFrame:
+    """35-row product master (ids p35..p39 deliberately unmatched to
+    exercise the COALESCE fallback labels)."""
+    i = F.col("id")
+    return spark.range(35).select(
+        F.concat(F.lit("p"), i.cast("string")).alias("product_id"),
+        F.concat(F.lit("IT-"), F.lpad(i.cast("string"), 6, "0")).alias("item_id"),
+        (i * 10).cast("int").alias("item_seq"),
+        F.concat(F.lit("team"), (i % 3).cast("string")).alias("team_name"),
+        F.concat(F.lit("brand"), (i % 5).cast("string")).alias("brand_name"),
+        F.concat(F.lit("cat"), (i % 2).cast("string")).alias("category_name1"),
+        F.concat(F.lit("sub"), (i % 3).cast("string")).alias("category_name2"),
+        F.concat(F.lit("leaf"), (i % 4).cast("string")).alias("category_name3"),
+        F.concat(F.lit("g4-"), (i % 5).cast("string")).alias("category_name4"),
+        F.concat(F.lit("color"), (i % 4).cast("string")).alias("color"),
+        F.concat(F.lit("product "), i.cast("string")).alias("product_name"),
+        F.when(i % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("ea"), (i % 3).cast("string")))
+        .alias("unit_name"),
+        (i % 4 + 1).cast("int").alias("unit_scale"),
+    )
+
+
+def q_profit_base_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analytics__profit_base (marts/profit): per-status metric gating,
+    the adop9000 payment exclusion, margin/profit derivation, and the
+    zero-padded extra-profit UNION (dbt analytics__profit_base.sql:17-78)."""
+    from linkmerce_spark.marts.profit import profit_base
+
+    fact, extra = _profit_inputs(spark, sf_dir)
+    return profit_base(fact, extra, "1995-06-01", "1995-06-30")
+
+
+def q_profit_mom_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analytics__profit_mom full stack (marts/profit): TVF-calls-TVF
+    with ds-range + month-bucketed lookback aggregates, per-shop CASE
+    splits, per-order_ym MIN/MAX window, 19-metric stack unpivot, and
+    the 6-way broadcast dim join with fallback labels and the composed
+    Korean metric/date labels."""
+    from linkmerce_spark.marts.profit import profit_base, profit_mom_dims
+
+    fact, extra = _profit_inputs(spark, sf_dir)
+    shop_dim = spark.createDataFrame(
+        [
+            ("shop0055", "smartstore", "SS-A"),
+            ("shop0075", "coupang", "CP-A"),
+            ("adop0001", "adops", "Google"),
+            ("adop0002", "adops", "Meta"),
+            ("adop9000", "extra", "Manual"),
+        ],
+        "shop_id string, shop_group string, shop_alias string",
+    )
+    return profit_mom_dims(
+        lambda s, e: profit_base(fact, extra, s, e),
+        _profit_product_master(spark),
+        shop_dim,
+        "1995-06-01",
+        "1995-06-21",
+        2,
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "star_join_revenue": q_star_join_revenue,
@@ -1826,4 +1934,6 @@ QUERIES = {
     "searchad_insight_daily": q_searchad_insight_daily,
     "smartstore_max_delivery_fee": q_smartstore_max_delivery_fee,
     "smartstore_split_sales": q_smartstore_split_sales,
+    "profit_base_gates": q_profit_base_gates,
+    "profit_mom_dims": q_profit_mom_dims,
 }
