@@ -1712,3 +1712,115 @@ LEFT JOIN metric_map AS m ON f.metric_name = m.name_en
 LEFT JOIN dow_map AS sd ON dayofweek(f.order_start_date) + 1 = sd.dayofweek
 LEFT JOIN dow_map AS ed ON dayofweek(f.order_end_date) + 1 = ed.dayofweek
 """
+
+# --- sabangnet order dataset ----------------------------------------------
+_SBN_RAW_CTE = """
+raw AS (
+  SELECT o_orderkey AS ok,
+    CAST(o_orderkey AS VARCHAR) AS seq,
+    CASE WHEN o_orderkey % 23 = 0 THEN 'x'
+         WHEN o_orderkey % 10 = 0 THEN '0'
+         ELSE CAST(o_orderkey - 1 AS VARCHAR) END AS seq_org,
+    'm' || CAST(o_orderkey AS VARCHAR) AS order_id,
+    CAST(o_orderkey % 3 AS VARCHAR) AS account,
+    'opt' || CAST(o_orderkey % 5 AS VARCHAR) AS option_cd,
+    'ps' || CAST(o_orderkey % 12 AS VARCHAR) AS product_shop,
+    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') || ' 23:59:59' AS register_s,
+    CASE WHEN o_orderkey % 13 = 0 THEN 'bad-date'
+         ELSE strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') || ' '
+              || lpad(CAST(o_orderkey % 24 AS VARCHAR), 2, '0') || ':'
+              || lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0') END AS order_dt_s,
+    CASE WHEN o_orderkey % 4 = 0 THEN NULL
+         ELSE 'mdl' || CAST(o_orderkey % 20 AS VARCHAR) END AS model_code,
+    'mid' || CAST(o_orderkey % 9 AS VARCHAR) AS model_id,
+    CASE WHEN o_orderkey % 6 = 0 THEN NULL
+         ELSE 'pn' || CAST(o_orderkey % 15 AS VARCHAR) END AS product_name,
+    'pns' || CAST(o_orderkey % 15 AS VARCHAR) AS product_name_shop,
+    CASE WHEN o_orderkey % 2 = 0 THEN NULL
+         ELSE 'ab' || CAST(o_orderkey % 7 AS VARCHAR) END AS product_name_abbr,
+    'on' || CAST(o_orderkey % 8 AS VARCHAR) AS option_name,
+    'ons' || CAST(o_orderkey % 8 AS VARCHAR) AS option_name_shop,
+    CASE WHEN o_orderkey % 3 = 0 THEN NULL
+         ELSE 'oa' || CAST(o_orderkey % 4 AS VARCHAR) END AS option_name_abbr,
+    CASE WHEN o_orderkey % 29 = 0 THEN 'n/a'
+         ELSE CAST((o_orderkey % 9) * 1000 AS VARCHAR) END AS sales_price_s,
+    CASE WHEN o_orderkey % 3 = 0 THEN NULL
+         ELSE 'inv' || CAST(o_orderkey AS VARCHAR) END AS invoice_no,
+    (['CJ','한진','로젠'])[CAST(o_orderkey % 3 + 1 AS INT)] AS delivery_company,
+    (['주문(진행)','주문(완료)','교발(진행)','교발(완료)','회수(진행)','회수(완료)','중복'])[CAST(o_orderkey % 7 + 1 AS INT)] AS status_div_label,
+    (['신규주문','주문확인','출고대기','출고완료','배송보류','취소접수','교환접수','반품접수','취소완료','교환완료','반품완료','교환발송준비','교환발송완료','교환회수준비','교환회수완료','반품회수준비','반품회수완료','폐기','특수'])[CAST(o_orderkey % 19 + 1 AS INT)] AS status_label,
+    CASE WHEN o_orderkey % 11 = 0 THEN 'none'
+         ELSE strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') END AS invoice_date_s
+  FROM orders
+)
+"""
+
+_SBN_OPTION_PROJ = """
+  SELECT DISTINCT option_cd AS option_id, product_shop AS product_id_shop,
+    CAST(account AS INT) AS account_no, model_code, model_id, product_name,
+    product_name_shop, product_name_abbr, option_name, option_name_shop,
+    option_name_abbr, TRY_CAST(sales_price_s AS INT) AS sales_price,
+    order_id, try_strptime(order_dt_s, '%Y-%m-%d %H:%M') AS first_order_dt,
+    try_strptime(order_dt_s, '%Y-%m-%d %H:%M') AS last_order_dt
+  FROM raw WHERE ok % 2 = {parity}
+"""
+
+_SBN_QUALIFY = """
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY account_no, product_id_shop, option_id
+    ORDER BY last_order_dt DESC NULLS LAST, order_id ASC NULLS LAST,
+             sales_price ASC NULLS LAST) = 1
+"""
+
+ORACLES["sabangnet_option_upsert"] = f"""
+WITH {_SBN_RAW_CTE},
+tgt AS ({_SBN_OPTION_PROJ.format(parity=0)} {_SBN_QUALIFY}),
+stg AS ({_SBN_OPTION_PROJ.format(parity=1)} {_SBN_QUALIFY})
+SELECT
+  COALESCE(t.account_no, s.account_no) AS account_no,
+  COALESCE(t.product_id_shop, s.product_id_shop) AS product_id_shop,
+  COALESCE(t.option_id, s.option_id) AS option_id,
+  COALESCE(s.model_code, t.model_code) AS model_code,
+  COALESCE(s.model_id, t.model_id) AS model_id,
+  COALESCE(s.product_name, t.product_name) AS product_name,
+  COALESCE(s.product_name_shop, t.product_name_shop) AS product_name_shop,
+  COALESCE(s.product_name_abbr, t.product_name_abbr) AS product_name_abbr,
+  COALESCE(s.option_name, t.option_name) AS option_name,
+  COALESCE(s.option_name_shop, t.option_name_shop) AS option_name_shop,
+  COALESCE(s.option_name_abbr, t.option_name_abbr) AS option_name_abbr,
+  COALESCE(s.sales_price, t.sales_price) AS sales_price,
+  COALESCE(s.order_id, t.order_id) AS order_id,
+  strftime(LEAST(s.first_order_dt, t.first_order_dt), '%Y-%m-%d %H:%M:%S') AS first_order_dt,
+  strftime(GREATEST(s.last_order_dt, t.last_order_dt), '%Y-%m-%d %H:%M:%S') AS last_order_dt
+FROM tgt AS t
+FULL OUTER JOIN stg AS s
+  ON t.account_no = s.account_no
+ AND t.product_id_shop = s.product_id_shop
+ AND t.option_id = s.option_id
+"""
+
+ORACLES["sabangnet_invoice_enum"] = f"""
+WITH {_SBN_RAW_CTE}
+SELECT CAST(seq AS BIGINT) AS order_seq,
+  CAST(account AS INT) AS account_no,
+  invoice_no,
+  delivery_company,
+  (CASE status_div_label
+     WHEN '주문(진행)' THEN 1 WHEN '주문(완료)' THEN 2
+     WHEN '교발(진행)' THEN 3 WHEN '교발(완료)' THEN 4
+     WHEN '회수(진행)' THEN 5 WHEN '회수(완료)' THEN 6
+     ELSE NULL END) AS order_status_div,
+  (CASE status_label
+     WHEN '신규주문' THEN 1 WHEN '주문확인' THEN 2 WHEN '출고대기' THEN 3
+     WHEN '출고완료' THEN 4 WHEN '배송보류' THEN 6 WHEN '취소접수' THEN 7
+     WHEN '교환접수' THEN 8 WHEN '반품접수' THEN 9 WHEN '취소완료' THEN 10
+     WHEN '교환완료' THEN 11 WHEN '반품완료' THEN 12 WHEN '교환발송준비' THEN 21
+     WHEN '교환발송완료' THEN 22 WHEN '교환회수준비' THEN 23
+     WHEN '교환회수완료' THEN 24 WHEN '반품회수준비' THEN 25
+     WHEN '반품회수완료' THEN 26 WHEN '폐기' THEN 999
+     ELSE NULL END) AS order_status,
+  TRY_CAST(invoice_date_s AS DATE) AS invoice_date,
+  strftime(try_strptime(order_dt_s, '%Y-%m-%d %H:%M'), '%Y-%m-%d %H:%M:%S') AS order_dt
+FROM raw
+WHERE invoice_no IS NOT NULL AND try_strptime(order_dt_s, '%Y-%m-%d %H:%M') IS NOT NULL
+"""

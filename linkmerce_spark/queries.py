@@ -1757,6 +1757,130 @@ def q_smartstore_split_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- sabangnet order dataset
+_SBN_DIV_LABELS = [
+    "주문(진행)", "주문(완료)", "교발(진행)", "교발(완료)",
+    "회수(진행)", "회수(완료)", "중복",
+]
+_SBN_STS_LABELS = [
+    "신규주문", "주문확인", "출고대기", "출고완료", "배송보류", "취소접수",
+    "교환접수", "반품접수", "취소완료", "교환완료", "반품완료", "교환발송준비",
+    "교환발송완료", "교환회수준비", "교환회수완료", "반품회수준비",
+    "반품회수완료", "폐기", "특수",
+]
+
+
+def _sabangnet_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic Sabangnet order-download spreadsheet (Korean headers)
+    from orders: deliberate bad dates/numbers exercise the TRY_CAST
+    paths, NULL invoices the filters, and the 7th/19th enum labels the
+    unmatched -> NULL branches."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    date_s = F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd")
+    order_dt = F.when(ok % 13 == 0, F.lit("bad-date")).otherwise(
+        F.concat(
+            date_s,
+            F.lit(" "),
+            F.lpad((ok % 24).cast("string"), 2, "0"),
+            F.lit(":"),
+            F.lpad((ok % 60).cast("string"), 2, "0"),
+        )
+    )
+    div = F.array(*[F.lit(s) for s in _SBN_DIV_LABELS])
+    sts = F.array(*[F.lit(s) for s in _SBN_STS_LABELS])
+    return orders.select(
+        ok.alias("ok"),
+        ok.cast("string").alias("주문번호(사방넷)"),
+        F.when(ok % 23 == 0, F.lit("x"))
+        .when(ok % 10 == 0, F.lit("0"))
+        .otherwise((ok - 1).cast("string"))
+        .alias("원주문번호(사방넷)"),
+        F.concat(F.lit("m"), ok.cast("string")).alias("주문번호(쇼핑몰)"),
+        F.when(ok % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("d"), ok.cast("string")))
+        .alias("부주문번호"),
+        (ok % 3).cast("string").alias("계정등록순번"),
+        F.concat(F.lit("opt"), (ok % 5).cast("string")).alias("상품코드(사방넷)"),
+        F.concat(F.lit("ps"), (ok % 12).cast("string")).alias("상품코드(쇼핑몰)"),
+        F.when(ok % 17 == 0, F.lit("x"))
+        .otherwise((ok % 4 + 1).cast("string"))
+        .alias("수량"),
+        (ok % 6 + 1).cast("string").alias("EA(확정)"),
+        F.floor(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("string")
+        .alias("결제금액"),
+        (F.floor(F.col("o_totalprice").cast("decimal(18,2)")) + 100)
+        .cast("string")
+        .alias("주문금액"),
+        F.concat(date_s, F.lit(" 23:59:59")).alias("수집일시(YYYY-MM-DD HH:MM:SS)"),
+        order_dt.alias("주문일시(YYYY-MM-DD HH:MM)"),
+        F.when(ok % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("mdl"), (ok % 20).cast("string")))
+        .alias("모델명"),
+        F.concat(F.lit("mid"), (ok % 9).cast("string")).alias("자체상품코드"),
+        F.when(ok % 6 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("pn"), (ok % 15).cast("string")))
+        .alias("상품명(확정)"),
+        F.concat(F.lit("pns"), (ok % 15).cast("string")).alias("상품명(수집)"),
+        F.when(ok % 2 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("ab"), (ok % 7).cast("string")))
+        .alias("상품약어"),
+        F.concat(F.lit("on"), (ok % 8).cast("string")).alias("옵션(확정)"),
+        F.concat(F.lit("ons"), (ok % 8).cast("string")).alias("옵션(수집)"),
+        F.when(ok % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("oa"), (ok % 4).cast("string")))
+        .alias("옵션별칭"),
+        F.when(ok % 29 == 0, F.lit("n/a"))
+        .otherwise(((ok % 9) * 1000).cast("string"))
+        .alias("판매가(상품)"),
+        F.when(ok % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("inv"), ok.cast("string")))
+        .alias("송장번호"),
+        F.element_at(
+            F.array(F.lit("CJ"), F.lit("한진"), F.lit("로젠")),
+            (ok % 3 + 1).cast("int"),
+        ).alias("택배사"),
+        F.element_at(div, (ok % 7 + 1).cast("int")).alias("주문구분"),
+        F.element_at(sts, (ok % 19 + 1).cast("int")).alias("주문상태"),
+        F.when(ok % 11 == 0, F.lit("none")).otherwise(date_s).alias(
+            "송장등록일자(YYYY-MM-DD)"
+        ),
+    )
+
+
+def q_sabangnet_option_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sabangnet OrderDownload option path (models/sabangnet): DISTINCT
+    + QUALIFY latest-per-key dedup on both batches, then the 12x
+    COALESCE + LEAST/GREATEST upsert (core/sabangnet/admin/order/
+    models.sql:162-198)."""
+    from linkmerce_spark.models.sabangnet import download_option, upsert_options
+
+    raw = _sabangnet_raw(spark, sf_dir)
+    target = download_option(raw.filter(F.col("ok") % 2 == 0))
+    staged = download_option(raw.filter(F.col("ok") % 2 == 1))
+    merged = upsert_options(target, staged)
+    ts = lambda c: F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss").alias(c)  # noqa: E731
+    return merged.select(
+        *[c for c in merged.columns if c not in ("first_order_dt", "last_order_dt")],
+        ts("first_order_dt"),
+        ts("last_order_dt"),
+    )
+
+
+def q_sabangnet_invoice_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sabangnet OrderDownload invoice path (models/sabangnet): non-null
+    invoice/date guards plus the 6-value and 18-value enum blocks
+    (core/sabangnet/admin/order/models.sql:200-242)."""
+    from linkmerce_spark.models.sabangnet import download_invoice
+
+    inv = download_invoice(_sabangnet_raw(spark, sf_dir))
+    return inv.select(
+        *[c for c in inv.columns if c != "order_dt"],
+        F.date_format(F.col("order_dt"), "yyyy-MM-dd HH:mm:ss").alias("order_dt"),
+    )
+
+
 # ----------------------------------------------- full profit dim stack
 _PROFIT_SHOPS = [
     "shop0055", "shop0075", "adop0001", "adop0002",
@@ -1936,4 +2060,6 @@ QUERIES = {
     "smartstore_split_sales": q_smartstore_split_sales,
     "profit_base_gates": q_profit_base_gates,
     "profit_mom_dims": q_profit_mom_dims,
+    "sabangnet_option_upsert": q_sabangnet_option_upsert,
+    "sabangnet_invoice_enum": q_sabangnet_invoice_enum,
 }
