@@ -1824,3 +1824,98 @@ SELECT CAST(seq AS BIGINT) AS order_seq,
 FROM raw
 WHERE invoice_no IS NOT NULL AND try_strptime(order_dt_s, '%Y-%m-%d %H:%M') IS NOT NULL
 """
+
+# --- coupang ads + settlement ---------------------------------------------
+ORACLES["coupang_ad_report_rollup"] = """
+WITH raw AS (
+  SELECT
+    CAST(l_partkey % 15 AS VARCHAR) AS campaign_s,
+    CAST(l_suppkey % 20 AS VARCHAR) AS option_s,
+    CASE WHEN l_orderkey % 6 = 0 THEN NULL
+         ELSE CAST(l_partkey % 8 AS VARCHAR) END AS conv_s,
+    (['검색 영역','비검색 영역','외부 채널'])[CAST(l_linenumber % 3 + 1 AS INT)] AS placement_s,
+    CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(18,2))) AS BIGINT) % 100000 AS v,
+    l_quantity, l_orderkey,
+    CAST(year(CAST(l_shipdate AS DATE)) * 10000
+       + month(CAST(l_shipdate AS DATE)) * 100
+       + day(CAST(l_shipdate AS DATE)) AS BIGINT) AS ymd_n
+  FROM lineitem
+), fmt AS (
+  SELECT *,
+    CASE WHEN v >= 1000
+      THEN CAST(v // 1000 AS VARCHAR) || ',' || lpad(CAST(v % 1000 AS VARCHAR), 3, '0')
+      ELSE CAST(v AS VARCHAR) END AS impressions_s,
+    CASE WHEN l_orderkey % 31 = 0 THEN 'n/a'
+      WHEN CAST(l_quantity AS BIGINT) * 7 >= 1000
+      THEN CAST((CAST(l_quantity AS BIGINT) * 7) // 1000 AS VARCHAR) || ','
+           || lpad(CAST((CAST(l_quantity AS BIGINT) * 7) % 1000 AS VARCHAR), 3, '0')
+      ELSE CAST(CAST(l_quantity AS BIGINT) * 7 AS VARCHAR) END AS clicks_s,
+    CASE WHEN v % 5000 >= 1000
+      THEN CAST((v % 5000) // 1000 AS VARCHAR) || ',' || lpad(CAST((v % 5000) % 1000 AS VARCHAR), 3, '0')
+      ELSE CAST(v % 5000 AS VARCHAR) END AS cost_s,
+    CAST(l_orderkey % 9 AS VARCHAR) AS conv_count_s,
+    CAST(l_orderkey % 4 AS VARCHAR) AS direct_conv_count_s,
+    CASE WHEN v % 9000 >= 1000
+      THEN CAST((v % 9000) // 1000 AS VARCHAR) || ',' || lpad(CAST((v % 9000) % 1000 AS VARCHAR), 3, '0')
+      ELSE CAST(v % 9000 AS VARCHAR) END AS conv_amount_s,
+    CASE WHEN v % 3000 >= 1000
+      THEN CAST((v % 3000) // 1000 AS VARCHAR) || ',' || lpad(CAST((v % 3000) % 1000 AS VARCHAR), 3, '0')
+      ELSE CAST(v % 3000 AS VARCHAR) END AS direct_conv_amount_s
+  FROM raw
+), parsed AS (
+  SELECT
+    CAST(campaign_s AS BIGINT) AS campaign_id,
+    CAST(option_s AS BIGINT) AS option_id,
+    COALESCE(CAST(conv_s AS BIGINT), 0) AS option_conv_id,
+    (CASE WHEN placement_s = '검색 영역' THEN 0
+          WHEN placement_s = '비검색 영역' THEN 1
+          ELSE 2 END) AS placement_group,
+    TRY_CAST(REPLACE(impressions_s, ',', '') AS INTEGER) AS impression_count,
+    TRY_CAST(REPLACE(clicks_s, ',', '') AS INTEGER) AS click_count,
+    TRY_CAST(REPLACE(cost_s, ',', '') AS INTEGER) AS ad_cost,
+    TRY_CAST(REPLACE(conv_count_s, ',', '') AS INTEGER) AS conv_count,
+    TRY_CAST(REPLACE(direct_conv_count_s, ',', '') AS INTEGER) AS direct_conv_count,
+    TRY_CAST(REPLACE(conv_amount_s, ',', '') AS INTEGER) AS conv_amount,
+    TRY_CAST(REPLACE(direct_conv_amount_s, ',', '') AS INTEGER) AS direct_conv_amount,
+    CAST(STRPTIME(CAST(ymd_n AS VARCHAR), '%Y%m%d') AS DATE) AS ymd
+  FROM fmt
+)
+SELECT ymd, campaign_id, option_id, option_conv_id, placement_group,
+  CAST(SUM(impression_count) AS BIGINT) AS impression_count,
+  CAST(SUM(click_count) AS BIGINT) AS click_count,
+  CAST(SUM(ad_cost) AS BIGINT) AS ad_cost,
+  CAST(SUM(conv_count) AS BIGINT) AS conv_count,
+  CAST(SUM(direct_conv_count) AS BIGINT) AS direct_conv_count,
+  CAST(SUM(conv_amount) AS BIGINT) AS conv_amount,
+  CAST(SUM(direct_conv_amount) AS BIGINT) AS direct_conv_amount,
+  'v001' AS vendor_id
+FROM parsed
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+ORACLES["coupang_settlement_sales"] = """
+WITH raw AS (
+  SELECT o_orderkey AS ok,
+    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS date_s,
+    CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) AS total_n
+  FROM orders
+)
+SELECT CAST(ok AS BIGINT) AS order_id,
+  'v001' AS vendor_id,
+  CAST(ok % 40 AS BIGINT) AS product_id,
+  CAST(ok % 100 AS BIGINT) AS option_id,
+  TRY_CAST(CASE WHEN ok % 9 = 0 THEN 'bad' ELSE CAST(ok % 500 AS VARCHAR) END AS BIGINT) AS sku_id,
+  CAST(ok % 77 AS INT) AS category_id,
+  (CASE (['주문 정산','주문 정산취소','기타유형'])[CAST(ok % 3 + 1 AS INT)]
+     WHEN '주문 정산' THEN 0 WHEN '주문 정산취소' THEN 1 ELSE 99 END) AS settlement_type,
+  (CASE (['주정산','월정산','반기정산'])[CAST(ok % 3 + 1 AS INT)]
+     WHEN '주정산' THEN 0 WHEN '월정산' THEN 1 ELSE 99 END) AS period_type,
+  CAST((ok % 50) * 100 AS INT) AS unit_price,
+  CAST(ok % 7 + 1 AS INT) AS order_quantity,
+  TRY_CAST(CASE WHEN ok % 21 = 0 THEN '-' ELSE CAST((ok % 5) * 10 AS VARCHAR) END AS INT) AS coupang_discount,
+  CAST((ok % 11) * 5 AS INT) AS seller_discount,
+  CAST(total_n AS INT) AS settlement_amount,
+  CAST(date_s AS DATE) AS sales_date,
+  TRY_CAST(CASE WHEN ok % 8 = 0 THEN 'none' ELSE date_s END AS DATE) AS settlement_date
+FROM raw
+"""

@@ -1881,6 +1881,106 @@ def q_sabangnet_invoice_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- coupang ads + settlement
+def _coupang_ad_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic Coupang ad-report download (Korean headers) from
+    lineitem: comma-formatted numbers, integer yyyymmdd dates, the
+    3-way placement labels, and deliberate junk numerics."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    lk = F.col("l_orderkey")
+    ship = F.col("l_shipdate").cast("date")
+    v = (F.floor(F.col("l_extendedprice").cast("decimal(18,2)")) % 100000).cast(
+        "long"
+    )
+
+    def comma(x: Column) -> Column:
+        return F.when(
+            x >= 1000,
+            F.concat(
+                (x / 1000).cast("long").cast("string"),
+                F.lit(","),
+                F.lpad((x % 1000).cast("string"), 3, "0"),
+            ),
+        ).otherwise(x.cast("string"))
+
+    return li.select(
+        (F.col("l_partkey") % 15).cast("string").alias("캠페인 ID"),
+        (F.col("l_suppkey") % 20).cast("string").alias("광고집행 옵션ID"),
+        F.when(lk % 6 == 0, F.lit(None).cast("string"))
+        .otherwise((F.col("l_partkey") % 8).cast("string"))
+        .alias("광고전환매출발생 옵션ID"),
+        F.element_at(
+            F.array(F.lit("검색 영역"), F.lit("비검색 영역"), F.lit("외부 채널")),
+            (F.col("l_linenumber") % 3 + 1).cast("int"),
+        ).alias("광고 노출 지면"),
+        comma(v).alias("노출수"),
+        F.when(lk % 31 == 0, F.lit("n/a"))
+        .otherwise(comma((F.col("l_quantity").cast("long") * 7)))
+        .alias("클릭수"),
+        comma(v % 5000).alias("광고비"),
+        (lk % 9).cast("string").alias("총 주문수(1일)"),
+        (lk % 4).cast("string").alias("직접 판매수량(1일)"),
+        comma(v % 9000).alias("총 전환매출액(1일)"),
+        comma(v % 3000).alias("직접 전환매출액(1일)"),
+        (
+            F.year(ship) * 10000 + F.month(ship) * 100 + F.dayofmonth(ship)
+        ).cast("long").alias("날짜"),
+    )
+
+
+def q_coupang_ad_report_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coupang ProductAdReport (models/coupang): comma-number TRY_CASTs,
+    placement enum with ELSE catch-all, COALESCE(conv, 0), integer
+    yyyymmdd dates, SUM rollup to the report PK
+    (core/coupang/advertising/report/models.sql:145-189)."""
+    from linkmerce_spark.models.coupang import product_ad_report
+
+    return product_ad_report(_coupang_ad_raw(spark, sf_dir), "v001")
+
+
+def q_coupang_settlement_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coupang RocketSettlement sales rows (models/coupang): the
+    transaction/period enum blocks with the ELSE 99 unknown bucket and
+    TRY_CAST amount/date parses (core/coupang/wing/settlement/
+    models.sql:127-156)."""
+    from linkmerce_spark.models.coupang import settlement_sales
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    date_s = F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd")
+    raw = orders.select(
+        ok.cast("string").alias("주문ID"),
+        (ok % 40).cast("string").alias("등록상품 ID"),
+        (ok % 100).cast("string").alias("옵션ID"),
+        F.when(ok % 9 == 0, F.lit("bad")).otherwise((ok % 500).cast("string")).alias(
+            "SKU ID"
+        ),
+        (ok % 77).cast("string").alias("카테고리ID"),
+        F.element_at(
+            F.array(F.lit("주문 정산"), F.lit("주문 정산취소"), F.lit("기타유형")),
+            (ok % 3 + 1).cast("int"),
+        ).alias("거래유형"),
+        F.element_at(
+            F.array(F.lit("주정산"), F.lit("월정산"), F.lit("반기정산")),
+            (ok % 3 + 1).cast("int"),
+        ).alias("정산유형"),
+        ((ok % 50) * 100).cast("string").alias("판매가(A)"),
+        (ok % 7 + 1).cast("string").alias("판매수량(B)"),
+        F.when(ok % 21 == 0, F.lit("-")).otherwise(((ok % 5) * 10).cast("string")).alias(
+            "쿠팡지원할인(C)"
+        ),
+        ((ok % 11) * 5).cast("string").alias("판매자할인쿠폰(D+E)"),
+        F.floor(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("string")
+        .alias("정산대상액"),
+        date_s.alias("매출인식일"),
+        F.when(ok % 8 == 0, F.lit("none")).otherwise(date_s).alias(
+            "정산주기(종료일)"
+        ),
+    )
+    return settlement_sales(raw, "v001")
+
+
 # ----------------------------------------------- full profit dim stack
 _PROFIT_SHOPS = [
     "shop0055", "shop0075", "adop0001", "adop0002",
@@ -2062,4 +2162,6 @@ QUERIES = {
     "profit_mom_dims": q_profit_mom_dims,
     "sabangnet_option_upsert": q_sabangnet_option_upsert,
     "sabangnet_invoice_enum": q_sabangnet_invoice_enum,
+    "coupang_ad_report_rollup": q_coupang_ad_report_rollup,
+    "coupang_settlement_sales": q_coupang_settlement_sales,
 }
