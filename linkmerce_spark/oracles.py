@@ -1919,3 +1919,75 @@ SELECT CAST(ok AS BIGINT) AS order_id,
   TRY_CAST(CASE WHEN ok % 8 = 0 THEN 'none' ELSE date_s END AS DATE) AS settlement_date
 FROM raw
 """
+
+# --- smartstore product/sales ----------------------------------------------
+ORACLES["smartstore_option_assembly"] = """
+WITH base AS (
+  SELECT o_orderkey AS seq,
+    CAST(o_orderkey AS VARCHAR) AS id,
+    (o_orderkey % 2 = 0) AS usable,
+    'g' || CAST(o_orderkey % 3 AS VARCHAR) AS groupName,
+    'n' || CAST(o_orderkey % 10 AS VARCHAR) AS name,
+    CASE WHEN o_orderkey % 21 = 0 THEN 'bad'
+         ELSE CAST((o_orderkey % 20) * 100 AS VARCHAR) END AS price,
+    CASE WHEN o_orderkey % 13 = 0 THEN '?'
+         ELSE CAST(o_orderkey % 50 AS VARCHAR) END AS stockQuantity,
+    'og1-' || CAST(o_orderkey % 4 AS VARCHAR) AS optionGroupName1,
+    'on1-' || CAST(o_orderkey % 5 AS VARCHAR) AS optionName1,
+    'og2-' || CAST(o_orderkey % 3 AS VARCHAR) AS optionGroupName2,
+    'on2-' || CAST(o_orderkey % 6 AS VARCHAR) AS optionName2,
+    CASE WHEN o_orderkey % 8 = 0 THEN NULL
+         ELSE 'og3-' || CAST(o_orderkey % 2 AS VARCHAR) END AS optionGroupName3,
+    'on3-' || CAST(o_orderkey % 7 AS VARCHAR) AS optionName3,
+    'mc' || CAST(o_orderkey % 9 AS VARCHAR) AS sellerManagerCode,
+    o_orderkey % 3 AS variant
+  FROM orders
+)
+SELECT CAST(777 AS BIGINT) AS product_id, CAST(id AS BIGINT) AS option_id,
+  CAST(42 AS BIGINT) AS channel_seq, CAST(0 AS INT) AS product_type,
+  groupName AS option_group1, name AS option_name1,
+  CAST(NULL AS VARCHAR) AS option_group2, CAST(NULL AS VARCHAR) AS option_name2,
+  CAST(NULL AS VARCHAR) AS option_group3, CAST(NULL AS VARCHAR) AS option_name3,
+  CAST(NULL AS VARCHAR) AS management_code, usable,
+  COALESCE(TRY_CAST(price AS INT), 0) AS option_price,
+  TRY_CAST(stockQuantity AS INT) AS stock_quantity,
+  CAST(ROW_NUMBER() OVER (ORDER BY seq ASC) AS INT) AS register_order
+FROM base WHERE variant = 0
+UNION ALL
+SELECT 777, CAST(id AS BIGINT), 42, 1,
+  optionGroupName1, optionName1, optionGroupName2, optionName2,
+  optionGroupName3, optionName3, sellerManagerCode, usable,
+  CAST(price AS INT) AS option_price,
+  TRY_CAST(stockQuantity AS INT),
+  CAST(ROW_NUMBER() OVER (ORDER BY seq ASC) AS INT)
+FROM base WHERE variant = 1
+UNION ALL
+SELECT 777, CAST(id AS BIGINT), 42, 2,
+  groupName, name, NULL, NULL, NULL, NULL, sellerManagerCode, usable,
+  CAST(price AS INT),
+  TRY_CAST(stockQuantity AS INT),
+  CAST(ROW_NUMBER() OVER (ORDER BY seq ASC) AS INT)
+FROM base WHERE variant = 2
+"""
+
+ORACLES["smartstore_sales_rollup"] = """
+WITH items AS (
+  SELECT DISTINCT
+    CAST(l_partkey % 200 AS BIGINT) AS product_id,
+    CAST(3100 AS BIGINT) AS mall_seq,
+    TRY_CAST(CASE WHEN l_partkey % 11 = 0 THEN 'x'
+                  ELSE CAST(l_partkey % 40 AS VARCHAR) END AS INT) AS category_id3,
+    CAST(l_suppkey % 50 AS BIGINT) AS click_count,
+    CAST(l_suppkey % 7 AS BIGINT) AS payment_count,
+    CAST((l_suppkey % 90) * 100 AS BIGINT) AS payment_amount,
+    DATE '1995-06-30' AS payment_date
+  FROM lineitem
+)
+SELECT product_id, payment_date,
+  MAX(mall_seq) AS mall_seq,
+  MAX(category_id3) AS category_id3,
+  CAST(SUM(click_count) AS BIGINT) AS click_count,
+  CAST(SUM(payment_count) AS BIGINT) AS payment_count,
+  CAST(SUM(payment_amount) AS BIGINT) AS payment_amount
+FROM items GROUP BY 1, 2
+"""

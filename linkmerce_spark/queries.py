@@ -1881,6 +1881,76 @@ def q_sabangnet_invoice_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- smartstore product/sales
+def q_smartstore_option_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """smartstore Option 3-variant assembly (models/smartstore): typed
+    NULL alignment (U1) + per-variant insertion-order register
+    (core/smartstore/api/product/models.sql:116-204)."""
+    from linkmerce_spark.models.smartstore import assemble_options
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    base = orders.select(
+        ok.alias("seq"),
+        ok.cast("string").alias("id"),
+        (ok % 2 == 0).alias("usable"),
+        F.concat(F.lit("g"), (ok % 3).cast("string")).alias("groupName"),
+        F.concat(F.lit("n"), (ok % 10).cast("string")).alias("name"),
+        F.when(ok % 21 == 0, F.lit("bad"))
+        .otherwise(((ok % 20) * 100).cast("string"))
+        .alias("price"),
+        F.when(ok % 13 == 0, F.lit("?"))
+        .otherwise((ok % 50).cast("string"))
+        .alias("stockQuantity"),
+        F.concat(F.lit("og1-"), (ok % 4).cast("string")).alias("optionGroupName1"),
+        F.concat(F.lit("on1-"), (ok % 5).cast("string")).alias("optionName1"),
+        F.concat(F.lit("og2-"), (ok % 3).cast("string")).alias("optionGroupName2"),
+        F.concat(F.lit("on2-"), (ok % 6).cast("string")).alias("optionName2"),
+        F.when(ok % 8 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("og3-"), (ok % 2).cast("string")))
+        .alias("optionGroupName3"),
+        F.concat(F.lit("on3-"), (ok % 7).cast("string")).alias("optionName3"),
+        F.concat(F.lit("mc"), (ok % 9).cast("string")).alias("sellerManagerCode"),
+    )
+    return assemble_options(
+        simple=base.filter(ok % 3 == 0),
+        comb=base.filter(ok % 3 == 1),
+        supplement=base.filter(ok % 3 == 2),
+        product_id=777,
+        channel_seq=42,
+    )
+
+
+def q_smartstore_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """smartstore hcenter AggregatedSales (models/smartstore): nested
+    struct paths -> DISTINCT -> SUM/MAX rollup to (payment_date,
+    product) (core/smartstore/hcenter/sales/models.sql:106-127)."""
+    from linkmerce_spark.models.smartstore import aggregated_sales
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    pk, sk = F.col("l_partkey"), F.col("l_suppkey")
+    rows = li.select(
+        F.struct(
+            (pk % 200).cast("string").alias("identifier"),
+            F.concat(F.lit("prod"), (pk % 200).cast("string")).alias("name"),
+            F.struct(
+                F.when(pk % 11 == 0, F.lit("x"))
+                .otherwise((pk % 40).cast("string"))
+                .alias("identifier"),
+                F.concat(F.lit("c"), (pk % 40).cast("string")).alias("name"),
+                F.concat(F.lit("a>b>c"), (pk % 40).cast("string")).alias("fullName"),
+            ).alias("category"),
+        ).alias("product"),
+        F.struct((sk % 50).cast("long").alias("click")).alias("visit"),
+        F.struct(
+            (sk % 7).cast("long").alias("paymentCount"),
+            ((sk % 90) * 100).cast("long").alias("paymentAmount"),
+        ).alias("sales"),
+    )
+    sales, _product = aggregated_sales(rows, 3100, "1995-06-01", "1995-06-30")
+    return sales
+
+
 # ----------------------------------------------- coupang ads + settlement
 def _coupang_ad_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic Coupang ad-report download (Korean headers) from
@@ -2164,4 +2234,6 @@ QUERIES = {
     "sabangnet_invoice_enum": q_sabangnet_invoice_enum,
     "coupang_ad_report_rollup": q_coupang_ad_report_rollup,
     "coupang_settlement_sales": q_coupang_settlement_sales,
+    "smartstore_option_assembly": q_smartstore_option_assembly,
+    "smartstore_sales_rollup": q_smartstore_sales_rollup,
 }
