@@ -1991,3 +1991,64 @@ SELECT product_id, payment_date,
   CAST(SUM(payment_amount) AS BIGINT) AS payment_amount
 FROM items GROUP BY 1, 2
 """
+
+# --- google ads dataset ----------------------------------------------------
+# Vocab lists shared with the Spark module so enum CASEs can never drift.
+from linkmerce_spark.models.google import DEVICE_VOCAB as _G_DEV  # noqa: E402
+from linkmerce_spark.models.google import FIELD_TYPE_VOCAB as _G_FLD  # noqa: E402
+
+
+def _g_list(vocab, extra):
+    return "[" + ",".join(f"'{c}'" for c, _ in vocab) + f",'{extra}']"
+
+
+def _g_case(expr, vocab):
+    whens = " ".join(
+        f"WHEN {expr} = '{code}' THEN {seq}"
+        for seq, (code, _) in enumerate(vocab)
+    )
+    return f"(CASE {whens} ELSE NULL END)"
+
+
+_G_RAW = f"""
+raw AS (
+  SELECT
+    CAST(l_partkey % 25 AS VARCHAR) AS campaign_id,
+    CAST(l_suppkey % 40 AS VARCHAR) AS adgroup_id,
+    CAST(l_orderkey % 500 AS VARCHAR) AS ad_id,
+    CAST(l_partkey % 300 AS VARCHAR) AS asset_id,
+    ({_g_list(_G_FLD, 'HOLOGRAM')})[CAST(l_partkey % {len(_G_FLD) + 1} + 1 AS INT)] AS field_label,
+    ({_g_list(_G_DEV, 'SPACESHIP')})[CAST(l_orderkey % {len(_G_DEV) + 1} + 1 AS INT)] AS device_label,
+    CAST(l_shipdate AS DATE) AS ymd,
+    CASE WHEN l_orderkey % 19 = 0 THEN 'junk'
+         ELSE CAST(CAST(l_quantity AS BIGINT) * 13 AS VARCHAR) END AS impressions_s,
+    CAST(l_orderkey % 90 AS VARCHAR) AS clicks_s,
+    (l_orderkey % 4000) * 250000 AS cost_micros
+  FROM lineitem
+)
+"""
+
+ORACLES["google_ads_insight"] = f"""
+WITH {_G_RAW}
+SELECT CAST(5555 AS BIGINT) AS customer_id,
+  campaign_id, adgroup_id, ad_id,
+  {_g_case('device_label', _G_DEV)} AS device_type,
+  COALESCE(TRY_CAST(impressions_s AS INT), 0) AS impression_count,
+  COALESCE(TRY_CAST(clicks_s AS INT), 0) AS click_count,
+  CAST((cost_micros + 500000) // 1000000 AS INT) AS ad_cost,
+  ymd
+FROM raw
+"""
+
+ORACLES["google_asset_view"] = f"""
+WITH {_G_RAW}
+SELECT CAST(5555 AS BIGINT) AS customer_id,
+  adgroup_id, ad_id, asset_id,
+  {_g_case('field_label', _G_FLD)} AS field_type,
+  {_g_case('device_label', _G_DEV)} AS device_type,
+  COALESCE(TRY_CAST(impressions_s AS INT), 0) AS impression_count,
+  COALESCE(TRY_CAST(clicks_s AS INT), 0) AS click_count,
+  CAST((cost_micros + 500000) // 1000000 AS INT) AS ad_cost,
+  ymd
+FROM raw
+"""

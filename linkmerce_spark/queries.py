@@ -1881,6 +1881,73 @@ def q_sabangnet_invoice_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- google ads dataset
+def _google_gaql_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic GAQL response rows (nested structs) from lineitem:
+    micros amounts on exact .5 boundaries, junk numerics, and the
+    out-of-vocabulary device/fieldType labels."""
+    from linkmerce_spark.models.google import DEVICE_VOCAB, FIELD_TYPE_VOCAB
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    lk = F.col("l_orderkey")
+    dev = [c for c, _ in DEVICE_VOCAB] + ["SPACESHIP"]
+    fld = [c for c, _ in FIELD_TYPE_VOCAB] + ["HOLOGRAM"]
+    return li.select(
+        F.struct((F.col("l_partkey") % 25).cast("string").alias("id")).alias(
+            "campaign"
+        ),
+        F.struct((F.col("l_suppkey") % 40).cast("string").alias("id")).alias(
+            "adGroup"
+        ),
+        F.struct(
+            F.struct((lk % 500).cast("string").alias("id")).alias("ad")
+        ).alias("adGroupAd"),
+        F.struct((F.col("l_partkey") % 300).cast("string").alias("id")).alias(
+            "asset"
+        ),
+        F.struct(
+            F.element_at(
+                F.array(*[F.lit(s) for s in fld]),
+                (F.col("l_partkey") % len(fld) + 1).cast("int"),
+            ).alias("fieldType")
+        ).alias("adGroupAdAssetView"),
+        F.struct(
+            F.element_at(
+                F.array(*[F.lit(s) for s in dev]), (lk % len(dev) + 1).cast("int")
+            ).alias("device"),
+            F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM-dd").alias(
+                "date"
+            ),
+        ).alias("segments"),
+        F.struct(
+            F.when(lk % 19 == 0, F.lit("junk"))
+            .otherwise((F.col("l_quantity").cast("long") * 13).cast("string"))
+            .alias("impressions"),
+            (lk % 90).cast("string").alias("clicks"),
+            ((lk % 4000) * 250000).cast("string").alias("costMicros"),
+        ).alias("metrics"),
+    )
+
+
+def q_google_ads_insight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """google Insight parse (models/google): GAQL struct paths, the
+    7-value device enum with out-of-vocabulary NULL, COALESCE'd
+    TRY_CAST counts, and exact-integer micros rounding
+    (core/google/api/ads/models.sql:234-256)."""
+    from linkmerce_spark.models.google import parse_insights
+
+    return parse_insights(_google_gaql_rows(spark, sf_dir), 5555)
+
+
+def q_google_asset_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """google AssetView parse (models/google): the 36-value fieldType
+    enum + device enum to the asset-view PK grain
+    (core/google/api/ads/models.sql:332-391)."""
+    from linkmerce_spark.models.google import parse_asset_views
+
+    return parse_asset_views(_google_gaql_rows(spark, sf_dir), 5555)
+
+
 # ----------------------------------------------- smartstore product/sales
 def q_smartstore_option_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """smartstore Option 3-variant assembly (models/smartstore): typed
@@ -2236,4 +2303,6 @@ QUERIES = {
     "coupang_settlement_sales": q_coupang_settlement_sales,
     "smartstore_option_assembly": q_smartstore_option_assembly,
     "smartstore_sales_rollup": q_smartstore_sales_rollup,
+    "google_ads_insight": q_google_ads_insight,
+    "google_asset_view": q_google_asset_view,
 }
