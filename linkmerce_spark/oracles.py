@@ -2052,3 +2052,68 @@ SELECT CAST(5555 AS BIGINT) AS customer_id,
   ymd
 FROM raw
 """
+
+# --- meta / dable / cj feeds ----------------------------------------------
+ORACLES["meta_insights_split"] = """
+SELECT 'act_1' AS account_id,
+  'c' || CAST(o_orderkey % 12 AS VARCHAR) AS campaign_id,
+  's' || CAST(o_orderkey % 30 AS VARCHAR) AS adset_id,
+  'a' || CAST(o_orderkey % 200 AS VARCHAR) AS ad_id,
+  CAST(o_orderkey % 1000 AS INT) AS impression_count,
+  CAST(o_orderkey % 800 AS INT) AS reach_count,
+  CAST(o_orderkey % 90 AS INT) AS click_count,
+  CAST(o_orderkey % 40 AS INT) AS link_click_count,
+  CAST((o_orderkey % 70) * 100 AS INT) AS ad_cost,
+  CAST(o_orderdate AS DATE) AS ymd
+FROM orders
+"""
+
+ORACLES["dable_report_split"] = """
+WITH raw AS (
+  SELECT
+    CASE WHEN o_orderkey % 10 = 0 THEN NULL
+         ELSE 'dc' || CAST(o_orderkey % 25 AS VARCHAR) END AS campaign_id,
+    CAST(o_orderkey % 400 AS INT) AS exposes,
+    CAST(CASE WHEN o_orderkey % 7 = 0 THEN 0 ELSE o_orderkey % 300 + 1 END AS INT) AS impressions,
+    CAST(o_orderkey % 50 AS INT) AS clicks,
+    CAST((o_orderkey % 30) * 10 AS INT) AS cost_spent,
+    CAST(o_orderkey % 9 AS INT) AS convertion_cnt,
+    strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS ymd_s
+  FROM orders
+)
+SELECT COALESCE(campaign_id, '-') AS campaign_id,
+  exposes AS expose_count,
+  impressions AS impression_count,
+  clicks AS click_count,
+  cost_spent AS ad_cost,
+  convertion_cnt AS conv_count,
+  CAST(STRPTIME(ymd_s, '%Y%m%d') AS DATE) AS ymd
+FROM raw WHERE impressions > 0
+"""
+
+ORACLES["cj_stock_parse"] = """
+SELECT
+  'IT' || CAST(o_orderkey % 60 AS VARCHAR) AS item_code,
+  '880' || CAST(o_orderkey % 1000 AS VARCHAR) AS barcode,
+  CAST(o_orderkey % 5 + 1 AS BIGINT) AS customer_id,
+  'item ' || CAST(o_orderkey % 60 AS VARCHAR) AS item_name,
+  'WH' || CAST(o_orderkey % 3 AS VARCHAR) AS warehouse_code,
+  '창고' || CAST(o_orderkey % 3 AS VARCHAR) AS warehouse_name,
+  'Z' || CAST(o_orderkey % 4 AS VARCHAR) AS zone_code,
+  'L-' || CAST(o_orderkey % 20 AS VARCHAR) AS location_name,
+  TRY_CAST(CASE WHEN o_orderkey % 6 = 0 THEN 'lot?'
+                ELSE CAST(o_orderkey % 9000 AS VARCHAR) END AS BIGINT) AS lot_no,
+  CAST(o_orderkey % 500 AS INT) AS total_quantity,
+  CAST(o_orderkey % 450 AS INT) AS usable_quantity,
+  CAST(o_orderkey % 30 AS INT) AS hold_quantity,
+  CAST(o_orderkey % 20 AS INT) AS process_quantity,
+  TRY_CAST(CASE WHEN o_orderkey % 11 = 0 THEN '-'
+                ELSE CAST(o_orderkey % 365 AS VARCHAR) END AS INT) AS remain_days,
+  TRY_CAST(CASE WHEN o_orderkey % 13 = 0 THEN 'not-a-date'
+                ELSE strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') END AS DATE) AS validate_date,
+  CAST(STRPTIME(CAST(CAST(year(CAST(o_orderdate AS DATE)) * 10000
+    + month(CAST(o_orderdate AS DATE)) * 100
+    + day(CAST(o_orderdate AS DATE)) AS BIGINT) AS VARCHAR), '%Y%m%d') AS DATE) AS inbound_date,
+  TIMESTAMP '2026-08-13 12:00:00' AS updated_at
+FROM orders
+"""

@@ -1881,6 +1881,105 @@ def q_sabangnet_invoice_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- meta / dable / cj feeds
+def q_meta_insights_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """meta Insights fan (models/meta): the denormalized report split —
+    here the fact slice with the date_start parse; the three PK-deduped
+    dim slices are pinned by tests/test_feeds.py
+    (core/meta/api/ads/models.sql:176-218)."""
+    from linkmerce_spark.models.meta import split_insights
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    raw = orders.select(
+        F.concat(F.lit("c"), (ok % 12).cast("string")).alias("campaign_id"),
+        F.concat(F.lit("cn"), (ok % 12).cast("string")).alias("campaign_name"),
+        F.concat(F.lit("s"), (ok % 30).cast("string")).alias("adset_id"),
+        F.concat(F.lit("sn"), (ok % 30).cast("string")).alias("adset_name"),
+        F.concat(F.lit("a"), (ok % 200).cast("string")).alias("ad_id"),
+        F.concat(F.lit("an"), (ok % 200).cast("string")).alias("ad_name"),
+        (ok % 1000).cast("int").alias("impressions"),
+        (ok % 800).cast("int").alias("reach"),
+        (ok % 90).cast("int").alias("clicks"),
+        (ok % 40).cast("int").alias("inline_link_clicks"),
+        ((ok % 70) * 100).cast("int").alias("spend"),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias(
+            "date_start"
+        ),
+    )
+    _campaigns, _adsets, _ads, insights = split_insights(raw, "act_1")
+    return insights
+
+
+def q_dable_report_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dable DailyReport (models/feeds): impressions > 0 filter,
+    COALESCE(campaign_id, '-'), yyyymmdd parse
+    (core/dable/api/report/models.sql:20-33)."""
+    from linkmerce_spark.models.feeds import dable_daily_report
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    raw = orders.select(
+        F.when(ok % 10 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("dc"), (ok % 25).cast("string")))
+        .alias("campaign_id"),
+        F.concat(F.lit("camp "), (ok % 25).cast("string")).alias("campaign_name"),
+        (ok % 400).cast("int").alias("exposes"),
+        F.when(ok % 7 == 0, F.lit(0)).otherwise((ok % 300 + 1)).cast("int").alias(
+            "impressions"
+        ),
+        (ok % 50).cast("int").alias("clicks"),
+        ((ok % 30) * 10).cast("int").alias("cost_spent"),
+        (ok % 9).cast("int").alias("convertion_cnt"),
+        F.concat(
+            F.year(d).cast("string"),
+            F.lpad(F.month(d).cast("string"), 2, "0"),
+            F.lpad(F.dayofmonth(d).cast("string"), 2, "0"),
+        ).alias("ymd"),
+    )
+    report, _campaigns = dable_daily_report(raw)
+    return report
+
+
+def q_cj_stock_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cj eFLEXs Stock parse (models/feeds): warehouse renames,
+    TRY_CASTs, integer yyyymmdd inbound date, parameterized load time
+    (core/cj/eflexs/stock/models.sql:24-45)."""
+    from linkmerce_spark.models.feeds import cj_stock
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    raw = orders.select(
+        F.concat(F.lit("IT"), (ok % 60).cast("string")).alias("itemCd"),
+        F.concat(F.lit("880"), (ok % 1000).cast("string")).alias("itemVarcode"),
+        (ok % 5 + 1).cast("string").alias("strrId"),
+        F.concat(F.lit("item "), (ok % 60).cast("string")).alias("itemNm"),
+        F.concat(F.lit("WH"), (ok % 3).cast("string")).alias("whCd"),
+        F.concat(F.lit("창고"), (ok % 3).cast("string")).alias("whNm"),
+        F.concat(F.lit("Z"), (ok % 4).cast("string")).alias("zoneCd"),
+        F.concat(F.lit("L-"), (ok % 20).cast("string")).alias("wcellNm"),
+        F.when(ok % 6 == 0, F.lit("lot?")).otherwise((ok % 9000).cast("string")).alias(
+            "lotNo"
+        ),
+        (ok % 500).cast("int").alias("invnQty"),
+        (ok % 450).cast("int").alias("avlbQty"),
+        (ok % 30).cast("int").alias("hldQty"),
+        (ok % 20).cast("int").alias("prcsQty"),
+        F.when(ok % 11 == 0, F.lit("-")).otherwise((ok % 365).cast("string")).alias(
+            "remainInvnDays"
+        ),
+        F.when(ok % 13 == 0, F.lit("not-a-date"))
+        .otherwise(F.date_format(d, "yyyy-MM-dd"))
+        .alias("validDatetime"),
+        (
+            F.year(d) * 10000 + F.month(d) * 100 + F.dayofmonth(d)
+        ).cast("long").alias("inbDate"),
+    )
+    return cj_stock(raw, "2026-08-13 12:00:00")
+
+
 # ----------------------------------------------- google ads dataset
 def _google_gaql_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic GAQL response rows (nested structs) from lineitem:
@@ -2305,4 +2404,7 @@ QUERIES = {
     "smartstore_sales_rollup": q_smartstore_sales_rollup,
     "google_ads_insight": q_google_ads_insight,
     "google_asset_view": q_google_asset_view,
+    "meta_insights_split": q_meta_insights_split,
+    "dable_report_split": q_dable_report_split,
+    "cj_stock_parse": q_cj_stock_parse,
 }
