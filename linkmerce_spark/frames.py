@@ -147,3 +147,45 @@ def select_paths(df: DataFrame, schema: Mapping[str, str], extends: Mapping[str,
 
         cols.append((val if isinstance(val, _Col) else F.lit(val)).alias(out))
     return df.select(*cols)
+
+
+def values_df(spark: SparkSession, rows: Iterable[tuple], schema: str) -> DataFrame:
+    """Small literal batch as a JVM-side LocalRelation (SQL ``VALUES``).
+
+    ``createDataFrame`` routes even a 5-row dim through a pickled RDD
+    with ``defaultParallelism`` splits — every evaluation (each
+    broadcast, each reuse in a multi-join plan) schedules ~32 tasks and
+    Python-worker round-trips (~1 s of pure overhead). A ``VALUES``
+    LocalRelation is parsed once on the JVM, costs no Python workers,
+    folds into LocalTableScan, and broadcasts instantly. Use this for
+    every literal dimension/config frame on a hot path; keep
+    ``from_rows`` for real row batches.
+
+    ``schema`` is a DDL string (``"name string, price int"``); every
+    column is CAST to its declared type, so NULLs and mixed literals
+    type correctly.
+    """
+    from pyspark.sql.types import StructType
+
+    rows = [tuple(r) for r in rows]
+    st = StructType.fromDDL(schema)
+    if not rows:
+        return spark.createDataFrame([], schema)
+
+    def lit(v: Any) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{s}'"
+
+    names = ", ".join(f"`{f.name}`" for f in st.fields)
+    casts = ", ".join(
+        f"CAST(`{f.name}` AS {f.dataType.simpleString()}) AS `{f.name}`"
+        for f in st.fields
+    )
+    tuples = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    return spark.sql(f"SELECT {casts} FROM VALUES {tuples} AS t({names})")

@@ -285,13 +285,13 @@ def profit_mom_dims(
         f"stack({len(metric_names)}, {stack_args}) AS (metric_name, metric_value)",
     ).filter(F.col("metric_value").isNotNull())
 
-    status_map = spark.createDataFrame(
-        ORDER_STATUS_LABELS, "code int, label string"
+    from linkmerce_spark.frames import values_df
+
+    status_map = values_df(spark, ORDER_STATUS_LABELS, "code int, label string")
+    metric_map = values_df(
+        spark, METRIC_MAPPING, "name_en string, sort_seq int, sub_seq int, name_ko string"
     )
-    metric_map = spark.createDataFrame(
-        METRIC_MAPPING, "name_en string, sort_seq int, sub_seq int, name_ko string"
-    )
-    dow_map = spark.createDataFrame(DOW_NAMES, "dayofweek int, name_ko string")
+    dow_map = values_df(spark, DOW_NAMES, "dayofweek int, name_ko string")
 
     f = unpivoted.alias("f")
     enriched = (

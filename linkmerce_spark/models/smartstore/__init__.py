@@ -130,7 +130,6 @@ def _variant(
     cols: dict[str, Column],
     seq_col: str,
 ) -> DataFrame:
-    ranked = global_row_number(rows, [F.col(seq_col).asc()], "__rn")
     defaults: dict[str, Column] = {
         "product_id": F.lit(product_id).cast("bigint"),
         "option_id": F.col("id").cast("bigint"),
@@ -143,10 +142,13 @@ def _variant(
         "management_code": _null_str(),
         "usable": F.col("usable").cast("boolean"),
         "stock_quantity": F.col("stockQuantity").try_cast("int"),
-        "register_order": F.col("__rn").cast("int"),
     }
     defaults.update(cols)
-    return ranked.select(*[defaults[c].alias(c) for c in _OPTION_COLS])
+    data_cols = [c for c in _OPTION_COLS if c != "register_order"]
+    return rows.select(
+        *[defaults[c].alias(c) for c in data_cols],
+        F.col(seq_col).cast("long").alias("__seq"),
+    )
 
 
 def assemble_options(
@@ -216,7 +218,24 @@ def assemble_options(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    # One numbering pass for ALL variants: global_row_number over
+    # (product_type, seq) — numbering is contiguous per variant, so
+    # subtracting each variant's min rn (a 3-row broadcast) reproduces
+    # the per-variant ROW_NUMBER() OVER (). One range shuffle + one
+    # checkpoint instead of one per variant.
+    ranked = global_row_number(
+        out, [F.col("product_type").asc(), F.col("__seq").asc()], "__rn"
+    )
+    base = ranked.groupBy("product_type").agg(F.min("__rn").alias("__base"))
+    from pyspark.sql.functions import broadcast
+
+    return (
+        ranked.join(broadcast(base), "product_type")
+        .withColumn(
+            "register_order", (F.col("__rn") - F.col("__base") + 1).cast("int")
+        )
+        .select(*_OPTION_COLS)
+    )
 
 
 def store_sales(rows: DataFrame, mall_seq: int, end_date: str) -> DataFrame:

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from linkmerce_spark.frames import load_star, select_paths
+from linkmerce_spark.frames import load_star, select_paths, values_df
 from linkmerce_spark.operators.dedup import dedupe_keep_first, exact_dedup, insert_ignore
 from linkmerce_spark.operators.merge import merge_frames
 from linkmerce_spark.operators.minhash import (
@@ -429,7 +429,7 @@ def q_effective_dated_campaign(spark: SparkSession, sf_dir: str) -> DataFrame:
     The relation is broadcast: the fact side never shuffles.
     """
     cust, orders = _t(spark, sf_dir, "customer", "orders")
-    campaigns = spark.createDataFrame(
+    campaigns = values_df(spark,
         [
             ("BUILDING", "1995-01-01", "1997-12-31", "early-building"),
             ("BUILDING", "1998-01-01", "2999-12-31", "late-building"),
@@ -1594,17 +1594,17 @@ def q_searchad_insight_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     stat_raw, conv_raw = _searchad_report_raw(spark, sf_dir)
     report = advanced_report(rollup_ad_stat(stat_raw), rollup_ad_conv(conv_raw))
 
-    ids = spark.range(0, 50)
+    ids = spark.range(0, 50, 1, 1)
     ad_dim = ids.select(
         F.concat(F.lit("ad-"), F.col("id").cast("string")).alias("ad_id"),
         F.concat(F.lit("g"), (F.col("id") % 10).cast("string")).alias("adgroup_id"),
         (F.lit(100080) + F.col("id") % 12).alias("product_id"),
     )
-    adgroup_dim = spark.range(0, 10).select(
+    adgroup_dim = spark.range(0, 10, 1, 1).select(
         F.concat(F.lit("g"), F.col("id").cast("string")).alias("adgroup_id"),
         F.concat(F.lit("c"), (F.col("id") % 3).cast("string")).alias("campaign_id"),
     )
-    rel_raw = spark.createDataFrame(
+    rel_raw = values_df(spark,
         [
             ("c0", 0, "100088", "NAVER"),
             ("c1", 0, "100010,100011", "NAVER"),
@@ -1626,7 +1626,7 @@ def q_searchad_insight_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         pre_end="2024-01-15",
         post_start="2024-01-16",
     )
-    product_rel = spark.createDataFrame(
+    product_rel = values_df(spark,
         [
             (100081, "100050,100051", "2000-01-01", "2024-01-10"),
             (100081, "100052", "2024-01-11", "2999-12-31"),
@@ -1640,11 +1640,11 @@ def q_searchad_insight_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start").cast("date").alias("start_date"),
         F.col("end").cast("date").alias("end_date"),
     )
-    account = spark.createDataFrame(
+    account = values_df(spark,
         [(0, "200010"), (1, "200011"), (3, "200013")],
         "customer_id long, bundle_brand_ids string",
     )
-    renewal = spark.createDataFrame(
+    renewal = values_df(spark,
         [("100031", "100931", "2024-01-12")],
         "product_id_new string, product_id_old string, renewal string",
     ).select("product_id_new", "product_id_old", F.col("renewal").cast("date").alias("renewal_date"))
@@ -1690,7 +1690,7 @@ def q_smartstore_max_delivery_fee(spark: SparkSession, sf_dir: str) -> DataFrame
         F.when(okn % 7 == 0, 500).otherwise(0).alias("box_cost"),
         (okn % 12).alias("delivery_quantity"),
     )
-    tiers_raw = spark.createDataFrame(
+    tiers_raw = values_df(spark,
         [
             ("dg-0", 1, 2500, 100, None, 0, 50, 4000, 200),
             ("dg-0", 5, 2000, 100, None, 0, 50, 3500, 150),
@@ -1740,7 +1740,7 @@ def q_smartstore_split_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payment_amount",
         "supply_amount",
     )
-    prices = spark.createDataFrame(
+    prices = values_df(spark,
         [("p0", 1000), ("p1", 2000), ("p2", 1500), ("p3", 800), ("p4", 0)],
         "product_id string, org_price int",
     )
@@ -2267,7 +2267,7 @@ def _profit_product_master(spark: SparkSession) -> DataFrame:
     """35-row product master (ids p35..p39 deliberately unmatched to
     exercise the COALESCE fallback labels)."""
     i = F.col("id")
-    return spark.range(35).select(
+    return spark.range(0, 35, 1, 1).select(
         F.concat(F.lit("p"), i.cast("string")).alias("product_id"),
         F.concat(F.lit("IT-"), F.lpad(i.cast("string"), 6, "0")).alias("item_id"),
         (i * 10).cast("int").alias("item_seq"),
@@ -2305,7 +2305,7 @@ def q_profit_mom_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkmerce_spark.marts.profit import profit_base, profit_mom_dims
 
     fact, extra = _profit_inputs(spark, sf_dir)
-    shop_dim = spark.createDataFrame(
+    shop_dim = values_df(spark,
         [
             ("shop0055", "smartstore", "SS-A"),
             ("shop0075", "coupang", "CP-A"),
