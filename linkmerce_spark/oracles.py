@@ -2117,3 +2117,123 @@ SELECT
   TIMESTAMP '2026-08-13 12:00:00' AS updated_at
 FROM orders
 """
+
+# --- searchad extras -------------------------------------------------------
+from linkmerce_spark.models.searchad.extras import (  # noqa: E402
+    BRANDNEW_CONTRACT_STATUS as _SA_BSTAT,
+    TIME_CONTRACT_STATUS as _SA_TSTAT,
+)
+
+ORACLES["searchad_exposure_products"] = r"""
+WITH raw AS (
+  SELECT o_orderkey AS ok, o_orderkey % 3000 AS mid,
+    CASE WHEN o_orderkey % 3 = 0 THEN
+           'https://shopping-phinf.example/main_' || CAST(o_orderkey % 50 AS VARCHAR)
+           || '/' || CAST(o_orderkey % 3000 AS VARCHAR) || '.jpg'
+         WHEN o_orderkey % 3 = 1 THEN
+           'https://searchad-phinf.example/ad/'
+           || to_base64(CAST(CAST(o_orderkey % 3000 AS VARCHAR) AS BLOB)) || '.png'
+         ELSE 'https://other.example/' || CAST(o_orderkey % 3000 AS VARCHAR) END AS imageUrl,
+    (o_orderkey % 4 < 2) AS isOwn
+  FROM orders
+), extracted AS (
+  SELECT *,
+    CASE WHEN imageUrl LIKE 'https://shopping-%' THEN
+           TRY_CAST(regexp_extract(imageUrl, '^https://[^/]+/main_\d+/(\d+)', 1) AS BIGINT)
+         WHEN imageUrl LIKE 'https://searchad-%' THEN
+           TRY_CAST(CAST(from_base64(regexp_extract(imageUrl, '^https://[^/]+/[^/]+/([^.]+)', 1)) AS VARCHAR) AS BIGINT)
+         ELSE NULL END AS nv_mid,
+    CASE WHEN imageUrl LIKE 'https://shopping-%' THEN 0 ELSE 3 END AS product_type,
+    'title ' || CAST(mid AS VARCHAR) AS product_name,
+    'a>b>' || CAST(mid % 7 AS VARCHAR) AS full_category_name,
+    NULLIF(CASE WHEN mid % 5 = 0 THEN '' ELSE 'br' || CAST(mid % 5 AS VARCHAR) END, '') AS brand_name,
+    TRY_CAST(COALESCE(
+      CASE WHEN mid % 4 = 0 THEN NULL ELSE CAST((mid % 90) * 100 AS VARCHAR) END,
+      CAST((mid % 80) * 110 AS VARCHAR)) AS INT) AS sales_price
+  FROM raw
+), tgt AS (
+  SELECT DISTINCT nv_mid, product_type, product_name, full_category_name,
+    brand_name, sales_price, TIMESTAMP '2026-08-01 00:00:00' AS updated_at
+  FROM extracted WHERE ok % 2 = 0 AND isOwn AND nv_mid IS NOT NULL
+), stg AS (
+  SELECT DISTINCT nv_mid, product_type, product_name, full_category_name,
+    brand_name, sales_price, TIMESTAMP '2026-08-02 00:00:00' AS updated_at
+  FROM extracted WHERE ok % 2 = 1 AND nv_mid IS NOT NULL
+)
+SELECT COALESCE(t.nv_mid, s.nv_mid) AS nv_mid,
+  CAST(NULL AS BIGINT) AS product_id,
+  COALESCE(t.product_type, s.product_type) AS product_type,
+  COALESCE(s.product_name, t.product_name) AS product_name,
+  CAST(NULL AS INT) AS category_id,
+  COALESCE(s.full_category_name, t.full_category_name) AS full_category_name,
+  CAST(NULL AS VARCHAR) AS mall_name,
+  COALESCE(t.brand_name, s.brand_name) AS brand_name,
+  COALESCE(t.sales_price, s.sales_price) AS sales_price,
+  strftime(COALESCE(s.updated_at, t.updated_at), '%Y-%m-%d %H:%M:%S') AS updated_at
+FROM tgt AS t FULL OUTER JOIN stg AS s ON t.nv_mid = s.nv_mid
+"""
+
+
+def _sa_status_case(expr, mapping):
+    whens = " ".join(f"WHEN {expr} = '{c}' THEN {v}" for c, v in mapping.items())
+    return f"(CASE {whens} ELSE NULL END)"
+
+
+def _sa_status_list(mapping):
+    return "[" + ",".join(f"'{c}'" for c in mapping) + ",'???']"
+
+
+ORACLES["searchad_contract_union"] = f"""
+WITH base AS (
+  SELECT o_orderkey AS ok,
+    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS date_s,
+    CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) AS pay
+  FROM orders
+), shaped AS (
+  SELECT ok,
+    'ct-' || CAST(ok AS VARCHAR) AS time_id,
+    'cb-' || CAST(ok AS VARCHAR) AS brand_id,
+    'grp' || CAST(ok % 40 AS VARCHAR) AS adgroup_id,
+    CAST(ok % 7 AS INT) AS customer_id,
+    'contract ' || CAST(ok % 100 AS VARCHAR) AS contract_name,
+    ({_sa_status_list(_SA_TSTAT)})[CAST(ok % 7 + 1 AS INT)] AS tstat,
+    ({_sa_status_list(_SA_BSTAT)})[CAST(ok % 13 + 1 AS INT)] AS bstat,
+    pay,
+    CAST((ok % 20) * 50 AS INT) AS refund,
+    CAST(ok % 30 AS INT) AS cqc,
+    CAST(ok % 90 AS INT) AS kqc,
+    TRY_CAST(date_s || ' 10:20:30' AS TIMESTAMP) + INTERVAL 9 HOUR AS reg_dt,
+    TRY_CAST(CASE WHEN ok % 9 = 0 THEN 'junk' ELSE date_s || ' 11:00:00' END AS TIMESTAMP)
+      + INTERVAL 9 HOUR AS edit_dt,
+    CAST(TRY_CAST(date_s || ' 20:00:00' AS TIMESTAMP) + INTERVAL 9 HOUR AS DATE) AS start_d,
+    CAST(TRY_CAST(date_s || ' 23:30:00' AS TIMESTAMP) + INTERVAL 9 HOUR AS DATE) AS end_d,
+    CAST(TRY_CAST(CASE WHEN ok % 5 = 0 THEN NULL ELSE date_s || ' 00:00:00' END AS TIMESTAMP)
+      + INTERVAL 9 HOUR AS DATE) AS exp_start_d,
+    CAST(TRY_CAST(date_s || ' 12:00:00' AS TIMESTAMP) + INTERVAL 9 HOUR AS DATE) AS exp_end_d,
+    CAST(TRY_CAST(CASE WHEN ok % 11 = 0 THEN date_s || ' 18:00:00' ELSE NULL END AS TIMESTAMP)
+      + INTERVAL 9 HOUR AS DATE) AS cancel_d
+  FROM base
+)
+SELECT time_id AS contract_id, adgroup_id, customer_id, contract_name,
+  CAST(0 AS TINYINT) AS contract_type,
+  {_sa_status_case('tstat', _SA_TSTAT)} AS contract_status,
+  CAST(FLOOR(CAST(pay AS DECIMAL(18,0)) * CAST('1.1' AS DECIMAL(2,1))
+       + CAST('0.5' AS DECIMAL(2,1))) AS INT) AS contract_amount,
+  refund AS refund_amount, cqc AS contract_qc, kqc AS keyword_qc,
+  start_d AS contract_start_date, end_d AS contract_end_date,
+  exp_start_d AS exposure_start_date, exp_end_d AS exposure_end_date,
+  cancel_d AS cancel_date,
+  strftime(reg_dt, '%Y-%m-%d %H:%M:%S') AS register_dt,
+  strftime(edit_dt, '%Y-%m-%d %H:%M:%S') AS edit_dt
+FROM shaped WHERE ok % 2 = 0
+UNION ALL
+SELECT brand_id, adgroup_id, customer_id, contract_name,
+  CAST(1 AS TINYINT),
+  {_sa_status_case('bstat', _SA_BSTAT)},
+  CAST(pay AS INT),
+  refund, CAST(NULL AS INT), CAST(NULL AS INT),
+  start_d, end_d, exp_start_d, exp_end_d, cancel_d,
+  strftime(reg_dt, '%Y-%m-%d %H:%M:%S'),
+  strftime(edit_dt, '%Y-%m-%d %H:%M:%S')
+FROM shaped WHERE ok % 2 = 1
+"""

@@ -1881,6 +1881,147 @@ def q_sabangnet_invoice_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- searchad extras
+def q_searchad_exposure_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """searchad exposure products (models/searchad/extras): nv_mid
+    extraction from CDN URLs (path digits vs base64 filename), is_own
+    ternary filter, product slice + COALESCE/replace upsert
+    (core/searchad/center/exposure/models.sql:57-109)."""
+    from linkmerce_spark.models.searchad.extras import (
+        exposure_rank,
+        upsert_exposure_products,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    mid = (ok % 3000).cast("string")
+    url = (
+        F.when(
+            ok % 3 == 0,
+            F.concat(
+                F.lit("https://shopping-phinf.example/main_"),
+                (ok % 50).cast("string"),
+                F.lit("/"),
+                mid,
+                F.lit(".jpg"),
+            ),
+        )
+        .when(
+            ok % 3 == 1,
+            F.concat(
+                F.lit("https://searchad-phinf.example/ad/"),
+                F.base64(mid.cast("binary")),
+                F.lit(".png"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://other.example/"), mid))
+    )
+    # product attributes functionally dependent on the mid so PK-dedup
+    # is value-deterministic regardless of which duplicate survives
+    raw = orders.select(
+        (ok % 200).cast("int").alias("rank"),
+        url.alias("imageUrl"),
+        F.concat(F.lit("title "), (ok % 3000).cast("string")).alias("productTitle"),
+        (ok % 4 < 2).alias("isOwn"),
+        F.concat(F.lit("a>b>"), (ok % 3000 % 7).cast("string")).alias(
+            "categoryNames"
+        ),
+        F.when(ok % 3000 % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("br"), (ok % 3000 % 5).cast("string"))
+        ).alias("fmpBrand"),
+        F.lit("mk").alias("fmpMaker"),
+        F.when(ok % 3000 % 4 == 0, F.lit(None).cast("string")).otherwise(
+            ((ok % 3000 % 90) * 100).cast("string")
+        ).alias("lowPrice"),
+        ((ok % 3000 % 80) * 110).cast("string").alias("mobileLowPrice"),
+        ok.alias("ok"),
+    )
+    _r0, target = exposure_rank(
+        raw.filter(F.col("ok") % 2 == 0), "장난감", "2026-08-01 00:00:00", is_own=True
+    )
+    _r1, staged = exposure_rank(
+        raw.filter(F.col("ok") % 2 == 1), "장난감", "2026-08-02 00:00:00", is_own=None
+    )
+    merged = upsert_exposure_products(target.distinct(), staged.distinct())
+    return merged.select(
+        *[c for c in merged.columns if c != "updated_at"],
+        F.date_format("updated_at", "yyyy-MM-dd HH:mm:ss").alias("updated_at"),
+    )
+
+
+def q_searchad_contract_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """searchad time + brand-new contracts (models/searchad/extras):
+    KST (+9h) normalization, exact-decimal VAT uplift, and the two
+    status enum vocabularies united by contract_type
+    (core/searchad/api/contract/models.sql:25-135)."""
+    from linkmerce_spark.models.searchad.extras import (
+        BRANDNEW_CONTRACT_STATUS,
+        TIME_CONTRACT_STATUS,
+        parse_brandnew_contracts,
+        parse_time_contracts,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    date_s = F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd")
+    t_status = F.array(
+        *[F.lit(s) for s in list(TIME_CONTRACT_STATUS) + ["???"]]
+    )
+    b_status = F.array(
+        *[F.lit(s) for s in list(BRANDNEW_CONTRACT_STATUS) + ["???"]]
+    )
+    base = orders.select(
+        ok.alias("ok"),
+        F.concat(F.lit("ct-"), ok.cast("string")).alias("nccTimeContractId"),
+        F.concat(F.lit("cb-"), ok.cast("string")).alias("brandNewContractId"),
+        F.concat(F.lit("grp"), (ok % 40).cast("string")).alias("nccAdgroupId"),
+        (ok % 7).cast("string").alias("customerId"),
+        F.concat(F.lit("contract "), (ok % 100).cast("string")).alias(
+            "contractName"
+        ),
+        F.element_at(t_status, (ok % 7 + 1).cast("int")).alias("__tstat"),
+        F.element_at(b_status, (ok % 13 + 1).cast("int")).alias("__bstat"),
+        F.floor(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("string")
+        .alias("paymentAmt"),
+        ((ok % 20) * 50).cast("string").alias("refundAmt"),
+        (ok % 30).cast("string").alias("contractQc"),
+        (ok % 90).cast("string").alias("totalKeywordQc"),
+        F.concat(date_s, F.lit(" 10:20:30")).alias("regTm"),
+        F.when(ok % 9 == 0, F.lit("junk"))
+        .otherwise(F.concat(date_s, F.lit(" 11:00:00")))
+        .alias("editTm"),
+        F.concat(date_s, F.lit(" 20:00:00")).alias("contractStartDt"),
+        F.concat(date_s, F.lit(" 23:30:00")).alias("contractEndDt"),
+        F.when(ok % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(date_s, F.lit(" 00:00:00")))
+        .alias("exposureStartDt"),
+        F.concat(date_s, F.lit(" 12:00:00")).alias("exposureEndDt"),
+        F.when(ok % 11 == 0, F.concat(date_s, F.lit(" 18:00:00")))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("cancelTm"),
+    )
+    tc = parse_time_contracts(
+        base.filter(F.col("ok") % 2 == 0).withColumn(
+            "contractStatus", F.col("__tstat")
+        )
+    )
+    bc = parse_brandnew_contracts(
+        base.filter(F.col("ok") % 2 == 1).withColumn(
+            "contractStatus", F.col("__bstat")
+        )
+    )
+    out = tc.unionByName(bc)
+    ts_cols = ["register_dt", "edit_dt"]
+    return out.select(
+        *[c for c in out.columns if c not in ts_cols],
+        *[
+            F.date_format(c, "yyyy-MM-dd HH:mm:ss").alias(c)
+            for c in ts_cols
+        ],
+    )
+
+
 # ----------------------------------------------- meta / dable / cj feeds
 def q_meta_insights_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """meta Insights fan (models/meta): the denormalized report split —
@@ -2407,4 +2548,6 @@ QUERIES = {
     "meta_insights_split": q_meta_insights_split,
     "dable_report_split": q_dable_report_split,
     "cj_stock_parse": q_cj_stock_parse,
+    "searchad_exposure_products": q_searchad_exposure_products,
+    "searchad_contract_union": q_searchad_contract_union,
 }
