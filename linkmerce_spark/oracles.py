@@ -2237,3 +2237,58 @@ SELECT brand_id, adgroup_id, customer_id, contract_name,
   strftime(edit_dt, '%Y-%m-%d %H:%M:%S')
 FROM shaped WHERE ok % 2 = 1
 """
+
+# --- smartstore extras ------------------------------------------------------
+ORACLES["smartstore_category_split"] = r"""
+WITH raw AS (
+  SELECT p_partkey AS product_id,
+    array_to_string(list_slice([
+      CAST(p_partkey % 7 AS VARCHAR),
+      CAST(p_partkey % 8 + 100 AS VARCHAR),
+      CAST(p_partkey % 9 + 200 AS VARCHAR),
+      CAST(p_partkey % 10 + 300 AS VARCHAR)
+    ], 1, CAST(p_partkey % 4 + 1 AS INT)), '>') AS full_id,
+    array_to_string(list_slice([
+      'lvl0-' || CAST(p_partkey % 5 AS VARCHAR),
+      'lvl1-' || CAST(p_partkey % 6 AS VARCHAR),
+      'lvl2-' || CAST(p_partkey % 7 AS VARCHAR),
+      'lvl3-' || CAST(p_partkey % 8 AS VARCHAR)
+    ], 1, CAST(p_partkey % 4 + 1 AS INT)), '>') AS full_name
+  FROM part
+)
+SELECT product_id, full_id, full_name,
+  TRY_CAST(split_part(full_id, '>', 1) AS INT) AS category_id1,
+  NULLIF(split_part(full_name, '>', 1), '') AS category_name1,
+  TRY_CAST(split_part(full_id, '>', 2) AS INT) AS category_id2,
+  NULLIF(split_part(full_name, '>', 2), '') AS category_name2,
+  TRY_CAST(split_part(full_id, '>', 3) AS INT) AS category_id3,
+  NULLIF(split_part(full_name, '>', 3), '') AS category_name3,
+  TRY_CAST(split_part(full_id, '>', 4) AS INT) AS category_id4,
+  NULLIF(split_part(full_name, '>', 4), '') AS category_name4
+FROM raw
+"""
+
+ORACLES["smartstore_pageview_products"] = r"""
+WITH raw AS (
+  SELECT
+    CASE WHEN event_id % 4 = 0 THEN '/mystore/products/' || CAST(event_id % 900 AS VARCHAR)
+         WHEN event_id % 4 = 1 THEN '/mystore'
+         WHEN event_id % 4 = 2 THEN '/mystore/reviews/' || CAST(event_id % 50 AS VARCHAR)
+         ELSE NULL END AS url,
+    CAST(event_id % 300 AS BIGINT) AS page_click,
+    CAST(event_id % 200 AS BIGINT) AS user_click,
+    CAST(event_id % 5000 AS BIGINT) AS time_on_site,
+    CAST(ts AS DATE) AS ymd
+  FROM events
+), items AS (
+  SELECT CAST(3100 AS BIGINT) AS mall_seq,
+    (CASE
+      WHEN regexp_matches(url, '^/[^/]+/products/\d+$')
+        THEN CAST(regexp_extract(url, '(\d+)$') AS BIGINT)
+      WHEN regexp_matches(url, '^/[^/]+$') THEN 10
+      ELSE NULL END) AS product_id,
+    page_click, user_click, time_on_site, ymd
+  FROM raw WHERE url IS NOT NULL
+)
+SELECT * FROM items WHERE product_id IS NOT NULL
+"""

@@ -2121,6 +2121,62 @@ def q_cj_stock_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cj_stock(raw, "2026-08-13 12:00:00")
 
 
+# ----------------------------------------------- smartstore extras
+def q_smartstore_category_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """smartstore brand-catalog category expansion (models/smartstore/
+    extras): 4-level SPLIT_PART with TRY_CAST ids and NULLIF('') names
+    over variable-depth '>' paths
+    (core/smartstore/hcenter/catalog/models.sql:40-47)."""
+    from linkmerce_spark.models.smartstore.extras import split_category
+
+    (part,) = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    depth = (pk % 4 + 1).cast("int")
+    ids = F.array(*[(pk % (7 + i) + i * 100).cast("string") for i in range(4)])
+    names = F.array(
+        *[F.concat(F.lit(f"lvl{i}-"), (pk % (5 + i)).cast("string")) for i in range(4)]
+    )
+    rows = part.select(
+        pk.alias("product_id"),
+        F.array_join(F.slice(ids, 1, depth), ">").alias("full_id"),
+        F.array_join(F.slice(names, 1, depth), ">").alias("full_name"),
+    )
+    return rows.select(
+        "product_id", "full_id", "full_name",
+        *split_category("full_id", "full_name"),
+    )
+
+
+def q_smartstore_pageview_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """smartstore pageview URL classification (models/smartstore/
+    extras): product URLs keep the trailing id, bare mall URLs map to
+    the Main-URL sentinel, other paths drop
+    (core/smartstore/hcenter/pageview/models.sql:66-84)."""
+    from linkmerce_spark.models.smartstore.extras import pageview_by_product
+
+    (events,) = _t(spark, sf_dir, "events")
+    ev = F.col("event_id")
+    url = (
+        F.when(
+            ev % 4 == 0,
+            F.concat(F.lit("/mystore/products/"), (ev % 900).cast("string")),
+        )
+        .when(ev % 4 == 1, F.lit("/mystore"))
+        .when(ev % 4 == 2, F.concat(F.lit("/mystore/reviews/"), (ev % 50).cast("string")))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    rows = events.select(
+        F.struct(url.alias("url")).alias("measuredThrough"),
+        F.struct(
+            (ev % 300).cast("long").alias("pageClick"),
+            (ev % 200).cast("long").alias("userClick"),
+            (ev % 5000).cast("long").alias("timeOnSite"),
+        ).alias("visit"),
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("ymd"),
+    )
+    return pageview_by_product(rows, 3100)
+
+
 # ----------------------------------------------- google ads dataset
 def _google_gaql_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic GAQL response rows (nested structs) from lineitem:
@@ -2550,4 +2606,6 @@ QUERIES = {
     "cj_stock_parse": q_cj_stock_parse,
     "searchad_exposure_products": q_searchad_exposure_products,
     "searchad_contract_union": q_searchad_contract_union,
+    "smartstore_category_split": q_smartstore_category_split,
+    "smartstore_pageview_products": q_smartstore_pageview_products,
 }
