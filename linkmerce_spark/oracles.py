@@ -2292,3 +2292,47 @@ WITH raw AS (
 )
 SELECT * FROM items WHERE product_id IS NOT NULL
 """
+
+# --- coupang wing product ---------------------------------------------------
+ORACLES["coupang_rocket_options"] = """
+WITH raw AS (
+  SELECT p_partkey AS pk, (p_partkey % 9 != 0) AS dto_present,
+    (p_partkey % 5 = 0) AS hidden, (p_partkey % 3 = 0) AS on_sale
+  FROM part
+)
+SELECT
+  CAST(pk % 400 AS BIGINT) AS vendor_inventory_id,
+  CASE WHEN dto_present THEN CAST(pk % 5000 AS BIGINT) END AS vendor_inventory_item_id,
+  CAST(pk % 800 AS BIGINT) AS product_id,
+  CAST(pk AS BIGINT) AS option_id,
+  CASE WHEN dto_present THEN CAST(pk % 1000 AS BIGINT) END AS item_id,
+  CAST(NULL AS VARCHAR) AS barcode,
+  COALESCE(CASE WHEN dto_present AND pk % 4 != 0
+                THEN 'v' || CAST(pk % 3 AS VARCHAR) END, 'vfallback') AS vendor_id,
+  COALESCE(CASE WHEN dto_present AND pk % 6 != 0
+                THEN 'pn' || CAST(pk % 40 AS VARCHAR) END,
+           'vin' || CAST(pk % 40 AS VARCHAR)) AS product_name,
+  CASE WHEN dto_present THEN 'on' || CAST(pk % 30 AS VARCHAR) END AS option_name,
+  CAST(CASE WHEN dto_present THEN COALESCE(
+    CASE WHEN pk % 7 != 0 THEN CAST(pk % 50 + 5000 AS VARCHAR) END,
+    CASE WHEN pk % 6 != 0 THEN CAST(pk % 50 + 4000 AS VARCHAR) END,
+    CASE WHEN pk % 5 != 0 THEN CAST(pk % 50 + 3000 AS VARCHAR) END,
+    CASE WHEN pk % 4 != 0 THEN CAST(pk % 50 + 2000 AS VARCHAR) END,
+    CASE WHEN pk % 3 != 0 THEN CAST(pk % 50 + 1000 AS VARCHAR) END
+  ) END AS INT) AS display_category_id,
+  CASE WHEN dto_present THEN CAST(pk % 200 AS INT) END AS category_id,
+  CASE WHEN dto_present THEN 'cat' || CAST(pk % 200 AS VARCHAR) END AS category_name,
+  CAST(CASE WHEN hidden THEN 2
+            WHEN dto_present THEN (CASE WHEN on_sale THEN 0 ELSE 1 END)
+            ELSE NULL END AS TINYINT) AS product_status,
+  CAST(NULL AS INT) AS price,
+  TRY_CAST(CASE WHEN pk % 31 = 0 THEN 'junk'
+                ELSE CAST((pk % 90) * 100 AS VARCHAR) END AS INT) AS sales_price,
+  CAST(pk % 70 AS INT) AS order_quantity,
+  CAST(pk % 500 AS INT) AS stock_quantity,
+  strftime(TRY_CAST(
+    '1995-' || lpad(CAST(pk % 12 + 1 AS VARCHAR), 2, '0') || '-'
+    || lpad(CAST(pk % 28 + 1 AS VARCHAR), 2, '0') || ' 08:00:00'
+    AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS register_dt
+FROM raw
+"""

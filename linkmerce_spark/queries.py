@@ -2121,6 +2121,84 @@ def q_cj_stock_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cj_stock(raw, "2026-08-13 12:00:00")
 
 
+# ----------------------------------------------- coupang wing product
+def q_coupang_rocket_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coupang RocketOption parse (models/coupang/wing): nested DTO
+    struct paths, the 5-level display-category COALESCE waterfall, and
+    the hidden/onSale/DTO-missing status tri-logic
+    (core/coupang/wing/product/models.sql:243-272)."""
+    from linkmerce_spark.models.coupang.wing import rocket_options
+
+    (part,) = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    dto_present = pk % 9 != 0
+    lvl = [
+        F.when(pk % (i + 2) != 0, (pk % 50 + i * 1000).cast("string")).otherwise(
+            F.lit(None).cast("string")
+        )
+        for i in range(1, 6)
+    ]
+    dto = F.when(
+        dto_present,
+        F.struct(
+            (pk % 5000).cast("string").alias("vendorInventoryItemId"),
+            (pk % 1000).cast("string").alias("itemId"),
+            F.when(pk % 4 == 0, F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("v"), (pk % 3).cast("string")))
+            .alias("vendorId"),
+            F.when(pk % 6 == 0, F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("pn"), (pk % 40).cast("string")))
+            .alias("productName"),
+            F.concat(F.lit("on"), (pk % 30).cast("string")).alias("itemName"),
+            lvl[0].alias("displayCategoryCodeLevel1"),
+            lvl[1].alias("displayCategoryCodeLevel2"),
+            lvl[2].alias("displayCategoryCodeLevel3"),
+            lvl[3].alias("displayCategoryCodeLevel4"),
+            lvl[4].alias("displayCategoryCodeLevel5"),
+            (pk % 3 == 0).alias("onSale"),
+            F.struct(
+                (pk % 200).cast("string").alias("categoryId"),
+                F.concat(F.lit("cat"), (pk % 200).cast("string")).alias("kanNameEn"),
+            ).alias("creturnCategoryLevelThresholdDto"),
+        ),
+    ).otherwise(F.lit(None))
+    date_s = F.concat(
+        F.lit("1995-"),
+        F.lpad((pk % 12 + 1).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((pk % 28 + 1).cast("string"), 2, "0"),
+    )
+    rows = part.select(
+        pk.cast("string").alias("vendorItemId"),
+        (pk % 70).cast("string").alias("unitsSoldForLast30Days"),
+        F.struct(
+            (pk % 400).cast("string").alias("vendorInventoryId"),
+            (pk % 800).cast("string").alias("productId"),
+            F.concat(F.lit("vin"), (pk % 40).cast("string")).alias(
+                "vendorInventoryName"
+            ),
+            F.concat(date_s, F.lit(" 08:00:00")).alias("productRegistrationDate"),
+        ).alias("listingDetails"),
+        dto.alias("creturnConfigViewDto"),
+        F.struct(
+            (pk % 5 == 0).alias("isHiddenByVendor"),
+            (pk % 500).cast("string").alias("orderableQuantity"),
+        ).alias("inventoryDetails"),
+        F.struct(
+            F.struct(
+                F.when(pk % 31 == 0, F.lit("junk"))
+                .otherwise(((pk % 90) * 100).cast("string"))
+                .alias("amount")
+            ).alias("salesPrice")
+        ).alias("pricing"),
+    )
+    out = rocket_options(rows, "vfallback")
+    return out.select(
+        *[c for c in out.columns if c != "register_dt"],
+        F.date_format("register_dt", "yyyy-MM-dd HH:mm:ss").alias("register_dt"),
+    )
+
+
 # ----------------------------------------------- smartstore extras
 def q_smartstore_category_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """smartstore brand-catalog category expansion (models/smartstore/
@@ -2608,4 +2686,5 @@ QUERIES = {
     "searchad_contract_union": q_searchad_contract_union,
     "smartstore_category_split": q_smartstore_category_split,
     "smartstore_pageview_products": q_smartstore_pageview_products,
+    "coupang_rocket_options": q_coupang_rocket_options,
 }
