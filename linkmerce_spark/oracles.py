@@ -2336,3 +2336,57 @@ SELECT
     AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS register_dt
 FROM raw
 """
+
+# --- naver main + sabangnet product ----------------------------------------
+ORACLES["naver_cafe_articles"] = """
+SELECT CAST(event_id % 800 AS BIGINT) AS cafe_id,
+  CAST(event_id AS BIGINT) AS article_id,
+  'https://cafe/' || CAST(event_id % 800 AS VARCHAR) AS cafe_url,
+  'cafe ' || CAST(event_id % 800 AS VARCHAR) AS cafe_name,
+  'menu' || CAST(event_id % 9 AS VARCHAR) AS menu_name,
+  '글제목 ' || CAST(event_id % 537 AS VARCHAR) AS title,
+  '#tag' || CAST(event_id % 30 AS VARCHAR) AS tags,
+  'user' || CAST(event_id % 70 AS VARCHAR) AS nick_name,
+  LENGTH('글제목 ' || CAST(event_id % 537 AS VARCHAR)) AS title_length,
+  CAST(event_id % 4000 AS INT) AS content_length,
+  CAST(event_id % 15 AS INT) AS image_count,
+  CAST(event_id % 90000 AS INT) AS read_count,
+  CAST(event_id % 300 AS INT) AS comment_count,
+  CAST(event_id % 120 AS INT) AS commenter_count,
+  strftime(make_timestamp((1700000000000 + event_id * 1777) // 1000 * 1000000),
+           '%Y-%m-%d %H:%M:%S') AS write_dt
+FROM events
+"""
+
+ORACLES["sabangnet_option_download"] = r"""
+WITH raw AS (
+  SELECT
+    CASE WHEN o_orderkey % 5 = 0 THEN '합계줄-' || CAST(o_orderkey AS VARCHAR)
+         ELSE lpad(CAST(o_orderkey % 999999 AS VARCHAR), 6, '0') || '-'
+              || lpad(CAST(o_orderkey % 9999 AS VARCHAR), 4, '0') END AS opt_id,
+    CASE WHEN o_orderkey % 7 = 0 THEN '없음'
+         ELSE '880' || CAST(o_orderkey % 100000 AS VARCHAR) END AS barcode_s,
+    '색상' || CAST(o_orderkey % 6 AS VARCHAR) AS opt_group,
+    '옵션 ' || CAST(o_orderkey % 25 AS VARCHAR) AS opt_name,
+    CASE WHEN o_orderkey % 4 = 0 THEN '100' || CAST(o_orderkey % 900 AS VARCHAR)
+         ELSE NULL END AS bundle_ids,
+    CAST(o_orderkey % 6 AS VARCHAR) AS status_s,
+    CAST(o_orderkey % 4 AS VARCHAR) AS type_s,
+    CAST(o_orderkey % 12 + 1 AS INT) AS ea,
+    CASE WHEN o_orderkey % 11 = 0 THEN '-'
+         ELSE CAST((o_orderkey % 30) * 100 AS VARCHAR) END AS add_amt,
+    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') || ' 09:00:00' AS reg_s
+  FROM orders
+)
+SELECT opt_id AS option_id,
+  TRY_CAST(barcode_s AS BIGINT) AS barcode,
+  opt_group AS option_group,
+  opt_name AS option_name,
+  bundle_ids AS bundle_option_ids,
+  TRY_CAST(status_s AS TINYINT) AS option_status,
+  TRY_CAST(type_s AS TINYINT) AS option_type,
+  ea AS option_quantity,
+  TRY_CAST(add_amt AS INT) AS option_price,
+  strftime(TRY_CAST(reg_s AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS register_dt
+FROM raw WHERE regexp_matches(opt_id, '^\d{6}-\d{4}$')
+"""

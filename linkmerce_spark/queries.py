@@ -2121,6 +2121,92 @@ def q_cj_stock_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cj_stock(raw, "2026-08-13 12:00:00")
 
 
+# ----------------------------------------------- naver main + sabangnet product
+def q_naver_cafe_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """naver main-search cafe articles (models/naversearch/main):
+    nested cafe/article struct paths, LENGTH metrics, epoch-millis
+    write date truncated to seconds
+    (core/naver/main/search/models.sql:93-115)."""
+    from linkmerce_spark.models.naversearch.main import parse_cafe_articles
+
+    (events,) = _t(spark, sf_dir, "events")
+    ev = F.col("event_id")
+    rows = events.select(
+        (ev % 800).cast("string").alias("cafeId"),
+        ev.cast("string").alias("articleId"),
+        F.struct(
+            F.concat(F.lit("https://cafe/"), (ev % 800).cast("string")).alias("url"),
+            F.concat(F.lit("cafe "), (ev % 800).cast("string")).alias("name"),
+        ).alias("cafe"),
+        F.struct(
+            F.struct(F.concat(F.lit("menu"), (ev % 9).cast("string")).alias("name")).alias(
+                "menu"
+            ),
+            F.concat(F.lit("글제목 "), (ev % 537).cast("string")).alias("subject"),
+            F.struct(F.concat(F.lit("user"), (ev % 70).cast("string")).alias("nick")).alias(
+                "writer"
+            ),
+            F.struct(
+                (ev % 4000).cast("string").alias("wordCount"),
+                (ev % 15).cast("string").alias("imageCount"),
+            ).alias("content"),
+            (ev % 90000).cast("string").alias("readCount"),
+            (ev % 300).cast("string").alias("commentCount"),
+            (ev % 120).cast("string").alias("commenterCount"),
+            (F.lit(1700000000000) + ev * 1777).cast("string").alias("writeDate"),
+        ).alias("article"),
+        F.concat(F.lit("#tag"), (ev % 30).cast("string")).alias("tags"),
+    )
+    out = parse_cafe_articles(rows)
+    return out.select(
+        *[c for c in out.columns if c != "write_dt"],
+        F.date_format("write_dt", "yyyy-MM-dd HH:mm:ss").alias("write_dt"),
+    )
+
+
+def q_sabangnet_option_download(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sabangnet OptionDownload (models/sabangnet/extras): the
+    dddddd-dddd option-id PK guard drops spreadsheet junk lines;
+    TRY_CAST status/type enums
+    (core/sabangnet/admin/product/models.sql:107-125)."""
+    from linkmerce_spark.models.sabangnet.extras import parse_option_download
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    date_s = F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd")
+    raw = orders.select(
+        F.when(ok % 5 == 0, F.concat(F.lit("합계줄-"), ok.cast("string")))
+        .otherwise(
+            F.concat(
+                F.lpad((ok % 999999).cast("string"), 6, "0"),
+                F.lit("-"),
+                F.lpad((ok % 9999).cast("string"), 4, "0"),
+            )
+        )
+        .alias("사방넷상품코드"),
+        F.when(ok % 7 == 0, F.lit("없음"))
+        .otherwise(F.concat(F.lit("880"), (ok % 100000).cast("string")))
+        .alias("바코드"),
+        F.concat(F.lit("색상"), (ok % 6).cast("string")).alias("옵션제목"),
+        F.concat(F.lit("옵션 "), (ok % 25).cast("string")).alias("옵션상세명칭"),
+        F.when(ok % 4 == 0, F.concat(F.lit("100"), (ok % 900).cast("string")))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("연결상품코드"),
+        (ok % 6).cast("string").alias("공급상태"),
+        (ok % 4).cast("string").alias("옵션구분"),
+        (ok % 12 + 1).cast("int").alias("EA"),
+        F.when(ok % 11 == 0, F.lit("-"))
+        .otherwise(((ok % 30) * 100).cast("string"))
+        .alias("단품추가금액"),
+        F.concat(date_s, F.lit(" 09:00:00")).alias("등록일시"),
+    )
+    out = parse_option_download(raw)
+    return out.select(
+        *[c for c in out.columns if c != "register_dt"],
+        F.date_format("register_dt", "yyyy-MM-dd HH:mm:ss").alias("register_dt"),
+    )
+
+
 # ----------------------------------------------- coupang wing product
 def q_coupang_rocket_options(spark: SparkSession, sf_dir: str) -> DataFrame:
     """coupang RocketOption parse (models/coupang/wing): nested DTO
@@ -2687,4 +2773,6 @@ QUERIES = {
     "smartstore_category_split": q_smartstore_category_split,
     "smartstore_pageview_products": q_smartstore_pageview_products,
     "coupang_rocket_options": q_coupang_rocket_options,
+    "naver_cafe_articles": q_naver_cafe_articles,
+    "sabangnet_option_download": q_sabangnet_option_download,
 }
