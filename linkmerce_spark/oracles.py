@@ -2390,3 +2390,222 @@ SELECT opt_id AS option_id,
   strftime(TRY_CAST(reg_s AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS register_dt
 FROM raw WHERE regexp_matches(opt_id, '^\d{6}-\d{4}$')
 """
+
+# --- order-count stack -----------------------------------------------------
+ORACLES["analytics_order_count"] = """
+WITH smt_detail AS (
+  SELECT o_orderkey AS order_id,
+    o_orderkey * 10 + 1 AS product_order_id,
+    'opt' || CAST(o_orderkey % 40 AS VARCHAR) AS option_id,
+    CAST(o_orderkey % 5 AS INT) AS channel_seq,
+    CASE WHEN o_orderkey % 6 = 0 THEN 7 ELSE 0 END AS delivery_type,
+    CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE CAST(o_orderkey % 5 AS INT) END AS order_quantity,
+    o_orderdate AS payment_dt
+  FROM orders WHERE o_orderkey % 3 = 0
+), rel(option_id, bundle_product_ids) AS (VALUES
+  ('opt0', '101:2,905'), ('opt3', '102'), ('opt6', '903,104'),
+  ('opt7', '901:2'), ('opt9', '105:3'), ('opt12', '101,102,905')
+), channel(channel_seq, brand_id) AS (VALUES
+  (0, '3001'), (1, '3002'), (2, '3003')
+), status_smt AS (
+  SELECT o_orderkey * 10 + 1 AS product_order_id,
+    MAX(CAST(o_orderkey % 9 AS INT)) AS status_smt
+  FROM orders WHERE o_orderkey % 4 = 2 GROUP BY 1
+), status_cor AS (
+  SELECT o_orderkey AS order_id, MAX(CAST(o_orderkey % 4 AS INT)) AS status_cor
+  FROM orders WHERE o_orderkey % 7 = 3 GROUP BY 1
+), smt_bundled AS (
+  SELECT d.order_id, d.product_order_id,
+    COALESCE(r.bundle_product_ids, c.brand_id, '200000') AS bundle_product_ids,
+    (CASE WHEN sc.status_cor IS NOT NULL THEN sc.status_cor
+          WHEN ss.status_smt = 7 THEN 1
+          WHEN ss.status_smt = 5 THEN 2
+          WHEN ss.status_smt IN (6, 8) THEN 3
+          ELSE 0 END) AS order_status,
+    CASE WHEN d.delivery_type = 7 THEN 7 ELSE 0 END AS delivery_type,
+    COALESCE(d.order_quantity, 0) AS order_quantity,
+    CAST(d.payment_dt AS DATE) AS order_date
+  FROM smt_detail d
+  LEFT JOIN rel r ON d.option_id = r.option_id
+  LEFT JOIN channel c ON d.channel_seq = c.channel_seq
+  LEFT JOIN status_smt ss ON d.product_order_id = ss.product_order_id
+  LEFT JOIN status_cor sc ON d.order_id = sc.order_id
+), smt_ex AS (
+  SELECT *, UNNEST(string_split(bundle_product_ids, ',')) AS bundle_product
+  FROM smt_bundled
+), smt_count AS (
+  SELECT order_id, product_order_id, order_date,
+    string_split(bundle_product, ':')[1] AS product_id,
+    delivery_type,
+    CASE WHEN order_status = 0 AND LEFT(bundle_product, 1) = '9' THEN 3
+         ELSE order_status END AS order_status,
+    SUM(order_quantity) AS order_quantity
+  FROM smt_ex GROUP BY 1, 2, 3, 4, 5, 6
+), cpg_sales AS (
+  SELECT o_orderkey - (o_orderkey % 9) AS order_id,
+    'copt' || CAST((o_orderkey - (o_orderkey % 9)) % 30 AS VARCHAR) AS option_id,
+    'v' || CAST((o_orderkey - (o_orderkey % 9)) % 4 AS VARCHAR) AS vendor_id,
+    CASE WHEN (o_orderkey - (o_orderkey % 9)) % 5 = 0 THEN 0
+         ELSE CAST(o_orderkey % 6 AS INT) + 1 END AS settlement_type,
+    CAST(o_orderkey % 5 AS INT) - 1 AS order_quantity,
+    CAST(o_orderdate AS DATE) AS sales_date
+  FROM orders WHERE o_orderkey % 3 = 1
+), rocket AS (
+  SELECT order_id, option_id, vendor_id,
+    MAX(settlement_type) AS order_status,
+    SUM(order_quantity) AS order_quantity,
+    MAX(sales_date) AS sales_date
+  FROM cpg_sales GROUP BY 1, 2, 3
+), cpg_rel(option_id, bundle_product_ids) AS (VALUES
+  ('copt0', '901:2,103'), ('copt3', '104,105'), ('copt9', '902'), ('copt12', '103')
+), vendor(vendor_id, bundle_brand_ids) AS (VALUES
+  ('v0', '3001'), ('v1', '3002,3003')
+), cpg_bundled AS (
+  SELECT r.order_id,
+    COALESCE(cr.bundle_product_ids, v.bundle_brand_ids, '200000') AS bundle_product_ids,
+    r.order_status, r.order_quantity, r.sales_date AS order_date
+  FROM rocket r
+  LEFT JOIN cpg_rel cr ON r.option_id = cr.option_id
+  LEFT JOIN vendor v ON r.vendor_id = v.vendor_id
+  WHERE r.order_quantity != 0
+), cpg_ex AS (
+  SELECT *, UNNEST(string_split(bundle_product_ids, ',')) AS bundle_product
+  FROM cpg_bundled
+), cpg_count AS (
+  SELECT order_id, order_date,
+    string_split(bundle_product, ':')[1] AS product_id,
+    CASE WHEN order_status = 0 AND LEFT(bundle_product, 1) = '9' THEN 6
+         ELSE LEAST(order_status, 3) END AS order_status,
+    SUM(order_quantity) AS order_quantity
+  FROM cpg_ex GROUP BY 1, 2, 3, 4
+), sbn_base AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
+    CAST(o_orderkey AS VARCHAR) || '-1' AS product_order_id,
+    (['shop0075', 'shop0011', 'shop0012', 'shop0013'])[CAST(o_orderkey % 4 + 1 AS INT)] AS shop_id,
+    CAST(o_orderkey % 30 + 100 AS VARCHAR) AS product_id,
+    CASE WHEN o_orderkey % 5 = 0 THEN '501-A,502-B'
+         WHEN o_orderkey % 5 = 1 THEN '503-C'
+         ELSE NULL END AS bundle_option_ids,
+    CAST(o_orderkey % 3 AS INT) AS order_status,
+    CAST(o_orderkey % 4 AS INT) AS order_quantity,
+    CAST(o_orderdate AS DATE) AS order_date
+  FROM orders WHERE o_orderkey % 3 = 2
+), sbn_pass AS (
+  SELECT order_id, product_order_id, shop_id, product_id, order_status,
+    order_quantity, order_date
+  FROM sbn_base WHERE bundle_option_ids IS NULL
+), sbn_ex AS (
+  SELECT order_id, product_order_id, shop_id,
+    string_split(UNNEST(string_split(bundle_option_ids, ',')), '-')[1] AS product_id,
+    order_status, order_quantity, order_date
+  FROM sbn_base WHERE bundle_option_ids IS NOT NULL
+), sbn_count AS (
+  SELECT order_id, product_order_id, order_date, product_id, shop_id,
+    order_status, SUM(order_quantity) AS order_quantity
+  FROM (SELECT * FROM sbn_pass UNION ALL SELECT * FROM sbn_ex)
+  GROUP BY 1, 2, 3, 4, 5, 6
+), fact AS (
+  SELECT order_id, product_order_id, shop_id, product_id, order_status,
+    order_quantity, order_date
+  FROM (
+    SELECT order_id, product_order_id, shop_id, product_id, order_status,
+      order_quantity, order_date
+    FROM sbn_count
+    UNION ALL
+    SELECT CAST(order_id AS VARCHAR), CAST(product_order_id AS VARCHAR),
+      CASE WHEN delivery_type = 7 THEN 'shop9000' ELSE 'shop0055' END,
+      product_id, order_status, order_quantity, order_date
+    FROM smt_count
+    UNION ALL
+    SELECT CAST(order_id AS VARCHAR), CAST(NULL AS VARCHAR), 'shop9001',
+      product_id, order_status, order_quantity, order_date
+    FROM cpg_count
+  )
+  WHERE order_status = 0 AND order_quantity != 0
+), item(product_id, item_id, item_seq, team_name, brand_name, category_name1,
+        category_name2, category_name3, category_name4, color, product_name,
+        unit_name) AS (VALUES
+  ('101', 'IT-101', 1, '팀A', '브랜드A', '패션', '아우터', '자켓', '봄', '검정', '자켓 상품', 'EA'),
+  ('102', 'IT-102', 2, '팀A', '브랜드B', '식품', '간편식', '라면', '매운맛', NULL, '라면 상품', NULL),
+  ('103', 'IT-103', 3, '팀B', '브랜드B', '뷰티', '스킨', '토너', '-', '흰색', '토너 상품', 'ML'),
+  ('905', 'IT-905', 4, '팀C', '브랜드C', '사은품', '증정', '샘플', '-', '-', '샘플 상품', NULL),
+  ('501', 'IT-501', 5, '팀B', '브랜드D', '리빙', '주방', '컵', '-', '투명', '컵 상품', 'EA')
+), shop(shop_id, shop_group, shop_alias) AS (VALUES
+  ('shop0055', '스마트스토어', '본점'), ('shop9000', '스마트스토어', '도착보장'),
+  ('shop9001', '쿠팡', '로켓그로스'), ('shop0075', '쿠팡', '마켓플레이스'),
+  ('shop0011', '오픈마켓', '지마켓')
+), status_map(code, label) AS (VALUES
+  (0, '결제완료'), (1, '발송대기'), (2, '배송중'),
+  (3, '배송완료'), (4, '구매확정'), (5, '취소')
+)
+SELECT f.order_id, f.product_order_id, f.product_id,
+  COALESCE(item.item_id, 'NA-AAAAAA-00') AS item_id,
+  COALESCE(item.item_seq, 99999999) AS item_seq,
+  COALESCE(item.team_name, '담당팀 없음') AS team_name,
+  COALESCE(item.brand_name, '브랜드 없음') AS brand_name,
+  COALESCE(item.category_name1, '-') AS category_name1,
+  COALESCE(item.category_name2, '-') AS category_name2,
+  COALESCE(item.category_name3, '-') AS category_name3,
+  COALESCE(item.category_name4, '-') AS category_name4,
+  COALESCE(item.color, '-') AS color,
+  COALESCE(item.product_name, '매칭 불가 상품') AS product_name,
+  COALESCE(
+    CASE WHEN item.unit_name IS NULL THEN item.category_name3
+         ELSE item.category_name3 || ' (' || item.unit_name || ')' END,
+    '-') AS category_unit_name,
+  f.shop_id,
+  COALESCE(shop.shop_group, '-') AS shop_group,
+  COALESCE(shop.shop_alias, '-') AS shop_name,
+  COALESCE(st.label, '알 수 없음') AS order_status,
+  f.order_quantity, f.order_date
+FROM fact AS f
+LEFT JOIN item ON f.product_id = item.product_id
+LEFT JOIN shop ON f.shop_id = shop.shop_id
+LEFT JOIN status_map AS st ON f.order_status = st.code
+"""
+
+ORACLES["order_count_mom"] = """
+WITH fact_all AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
+    'p' || CAST(o_orderkey % 25 AS VARCHAR) AS product_id,
+    (['shop0055', 'shop9000', 'shop9001'])[CAST(o_orderkey % 3 + 1 AS INT)] AS shop_id,
+    '브랜드' || CAST(o_orderkey % 4 AS VARCHAR) AS brand_name,
+    CAST(o_orderkey % 4 + 1 AS INT) AS order_quantity,
+    CAST(o_orderdate AS DATE) AS order_date
+  FROM orders
+), ds AS (
+  SELECT *,
+    MIN(order_date) OVER () AS order_start_date,
+    MAX(order_date) OVER () AS order_end_date,
+    DATE '1996-04-01' AS order_ym
+  FROM fact_all
+  WHERE order_date BETWEEN DATE '1996-04-05' AND DATE '1996-04-20'
+), lb AS (
+  SELECT *,
+    MIN(order_date) OVER (PARTITION BY date_trunc('month', order_date)) AS order_start_date,
+    MAX(order_date) OVER (PARTITION BY date_trunc('month', order_date)) AS order_end_date,
+    CAST(date_trunc('month', order_date) AS DATE) AS order_ym
+  FROM fact_all
+  WHERE order_date BETWEEN DATE '1996-02-01' AND DATE '1996-03-31'
+), u AS (
+  SELECT order_id, product_id, shop_id, brand_name, order_quantity,
+    order_ym, order_start_date, order_end_date
+  FROM (SELECT * FROM ds UNION ALL SELECT * FROM lb)
+), dow_map(dayofweek, name_ko) AS (VALUES
+  (1, '(일)'), (2, '(월)'), (3, '(화)'), (4, '(수)'),
+  (5, '(목)'), (6, '(금)'), (7, '(토)')
+)
+SELECT f.order_id, f.product_id, f.shop_id, f.brand_name, f.order_quantity,
+  f.order_ym, f.order_start_date, f.order_end_date,
+  CONCAT(
+    '[ ', strftime(f.order_end_date, '%y'), '년 ',
+    strftime(f.order_end_date, '%m'), '월 ]', chr(10),
+    CASE WHEN f.order_start_date != f.order_end_date
+      THEN CONCAT(strftime(f.order_start_date, '%y/%m/%d'), sd.name_ko,
+                  chr(10), '~ ')
+      ELSE chr(10) END,
+    strftime(f.order_end_date, '%y/%m/%d'), ed.name_ko) AS order_date_range
+FROM u AS f
+LEFT JOIN dow_map AS sd ON dayofweek(f.order_start_date) + 1 = sd.dayofweek
+LEFT JOIN dow_map AS ed ON dayofweek(f.order_end_date) + 1 = ed.dayofweek
+"""

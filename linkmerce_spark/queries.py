@@ -2686,6 +2686,171 @@ def q_profit_mom_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- order-count stack
+def q_analytics_order_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analytics__order_count full chain (marts/orders): smartstore
+    status-precedence + bundle explode with 9-prefix promotion,
+    coupang_rfm feed pre-rollup + LEAST-capped status, sabangnet
+    NULL-bundle bypass, platform harmonization, the status-0 gate and
+    the COALESCE-fallback dim enrichment."""
+    from linkmerce_spark.marts.orders import (
+        coupang_rfm_order_count,
+        order_count_enrich,
+        order_count_union,
+        sabangnet_order_count_assemble,
+        smartstore_order_count,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    od = F.col("o_orderdate")
+
+    smt_detail = orders.filter(k % 3 == 0).select(
+        k.alias("order_id"),
+        (k * 10 + 1).alias("product_order_id"),
+        F.concat(F.lit("opt"), (k % 40).cast("string")).alias("option_id"),
+        (k % 5).cast("int").alias("channel_seq"),
+        F.when(k % 6 == 0, F.lit(7)).otherwise(F.lit(0)).alias("delivery_type"),
+        F.when(k % 11 == 0, F.lit(None).cast("int"))
+        .otherwise((k % 5).cast("int"))
+        .alias("order_quantity"),
+        od.alias("payment_dt"),
+    )
+    rel = values_df(
+        spark,
+        [
+            ("opt0", "101:2,905"),
+            ("opt3", "102"),
+            ("opt6", "903,104"),
+            ("opt7", "901:2"),
+            ("opt9", "105:3"),
+            ("opt12", "101,102,905"),
+        ],
+        "option_id string, bundle_product_ids string",
+    )
+    channel = values_df(
+        spark,
+        [(0, "3001"), (1, "3002"), (2, "3003")],
+        "channel_seq int, brand_id string",
+    )
+    status_smt = orders.filter(k % 4 == 2).select(
+        (k * 10 + 1).alias("product_order_id"),
+        (k % 9).cast("int").alias("order_status"),
+    )
+    status_cor = orders.filter(k % 7 == 3).select(
+        k.alias("order_id"), (k % 4).cast("int").alias("order_status")
+    )
+    smt = smartstore_order_count(smt_detail, rel, channel, status_smt, status_cor)
+
+    base = k - (k % 9)
+    cpg_sales = orders.filter(k % 3 == 1).select(
+        base.alias("order_id"),
+        F.concat(F.lit("copt"), (base % 30).cast("string")).alias("option_id"),
+        F.concat(F.lit("v"), (base % 4).cast("string")).alias("vendor_id"),
+        F.when(base % 5 == 0, F.lit(0))
+        .otherwise((k % 6).cast("int") + 1)
+        .alias("settlement_type"),
+        ((k % 5).cast("int") - 1).alias("order_quantity"),
+        od.cast("date").alias("sales_date"),
+    )
+    cpg_rel = values_df(
+        spark,
+        [
+            ("copt0", "901:2,103"),
+            ("copt3", "104,105"),
+            ("copt9", "902"),
+            ("copt12", "103"),
+        ],
+        "option_id string, bundle_product_ids string",
+    )
+    vendor = values_df(
+        spark,
+        [("v0", "3001"), ("v1", "3002,3003")],
+        "vendor_id string, bundle_brand_ids string",
+    )
+    cpg = coupang_rfm_order_count(cpg_sales, cpg_rel, vendor)
+
+    sbn_base = orders.filter(k % 3 == 2).select(
+        k.cast("string").alias("order_id"),
+        F.concat(k.cast("string"), F.lit("-1")).alias("product_order_id"),
+        F.element_at(
+            F.array(
+                F.lit("shop0075"),
+                F.lit("shop0011"),
+                F.lit("shop0012"),
+                F.lit("shop0013"),
+            ),
+            (k % 4 + 1).cast("int"),
+        ).alias("shop_id"),
+        (k % 30 + 100).cast("string").alias("product_id"),
+        F.when(k % 5 == 0, F.lit("501-A,502-B"))
+        .when(k % 5 == 1, F.lit("503-C"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("bundle_option_ids"),
+        (k % 3).cast("int").alias("order_status"),
+        (k % 4).cast("int").alias("order_quantity"),
+        od.cast("date").alias("order_date"),
+    )
+    sbn = sabangnet_order_count_assemble(sbn_base)
+
+    fact = order_count_union(sbn, smt, cpg)
+    item = values_df(
+        spark,
+        [
+            ("101", "IT-101", 1, "팀A", "브랜드A", "패션", "아우터", "자켓", "봄", "검정", "자켓 상품", "EA"),
+            ("102", "IT-102", 2, "팀A", "브랜드B", "식품", "간편식", "라면", "매운맛", None, "라면 상품", None),
+            ("103", "IT-103", 3, "팀B", "브랜드B", "뷰티", "스킨", "토너", "-", "흰색", "토너 상품", "ML"),
+            ("905", "IT-905", 4, "팀C", "브랜드C", "사은품", "증정", "샘플", "-", "-", "샘플 상품", None),
+            ("501", "IT-501", 5, "팀B", "브랜드D", "리빙", "주방", "컵", "-", "투명", "컵 상품", "EA"),
+        ],
+        "product_id string, item_id string, item_seq int, team_name string, "
+        "brand_name string, category_name1 string, category_name2 string, "
+        "category_name3 string, category_name4 string, color string, "
+        "product_name string, unit_name string",
+    )
+    shop = values_df(
+        spark,
+        [
+            ("shop0055", "스마트스토어", "본점"),
+            ("shop9000", "스마트스토어", "도착보장"),
+            ("shop9001", "쿠팡", "로켓그로스"),
+            ("shop0075", "쿠팡", "마켓플레이스"),
+            ("shop0011", "오픈마켓", "지마켓"),
+        ],
+        "shop_id string, shop_group string, shop_alias string",
+    )
+    return order_count_enrich(fact, item, shop)
+
+
+def q_order_count_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analytics__order_count_mom (marts/orders): ds-range frame with
+    constant-month MIN/MAX windows + monthly-lookback frame with
+    per-month windows, un-aggregated union, Korean day-of-week
+    date-range label."""
+    from linkmerce_spark.marts.orders import order_count_mom
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    od = F.col("o_orderdate").cast("date")
+
+    def fact_fn(start: str, end: str) -> DataFrame:
+        return orders.filter(
+            (od >= F.lit(start).cast("date")) & (od <= F.lit(end).cast("date"))
+        ).select(
+            k.cast("string").alias("order_id"),
+            F.concat(F.lit("p"), (k % 25).cast("string")).alias("product_id"),
+            F.element_at(
+                F.array(F.lit("shop0055"), F.lit("shop9000"), F.lit("shop9001")),
+                (k % 3 + 1).cast("int"),
+            ).alias("shop_id"),
+            F.concat(F.lit("브랜드"), (k % 4).cast("string")).alias("brand_name"),
+            (k % 4 + 1).cast("int").alias("order_quantity"),
+            od.alias("order_date"),
+        )
+
+    return order_count_mom(fact_fn, "1996-04-05", "1996-04-20", 2)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "star_join_revenue": q_star_join_revenue,
@@ -2775,4 +2940,6 @@ QUERIES = {
     "coupang_rocket_options": q_coupang_rocket_options,
     "naver_cafe_articles": q_naver_cafe_articles,
     "sabangnet_option_download": q_sabangnet_option_download,
+    "analytics_order_count": q_analytics_order_count,
+    "order_count_mom": q_order_count_mom,
 }
