@@ -2609,3 +2609,199 @@ FROM u AS f
 LEFT JOIN dow_map AS sd ON dayofweek(f.order_start_date) + 1 = sd.dayofweek
 LEFT JOIN dow_map AS ed ON dayofweek(f.order_end_date) + 1 = ed.dayofweek
 """
+
+ORACLES["core_sales_daily"] = """
+WITH base AS (
+  SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d,
+    CAST(o_totalprice AS DECIMAL(18,2)) AS tp
+  FROM orders
+), sales_proj AS (
+  SELECT k, d,
+    CASE WHEN k % 30 = 0 THEN '200000'
+         ELSE 'P' || CAST(k % 20 AS VARCHAR) END AS product_id,
+    CAST(k % 4 AS INT) AS order_status,
+    k % 5 AS sku_quantity,
+    CAST(FLOOR(tp) AS BIGINT) AS payment_amount,
+    CAST(FLOOR(tp * CAST('0.9' AS DECIMAL(2,1))) AS BIGINT) AS supply_amount,
+    CAST(FLOOR(tp * CAST('0.6' AS DECIMAL(2,1))) AS BIGINT) AS supply_cost,
+    (k % 7) * 100 AS delivery_fee
+  FROM base
+), smt AS (
+  SELECT product_id,
+    CASE WHEN k % 6 = 0 THEN 'shop9000' ELSE 'shop0055' END AS shop_id,
+    order_status, sku_quantity, payment_amount, supply_amount, supply_cost,
+    delivery_fee, d AS order_date
+  FROM sales_proj WHERE k % 3 = 0
+), sbn AS (
+  SELECT product_id,
+    (['shop0075', 'shop0011', 'shop0012'])[CAST((k % 9) // 3 + 1 AS INT)] AS shop_id,
+    order_status, sku_quantity, payment_amount, supply_amount, supply_cost,
+    delivery_fee, d AS order_date
+  FROM sales_proj WHERE k % 3 = 1
+), cpg AS (
+  SELECT product_id, 'shop9001' AS shop_id,
+    order_status, sku_quantity, payment_amount, supply_amount, supply_cost,
+    delivery_fee, d AS order_date
+  FROM sales_proj WHERE k % 3 = 2
+), extra_sales AS (
+  SELECT
+    CASE WHEN k % 30 = 0 THEN '200000'
+         ELSE 'P' || CAST(k % 20 AS VARCHAR) END AS product_id,
+    'shop0100' AS shop_id, 0 AS order_status,
+    CAST(FLOOR(tp * CAST('0.5' AS DECIMAL(2,1))) AS BIGINT) AS payment_amount,
+    CAST(FLOOR(tp * CAST('0.4' AS DECIMAL(2,1))) AS BIGINT) AS supply_amount,
+    d AS order_date
+  FROM base WHERE k % 40 = 21
+), pm AS (
+  SELECT 'P' || CAST(i AS VARCHAR) AS product_id,
+    'Brand' || CAST(i % 3 AS VARCHAR) AS brand_name
+  FROM range(15) t(i)
+), ads_proj AS (
+  SELECT k, d,
+    CASE WHEN k % 25 = 0 THEN '200000'
+         ELSE 'P' || CAST(k % 20 AS VARCHAR) END AS product_id
+  FROM base
+), sa_insight AS (
+  SELECT order_date, product_id, shop_id, SUM(ad_cost) AS ad_cost FROM (
+    SELECT product_id, 'shop0055' AS shop_id, (k % 9 + 1) * 10 AS ad_cost, d AS order_date
+    FROM ads_proj WHERE k % 5 = 0
+  ) GROUP BY 1, 2, 3
+), sa_contract AS (
+  SELECT order_date, product_id, shop_id, SUM(ad_cost) AS ad_cost FROM (
+    SELECT product_id, 'shop0055' AS shop_id, (k % 5 + 1) * 7 AS ad_cost, d AS order_date
+    FROM ads_proj WHERE k % 11 = 0
+  ) GROUP BY 1, 2, 3
+), cpg_ads AS (
+  SELECT order_date, product_id, shop_id, SUM(ad_cost) AS ad_cost FROM (
+    SELECT product_id, 'shop9001' AS shop_id, (k % 6 + 1) * 5 AS ad_cost, d AS order_date
+    FROM ads_proj WHERE k % 7 = 0
+  ) GROUP BY 1, 2, 3
+), google AS (
+  SELECT order_date, product_id, shop_id, SUM(ad_cost) AS ad_cost FROM (
+    SELECT product_id, 'adop0001' AS shop_id, (k % 4 + 1) * 3 AS ad_cost, d AS order_date
+    FROM ads_proj WHERE k % 13 = 0
+  ) GROUP BY 1, 2, 3
+), meta AS (
+  SELECT order_date, product_id, shop_id, SUM(ad_cost) AS ad_cost FROM (
+    SELECT product_id, 'adop0002' AS shop_id, (k % 3 + 1) * 2 AS ad_cost, d AS order_date
+    FROM ads_proj WHERE k % 17 = 0
+  ) GROUP BY 1, 2, 3
+), dable AS (
+  SELECT order_date, product_id, shop_id, SUM(ad_cost) AS ad_cost FROM (
+    SELECT product_id, 'adop0009' AS shop_id, (k % 5 + 1) * 4 AS ad_cost, d AS order_date
+    FROM ads_proj WHERE k % 19 = 0
+  ) GROUP BY 1, 2, 3
+), extra_ads AS (
+  SELECT product_id, 'adop0008' AS shop_id, (k % 7 + 1) * 6 AS ad_cost, d AS order_date
+  FROM ads_proj WHERE k % 23 = 0
+), smt_prd AS (
+  SELECT order_date, product_id, shop_id FROM (
+    SELECT order_date, product_id, shop_id, SUM(payment_amount) AS pay
+    FROM smt GROUP BY 1, 2, 3
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY order_date, product_id
+                               ORDER BY pay DESC, shop_id ASC) = 1
+), smt_brd AS (
+  SELECT order_date, brand_name, shop_id FROM (
+    SELECT s.order_date, p.brand_name, s.shop_id, SUM(s.payment_amount) AS pay
+    FROM smt s INNER JOIN pm p ON NULLIF(s.product_id, '200000') = p.product_id
+    GROUP BY 1, 2, 3
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY order_date, brand_name
+                               ORDER BY pay DESC, shop_id ASC) = 1
+), cpg_pool AS (
+  SELECT * FROM cpg UNION ALL SELECT * FROM sbn WHERE shop_id = 'shop0075'
+), cpg_prd AS (
+  SELECT order_date, product_id, shop_id FROM (
+    SELECT order_date, product_id, shop_id, SUM(payment_amount) AS pay
+    FROM cpg_pool GROUP BY 1, 2, 3
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY order_date, product_id
+                               ORDER BY pay DESC, shop_id DESC) = 1
+), cpg_brd AS (
+  SELECT order_date, brand_name, shop_id FROM (
+    SELECT s.order_date, p.brand_name, s.shop_id, SUM(s.payment_amount) AS pay
+    FROM cpg_pool s INNER JOIN pm p ON NULLIF(s.product_id, '200000') = p.product_id
+    GROUP BY 1, 2, 3
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY order_date, brand_name
+                               ORDER BY pay DESC, shop_id DESC) = 1
+), sa_mapped AS (
+  SELECT ads.product_id,
+    COALESCE(prd.shop_id, brd.shop_id, ads.shop_id) AS shop_id,
+    ads.ad_cost, ads.order_date
+  FROM (SELECT * FROM sa_insight UNION ALL SELECT * FROM sa_contract) ads
+  LEFT JOIN pm itm ON ads.product_id = itm.product_id
+  LEFT JOIN smt_prd prd
+    ON ads.order_date = prd.order_date AND ads.product_id = prd.product_id
+  LEFT JOIN smt_brd brd
+    ON ads.order_date = brd.order_date AND itm.brand_name = brd.brand_name
+), cpg_mapped AS (
+  SELECT ads.product_id,
+    COALESCE(prd.shop_id, brd.shop_id, ads.shop_id) AS shop_id,
+    ads.ad_cost, ads.order_date
+  FROM cpg_ads ads
+  LEFT JOIN pm itm ON ads.product_id = itm.product_id
+  LEFT JOIN cpg_prd prd
+    ON ads.order_date = prd.order_date AND ads.product_id = prd.product_id
+  LEFT JOIN cpg_brd brd
+    ON ads.order_date = brd.order_date AND itm.brand_name = brd.brand_name
+), expense AS (
+  SELECT '200000' AS product_id, 'adop0005' AS shop_id,
+    SUM((k % 11 + 1) * 9) AS extra_cost, d AS order_date
+  FROM base WHERE k % 29 = 0 GROUP BY d
+), opex AS (
+  SELECT 'P' || CAST(k % 4 AS VARCHAR) AS product_id,
+    CASE WHEN k % 2 = 1 THEN 'adop0004' ELSE 'adop0003' END AS shop_id,
+    SUM((k % 13 + 1) * 8) AS extra_cost, d AS order_date
+  FROM base WHERE k % 31 = 0 GROUP BY 1, 2, 4
+), insight AS (
+  SELECT product_id, shop_id, CAST(8 AS INT) AS order_status,
+    NULL::BIGINT AS sku_quantity, NULL::BIGINT AS payment_amount,
+    NULL::BIGINT AS supply_amount, NULL::BIGINT AS supply_cost,
+    NULL::BIGINT AS delivery_fee, ad_cost, NULL::BIGINT AS extra_cost, order_date
+  FROM (
+    SELECT * FROM sa_mapped UNION ALL SELECT * FROM cpg_mapped
+    UNION ALL SELECT product_id, shop_id, ad_cost, order_date FROM google
+    UNION ALL SELECT product_id, shop_id, ad_cost, order_date FROM meta
+    UNION ALL SELECT product_id, shop_id, ad_cost, order_date FROM dable
+    UNION ALL SELECT product_id, shop_id, ad_cost, order_date FROM extra_ads
+  )
+), cost_frame AS (
+  SELECT product_id, shop_id, CAST(9 AS INT) AS order_status,
+    NULL::BIGINT AS sku_quantity, NULL::BIGINT AS payment_amount,
+    NULL::BIGINT AS supply_amount, NULL::BIGINT AS supply_cost,
+    NULL::BIGINT AS delivery_fee, NULL::BIGINT AS ad_cost, extra_cost, order_date
+  FROM (SELECT * FROM expense UNION ALL SELECT * FROM opex)
+), all_frames AS (
+  SELECT product_id, shop_id, order_status, sku_quantity, payment_amount,
+    supply_amount, supply_cost, delivery_fee,
+    NULL::BIGINT AS ad_cost, NULL::BIGINT AS extra_cost, order_date
+  FROM sbn
+  UNION ALL
+  SELECT product_id, shop_id, order_status, sku_quantity, payment_amount,
+    supply_amount, supply_cost, delivery_fee,
+    NULL::BIGINT, NULL::BIGINT, order_date
+  FROM smt
+  UNION ALL
+  SELECT product_id, shop_id, order_status, sku_quantity, payment_amount,
+    supply_amount, supply_cost, delivery_fee,
+    NULL::BIGINT, NULL::BIGINT, order_date
+  FROM cpg
+  UNION ALL
+  SELECT product_id, shop_id, order_status, NULL::BIGINT, payment_amount,
+    supply_amount, NULL::BIGINT, NULL::BIGINT,
+    NULL::BIGINT, NULL::BIGINT, order_date
+  FROM extra_sales
+  UNION ALL
+  SELECT * FROM insight
+  UNION ALL
+  SELECT * FROM cost_frame
+)
+SELECT order_date, product_id, shop_id, order_status,
+  SUM(sku_quantity) AS sku_quantity,
+  SUM(payment_amount) AS payment_amount,
+  SUM(supply_amount) AS supply_amount,
+  SUM(supply_cost) AS supply_cost,
+  SUM(delivery_fee) AS delivery_fee,
+  SUM(ad_cost) AS ad_cost,
+  SUM(extra_cost) AS extra_cost
+FROM all_frames
+GROUP BY 1, 2, 3, 4
+"""

@@ -2851,6 +2851,145 @@ def q_order_count_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return order_count_mom(fact_fn, "1996-04-05", "1996-04-20", 2)
 
 
+def q_core_sales_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """core__sales_daily (marts/core_sales): harmonized multi-channel
+    fan-in, ad-cost re-homing to the highest-payment shop per
+    product-day with brand-day fallback (ASC shop tiebreak for
+    smartstore, DESC for coupang), status-8/9 ad/cost frames, and the
+    7-measure rollup."""
+    from linkmerce_spark.marts.core_sales import (
+        assign_ad_shop,
+        brand_shop_daily,
+        harmonize,
+        sales_daily_rollup,
+        top_shop_daily,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    tp = F.col("o_totalprice").cast("decimal(18,2)")
+    pid = F.when(k % 30 == 0, F.lit("200000")).otherwise(
+        F.concat(F.lit("P"), (k % 20).cast("string"))
+    )
+    pay = F.floor(tp).cast("long")
+    sup = F.floor(tp * F.lit("0.9").cast("decimal(2,1)")).cast("long")
+    cost = F.floor(tp * F.lit("0.6").cast("decimal(2,1)")).cast("long")
+
+    def _sales(shop: Column) -> list[Column]:
+        return [
+            pid.alias("product_id"),
+            shop.alias("shop_id"),
+            (k % 4).cast("int").alias("order_status"),
+            (k % 5).alias("sku_quantity"),
+            pay.alias("payment_amount"),
+            sup.alias("supply_amount"),
+            cost.alias("supply_cost"),
+            ((k % 7) * 100).alias("delivery_fee"),
+            d.alias("order_date"),
+        ]
+
+    smt = orders.filter(k % 3 == 0).select(
+        *_sales(F.when(k % 6 == 0, F.lit("shop9000")).otherwise(F.lit("shop0055")))
+    )
+    sbn = orders.filter(k % 3 == 1).select(
+        *_sales(
+            F.element_at(
+                F.array(F.lit("shop0075"), F.lit("shop0011"), F.lit("shop0012")),
+                ((k % 9) / 3 + 1).cast("int"),
+            )
+        )
+    )
+    cpg = orders.filter(k % 3 == 2).select(*_sales(F.lit("shop9001")))
+    extra_sales = orders.filter(k % 40 == 21).select(
+        pid.alias("product_id"),
+        F.lit("shop0100").alias("shop_id"),
+        F.lit(0).alias("order_status"),
+        F.floor(tp * F.lit("0.5").cast("decimal(2,1)")).cast("long").alias("payment_amount"),
+        F.floor(tp * F.lit("0.4").cast("decimal(2,1)")).cast("long").alias("supply_amount"),
+        d.alias("order_date"),
+    )
+
+    pm = values_df(
+        spark,
+        [(f"P{i}", f"Brand{i % 3}") for i in range(15)],
+        "product_id string, brand_name string",
+    )
+
+    def _ads(flt: Column, shop: str, amount: Column, grouped: bool = True) -> DataFrame:
+        f = orders.filter(flt).select(
+            F.when(k % 25 == 0, F.lit("200000"))
+            .otherwise(F.concat(F.lit("P"), (k % 20).cast("string")))
+            .alias("product_id"),
+            F.lit(shop).alias("shop_id"),
+            amount.alias("ad_cost"),
+            d.alias("order_date"),
+        )
+        if grouped:
+            f = f.groupBy("order_date", "product_id", "shop_id").agg(
+                F.sum("ad_cost").alias("ad_cost")
+            )
+        return f.select("product_id", "shop_id", "ad_cost", "order_date")
+
+    sa_insight = _ads(k % 5 == 0, "shop0055", (k % 9 + 1) * 10)
+    sa_contract = _ads(k % 11 == 0, "shop0055", (k % 5 + 1) * 7)
+    cpg_ads = _ads(k % 7 == 0, "shop9001", (k % 6 + 1) * 5)
+    google = _ads(k % 13 == 0, "adop0001", (k % 4 + 1) * 3)
+    meta = _ads(k % 17 == 0, "adop0002", (k % 3 + 1) * 2)
+    dable = _ads(k % 19 == 0, "adop0009", (k % 5 + 1) * 4)
+    extra_ads = _ads(k % 23 == 0, "adop0008", (k % 7 + 1) * 6, grouped=False)
+
+    smt_prd = top_shop_daily(smt, shop_asc=True)
+    smt_brd = brand_shop_daily(smt, pm, shop_asc=True)
+    sa_mapped = assign_ad_shop(
+        sa_insight.unionByName(sa_contract), pm, smt_prd, smt_brd
+    )
+    cpg_pool = cpg.unionByName(sbn.filter(F.col("shop_id") == "shop0075"))
+    cpg_prd = top_shop_daily(cpg_pool, shop_asc=False)
+    cpg_brd = brand_shop_daily(cpg_pool, pm, shop_asc=False)
+    cpg_mapped = assign_ad_shop(cpg_ads, pm, cpg_prd, cpg_brd)
+
+    expense = (
+        orders.filter(k % 29 == 0)
+        .groupBy(d.alias("order_date"))
+        .agg(F.sum((k % 11 + 1) * 9).alias("extra_cost"))
+        .select(
+            F.lit("200000").alias("product_id"),
+            F.lit("adop0005").alias("shop_id"),
+            "extra_cost",
+            "order_date",
+        )
+    )
+    opex = (
+        orders.filter(k % 31 == 0)
+        .groupBy(
+            d.alias("order_date"),
+            F.concat(F.lit("P"), (k % 4).cast("string")).alias("product_id"),
+            F.when(k % 2 == 1, F.lit("adop0004"))
+            .otherwise(F.lit("adop0003"))
+            .alias("shop_id"),
+        )
+        .agg(F.sum((k % 13 + 1) * 8).alias("extra_cost"))
+        .select("product_id", "shop_id", "extra_cost", "order_date")
+    )
+
+    insight = sa_mapped
+    for f in (cpg_mapped, google, meta, dable, extra_ads):
+        insight = insight.unionByName(f)
+    cost_frame = expense.unionByName(opex)
+
+    return sales_daily_rollup(
+        [
+            harmonize(sbn),
+            harmonize(smt),
+            harmonize(cpg),
+            harmonize(extra_sales),
+            harmonize(insight, order_status=8),
+            harmonize(cost_frame, order_status=9),
+        ]
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "star_join_revenue": q_star_join_revenue,
@@ -2942,4 +3081,5 @@ QUERIES = {
     "sabangnet_option_download": q_sabangnet_option_download,
     "analytics_order_count": q_analytics_order_count,
     "order_count_mom": q_order_count_mom,
+    "core_sales_daily": q_core_sales_daily,
 }
