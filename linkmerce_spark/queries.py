@@ -2990,6 +2990,220 @@ def q_core_sales_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- total-order stack
+def _delivery_group_dim(spark: SparkSession):
+    from linkmerce_spark.marts.smartstore import delivery_tiers
+
+    raw = values_df(
+        spark,
+        [
+            ("G1", 1, 100, 10, 5, 0, 15, 200, 50),
+            ("G1", 5, 80, 0, 0, 20, 0, 150, 30),
+            ("G2", None, 250, None, None, None, 30, 0, 0),
+        ],
+        "delivery_group string, min_unit int, delivery_fee int, "
+        "coolant_cost int, label_cost int, wrap_cost int, box_cost int, "
+        "n_arrival_fee int, n_arrival_add int",
+    )
+    return delivery_tiers(raw)
+
+
+def q_sabangnet_total_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sabangnet order pipeline of analytics__total_order
+    (marts/total_order): bundle explode with the first-row payment
+    idiom, ecount DISTINCT ON cost attach, order-total amount split,
+    CJ delivery COALESCE chain, max-ABS fee pick + fee split, and the
+    per-status metric gates."""
+    from linkmerce_spark.marts.total_order import (
+        ecount_product_dim,
+        sabangnet_product_order,
+        total_product_order,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    tp = F.col("o_totalprice").cast("decimal(18,2)")
+    grp = k - k % 9
+    bpo = orders.filter(k % 2 == 0).select(
+        k.alias("order_seq"),
+        F.concat(F.lit("O"), grp.cast("string")).alias("order_id"),
+        F.concat(F.lit("INV"), (k - k % 4).cast("string")).alias("invoice_no"),
+        (grp % 7).cast("int").alias("account_no"),
+        F.element_at(
+            F.array(F.lit("shop0075"), F.lit("shop0011"), F.lit("shop0012")),
+            ((k % 6) / 2 + 1).cast("int"),
+        ).alias("shop_id"),
+        F.concat(F.lit("P"), (k % 10).cast("string")).alias("product_id"),
+        F.concat(F.lit("OPT"), (k % 12).cast("string")).alias("option_id"),
+        F.when(k % 5 == 0, F.lit("601-A:2,602-B"))
+        .when(k % 5 == 1, F.lit("603-C"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("bundle_option_ids"),
+        (k % 6).cast("int").alias("order_status"),
+        (k % 3 + 1).alias("order_quantity"),
+        (k % 4 + 1).alias("sku_quantity"),
+        F.floor(tp).cast("long").alias("payment_amount"),
+        F.floor(tp * F.lit("0.9").cast("decimal(2,1)")).cast("long").alias(
+            "supply_amount"
+        ),
+        d.alias("order_date"),
+    )
+    ecount_raw = values_df(
+        spark,
+        [
+            ("601-A", "2024-01-01", "PCA", 500),
+            ("601-A", "2024-06-01", "PCB", 700),
+            ("603-C", "2024-03-01", "PCC", 400),
+            ("OPT3", "2024-02-01", "PCD", 300),
+            ("OPT3", "2024-02-01", "PCE", 350),
+        ],
+        "option_id string, expiration_date date, product_code string, org_price int",
+    )
+    item = values_df(
+        spark,
+        [
+            ("P0", 1000, 50, "G1", 0),
+            ("P1", 1100, 0, "G2", 120),
+            ("P3", 900, 25, "G1", -80),
+            ("601", 800, 0, "G2", 100),
+            ("602", 760, 10, "G1", 0),
+            ("603", 640, 0, None, 90),
+        ],
+        "product_id string, org_price int, extra_cost int, "
+        "delivery_group string, delivery_fee int",
+    )
+    cj_inv = orders.filter(k % 8 == 0).select(
+        F.concat(F.lit("INV"), k.cast("string")).alias("invoice_no"),
+        ((k % 5 - 2) * 100).alias("delivery_fee"),
+        ((k % 3) * 50).alias("box_cost"),
+    )
+    cj_ord = orders.filter(k % 18 == 0).select(
+        F.concat(F.lit("O"), k.cast("string")).alias("order_id"),
+        ((k % 7) * 80).alias("delivery_fee"),
+        ((k % 2) * 30).alias("box_cost"),
+    )
+    unit = values_df(
+        spark,
+        [("P0", 2), ("601", 3), ("P2", 1), ("603", 2)],
+        "product_id string, unit int",
+    )
+    po = sabangnet_product_order(
+        bpo,
+        ecount_product_dim(ecount_raw),
+        item,
+        cj_inv,
+        cj_ord,
+        unit,
+        _delivery_group_dim(spark),
+    )
+    return total_product_order([po])
+
+
+def q_coupang_total_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coupang_rfm order pipeline of analytics__total_order
+    (marts/total_order): FULL OUTER sales/shipping merge with the
+    NULL->7 status rule, bundle COALESCE chain, 9-prefix promotion,
+    per-product cost attach, tier-ranged delivery extra, status-6
+    zero-cost rule, and the 3-amount cost-weight split."""
+    from linkmerce_spark.marts.total_order import (
+        coupang_product_order,
+        rocket_sales_shipping,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    tp = F.col("o_totalprice").cast("decimal(18,2)")
+    grp = k - k % 9
+    sales_raw = orders.filter(k % 3 == 0).select(
+        grp.alias("order_id"),
+        F.concat(F.lit("OPT"), (grp % 12).cast("string")).alias("option_id"),
+        F.concat(F.lit("v"), (grp % 3).cast("string")).alias("vendor_id"),
+        F.when(grp % 5 == 0, F.lit(0))
+        .otherwise((k % 6).cast("int"))
+        .alias("settlement_type"),
+        (k % 4).alias("order_quantity"),
+        ((k % 7) * 100).alias("unit_price"),
+        ((k % 5) * 10).alias("coupang_discount"),
+        ((k % 3) * 5).alias("seller_discount"),
+        F.floor(tp * F.lit("0.8").cast("decimal(2,1)")).cast("long").alias(
+            "settlement_amount"
+        ),
+        d.alias("sales_date"),
+    )
+    sales = sales_raw.groupBy("order_id", "option_id").agg(
+        F.any_value("vendor_id").alias("vendor_id"),
+        F.max("settlement_type").alias("order_status"),
+        F.sum("order_quantity").alias("order_quantity"),
+        F.sum(
+            F.coalesce("unit_price", F.lit(0)) * F.coalesce("order_quantity", F.lit(0))
+            - F.coalesce("coupang_discount", F.lit(0))
+            - F.coalesce("seller_discount", F.lit(0))
+        ).alias("sales_amount"),
+        F.sum("settlement_amount").alias("settlement_amount"),
+        F.max("sales_date").alias("sales_date"),
+    )
+    ship_raw = orders.filter(k % 3 == 1).select(
+        grp.alias("order_id"),
+        F.concat(F.lit("OPT"), (grp % 12).cast("string")).alias("option_id"),
+        F.concat(F.lit("v"), (grp % 3).cast("string")).alias("vendor_id"),
+        ((k % 6) * 20).alias("warehousing_fee"),
+        ((k % 4) * 10).alias("discount_amount"),
+        ((k % 5) * 5).alias("extra_fee"),
+        d.alias("sales_date"),
+    )
+    shipping = ship_raw.groupBy("order_id", "option_id").agg(
+        F.any_value("vendor_id").alias("vendor_id"),
+        F.sum(
+            F.coalesce("warehousing_fee", F.lit(0))
+            - F.coalesce("discount_amount", F.lit(0))
+            + F.coalesce("extra_fee", F.lit(0))
+        ).alias("delivery_fee"),
+        F.max("sales_date").alias("sales_date"),
+    )
+    merged = rocket_sales_shipping(sales, shipping)
+    rel = values_df(
+        spark,
+        [
+            ("OPT0", "901:2,P3"),
+            ("OPT3", "P4,P5"),
+            ("OPT6", "902"),
+            ("OPT9", "P6:3"),
+        ],
+        "option_id string, bundle_product_ids string",
+    )
+    vendor = values_df(
+        spark,
+        [("v0", "B1"), ("v1", "B2,903")],
+        "vendor_id string, bundle_brand_ids string",
+    )
+    ecount = values_df(
+        spark,
+        [("P3", 300), ("P4", 400), ("901", 900)],
+        "product_id string, org_price int",
+    )
+    item = values_df(
+        spark,
+        [
+            ("P3", 350, 10, "G1"),
+            ("P5", 550, 0, "G2"),
+            ("902", 20, 5, "G1"),
+            ("B1", 100, 0, None),
+            ("903", 130, 0, "G1"),
+        ],
+        "product_id string, org_price int, extra_cost int, delivery_group string",
+    )
+    unit = values_df(
+        spark,
+        [("P3", 2), ("902", 1), ("B1", 4)],
+        "product_id string, unit int",
+    )
+    return coupang_product_order(
+        merged, rel, vendor, ecount, item, unit, _delivery_group_dim(spark)
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "star_join_revenue": q_star_join_revenue,
@@ -3082,4 +3296,6 @@ QUERIES = {
     "analytics_order_count": q_analytics_order_count,
     "order_count_mom": q_order_count_mom,
     "core_sales_daily": q_core_sales_daily,
+    "sabangnet_total_order": q_sabangnet_total_order,
+    "coupang_total_order": q_coupang_total_order,
 }
