@@ -82,8 +82,9 @@ def _monthly(spark: SparkSession, sf_dir: str, month_start: str, month_end: str)
     daily = sales_daily(spark, sf_dir, month_start, month_end)
     # scale 4 matches the lineitem net-price product's scale: the
     # double round-trip through sales_daily stays exact, no rounding.
+    # Output stays DECIMAL (half-up to cents) — no double leaves here.
     return daily.groupBy("priority").agg(
-        F.sum(F.col("revenue").cast("decimal(18,4)")).cast("double").alias("revenue"),
+        F.sum(F.col("revenue").cast("decimal(18,4)")).cast("decimal(18,2)").alias("revenue"),
         F.sum("n_orders").alias("n_orders"),
     )
 
@@ -98,24 +99,31 @@ def profit_mom(
 ) -> DataFrame:
     """Month-over-month revenue per priority: TVF-calls-TVF + FULL
     OUTER merge with COALESCE'd keys and half-up pct rounding."""
+    # DECIMAL-only output: raw double passthroughs can hash-differ
+    # across engines on last-ULP representations even when the decimal
+    # source values are identical, so revenue columns stay DECIMAL(18,2)
+    # end-to-end and the pct derives from those decimals.
     cur = _monthly(spark, sf_dir, cur_start, cur_end).select(
         F.col("priority").alias("c_priority"),
-        F.col("revenue").alias("cur_revenue"),
+        F.col("revenue").cast("decimal(18,2)").alias("cur_revenue"),
         F.col("n_orders").alias("cur_orders"),
     )
     prev = _monthly(spark, sf_dir, prev_start, prev_end).select(
         F.col("priority").alias("p_priority"),
-        F.col("revenue").alias("prev_revenue"),
+        F.col("revenue").cast("decimal(18,2)").alias("prev_revenue"),
         F.col("n_orders").alias("prev_orders"),
     )
     j = cur.join(prev, cur.c_priority == prev.p_priority, "full_outer")
     pct = (
-        F.col("cur_revenue") / F.nullif(F.col("prev_revenue"), F.lit(0.0)) - F.lit(1.0)
+        F.col("cur_revenue").cast("double")
+        / F.nullif(F.col("prev_revenue").cast("double"), F.lit(0.0))
+        - F.lit(1.0)
     ) * 100.0
+    zero2 = F.lit(0).cast("decimal(18,2)")
     return j.select(
         F.coalesce("c_priority", "p_priority").alias("priority"),
-        F.coalesce("cur_revenue", F.lit(0.0)).alias("cur_revenue"),
-        F.coalesce("prev_revenue", F.lit(0.0)).alias("prev_revenue"),
+        F.coalesce("cur_revenue", zero2).alias("cur_revenue"),
+        F.coalesce("prev_revenue", zero2).alias("prev_revenue"),
         F.coalesce("cur_orders", F.lit(0)).alias("cur_orders"),
         F.coalesce("prev_orders", F.lit(0)).alias("prev_orders"),
         # decimal(18,2) makes the hash canonical: double rounding can

@@ -608,18 +608,18 @@ FROM ({_MART_DAILY.format(start='1996-01-01', end='1996-03-31')})
 ORACLES["mart_profit_mom"] = f"""
 WITH daily AS ({_MART_DAILY.format(start='1996-01-01', end='1996-02-29')}),
 cur AS (
-  SELECT priority, CAST(SUM(revenue_dec) AS DOUBLE) AS cur_revenue, SUM(n_orders) AS cur_orders
+  SELECT priority, CAST(ROUND(SUM(revenue_dec), 2) AS DECIMAL(18,2)) AS cur_revenue, SUM(n_orders) AS cur_orders
   FROM daily WHERE ymd BETWEEN DATE '1996-02-01' AND DATE '1996-02-29' GROUP BY priority
 ), prev AS (
-  SELECT priority, CAST(SUM(revenue_dec) AS DOUBLE) AS prev_revenue, SUM(n_orders) AS prev_orders
+  SELECT priority, CAST(ROUND(SUM(revenue_dec), 2) AS DECIMAL(18,2)) AS prev_revenue, SUM(n_orders) AS prev_orders
   FROM daily WHERE ymd BETWEEN DATE '1996-01-01' AND DATE '1996-01-31' GROUP BY priority
 )
 SELECT COALESCE(cur.priority, prev.priority) AS priority,
-  COALESCE(cur_revenue, 0.0) AS cur_revenue,
-  COALESCE(prev_revenue, 0.0) AS prev_revenue,
+  COALESCE(cur_revenue, CAST(0 AS DECIMAL(18,2))) AS cur_revenue,
+  COALESCE(prev_revenue, CAST(0 AS DECIMAL(18,2))) AS prev_revenue,
   COALESCE(cur_orders, 0) AS cur_orders,
   COALESCE(prev_orders, 0) AS prev_orders,
-  CAST(FLOOR((cur_revenue / NULLIF(prev_revenue, 0.0) - 1.0) * 100.0 * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS mom_pct
+  CAST(FLOOR((CAST(cur_revenue AS DOUBLE) / NULLIF(CAST(prev_revenue AS DOUBLE), 0.0) - 1.0) * 100.0 * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS mom_pct
 FROM cur FULL OUTER JOIN prev ON cur.priority = prev.priority
 """
 

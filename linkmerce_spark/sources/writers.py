@@ -120,7 +120,11 @@ def write_merge(
     spark = df.sparkSession
     try:
         target = spark.read.parquet(path)
-    except Exception:
+    except AnalysisException:
+        # First write: target doesn't exist yet. Only AnalysisException
+        # (PATH_NOT_FOUND) means "no prior data" — any other read error
+        # must propagate, or a transient IO failure silently downgrades
+        # the merge to an append and drops the matched-update semantics.
         write_append(df, path, partition_by, keys)
         return
     merged = merge_frames(target, df, keys, matched, not_matched)

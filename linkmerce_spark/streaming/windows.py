@@ -31,6 +31,21 @@ def read_events_stream(spark: SparkSession, path: str, schema=None) -> DataFrame
     return spark.readStream.schema(schema).parquet(path)
 
 
+def _watermarked(df: DataFrame, ts_col: str, watermark: str) -> DataFrame:
+    """Apply a watermark, normalizing TIMESTAMP_NTZ event time first.
+
+    ``withWatermark`` requires TIMESTAMP (LTZ); pandas-written
+    TIMESTAMP(NANOS) parquet arrives as NTZ on this Spark build
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). The session TZ is
+    pinned to UTC (session.py), so the cast is value-preserving — same
+    wall-clock instants, now watermark-eligible. Batch windowed aggs
+    tolerate NTZ and skip this path entirely.
+    """
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df.withWatermark(ts_col, watermark)
+
+
 def _agg(df: DataFrame, window_col: Column, keys: Sequence[str], aggs: dict[str, Column]) -> DataFrame:
     return (
         df.groupBy(window_col, *keys)
@@ -55,7 +70,7 @@ def tumbling_agg(
     """Tumbling-window aggregate; works on static and streaming frames."""
     aggs = aggs or {"n": F.count(F.lit(1))}
     if watermark and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = _watermarked(df, ts_col, watermark)
     return _agg(df, F.window(ts_col, duration), keys, aggs)
 
 
@@ -71,7 +86,7 @@ def sliding_agg(
     """Sliding-window aggregate (window ``duration`` every ``slide``)."""
     aggs = aggs or {"n": F.count(F.lit(1))}
     if watermark and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = _watermarked(df, ts_col, watermark)
     return _agg(df, F.window(ts_col, duration, slide), keys, aggs)
 
 
@@ -86,5 +101,5 @@ def session_agg(
     """Session-window aggregate (gap-based; merges on overlap)."""
     aggs = aggs or {"n": F.count(F.lit(1))}
     if watermark and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = _watermarked(df, ts_col, watermark)
     return _agg(df, F.session_window(ts_col, gap), keys, aggs)

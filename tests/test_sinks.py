@@ -65,6 +65,24 @@ def test_write_merge_upsert(spark, tmp_path):
     assert got == {1: (10, "a"), 2: (20, "b2"), 3: (30, "c")}
 
 
+def test_write_merge_propagates_non_missing_read_errors(spark, tmp_path):
+    """A corrupt/unreadable target must raise, not silently append.
+
+    Only AnalysisException (path not found) may downgrade a merge to a
+    first-write append; any other read failure propagates so a transient
+    IO error can't drop matched-update semantics.
+    """
+    path = tmp_path / "t"
+    path.mkdir()
+    (path / "part-00000.parquet").write_bytes(b"not a parquet file at all")
+    src = spark.createDataFrame([(1, "a")], "k int, v string")
+    with pytest.raises(Exception) as ei:
+        write_merge(src, str(path), keys=["k"])
+    from pyspark.errors import AnalysisException
+
+    assert not isinstance(ei.value, AnalysisException)
+
+
 def test_compact_merges_small_files(spark, tmp_path):
     from linkmerce_spark.sources.writers import compact
 
