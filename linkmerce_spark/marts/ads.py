@@ -95,11 +95,14 @@ def ranged_bundle_relation(
             F.lit(""),
         )
     )
+    # Key columns pass through untouched — the same split applies to the
+    # ad-level relation (ad_id, ad_level, platform_name) and the
+    # smartstore product relation (product_id), cf.
+    # relation__smt_prd_to_ranged_sbn_ids.sql:10-77 (identical idiom).
+    passthrough = [c for c in rel.columns if c != "bundle_product_ids"]
     post_rows = rel.filter(has_pivot).select(
-        "ad_id",
-        "ad_level",
+        *passthrough,
         rewritten.alias("bundle_product_ids"),
-        "platform_name",
         F.lit(post_start).cast("date").alias("start_date"),
         d_end.alias("end_date"),
     )

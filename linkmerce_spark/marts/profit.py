@@ -45,6 +45,8 @@ from pyspark.sql.functions import broadcast
 
 __all__ = [
     "profit_base",
+    "profit_daily",
+    "profit_monthly",
     "profit_mom_dims",
     "ORDER_STATUS_LABELS",
     "METRIC_MAPPING",
@@ -384,4 +386,130 @@ def profit_mom_dims(
         F.col("f.order_end_date").alias("order_end_date"),
         F.col("f.order_ym").alias("order_ym"),
         date_range.alias("order_date_range"),
+    )
+
+
+def _profit_dim_cols(item_alias: str = "item", shop_alias: str = "shop"):
+    """The shared item/shop attribute projection with COALESCE fallback
+    labels (analytics__profit_daily.sql:23-46 == profit_monthly.sql:
+    44-67 — identical blocks in the reference, emitted once here)."""
+    dash = F.lit("-")
+    i = lambda c: F.col(f"{item_alias}.{c}")  # noqa: E731
+    return [
+        F.coalesce(i("item_id"), F.lit("NA-AAAAAA-00")).alias("item_id"),
+        F.coalesce(i("item_seq"), F.lit(99999999)).alias("item_seq"),
+        F.coalesce(i("team_name"), F.lit("담당팀 없음")).alias("team_name"),
+        F.coalesce(i("brand_name"), F.lit("브랜드 없음")).alias("brand_name"),
+        F.coalesce(i("category_name1"), dash).alias("category_name1"),
+        F.coalesce(i("category_name2"), dash).alias("category_name2"),
+        F.coalesce(i("category_name3"), dash).alias("category_name3"),
+        F.coalesce(i("category_name4"), dash).alias("category_name4"),
+        F.coalesce(i("color"), dash).alias("color"),
+        F.coalesce(i("product_name"), F.lit("매칭 불가 상품")).alias("product_name"),
+        F.coalesce(
+            F.when(i("unit_name").isNull(), i("category_name3")).otherwise(
+                F.concat(i("category_name3"), F.lit(" ("), i("unit_name"), F.lit(")"))
+            ),
+            dash,
+        ).alias("category_unit_name"),
+    ]
+
+
+def _enrich_profit_fact(
+    fact: DataFrame,
+    product_master: DataFrame,
+    shop_dim: DataFrame,
+    tail_cols: list[str],
+) -> DataFrame:
+    """Dimension enrichment shared by profit_daily / profit_monthly:
+    LEFT joins to the product master, shop dim and the order-status
+    label mapping (all broadcast), the reference's COALESCE fallbacks,
+    and unit_quantity = sku_quantity * unit_scale."""
+    spark = fact.sparkSession
+    from linkmerce_spark.frames import values_df
+
+    status_map = values_df(spark, ORDER_STATUS_LABELS, "code int, label string")
+    f = fact.alias("f")
+    enriched = (
+        f.join(broadcast(product_master.alias("item")), "product_id", "left")
+        .join(broadcast(shop_dim.alias("shop")), "shop_id", "left")
+        .join(
+            broadcast(status_map.alias("st")),
+            F.col("f.order_status") == F.col("st.code"),
+            "left",
+        )
+    )
+    dash = F.lit("-")
+    return enriched.select(
+        F.col("f.product_id").alias("product_id"),
+        *_profit_dim_cols(),
+        F.col("f.shop_id").alias("shop_id"),
+        F.coalesce("shop.shop_group", dash).alias("shop_group"),
+        F.coalesce("shop.shop_alias", dash).alias("shop_name"),
+        F.coalesce("st.label", F.lit("알 수 없음")).alias("order_status"),
+        F.coalesce(
+            F.col("f.sku_quantity") * F.coalesce("item.unit_scale", F.lit(1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("unit_quantity"),
+        *[F.col(f"f.{c}").alias(c) for c in _BASE_METRICS],
+        *[F.col(f"f.{c}").alias(c) for c in tail_cols],
+    )
+
+
+def profit_daily(
+    base: Callable[[str, str], DataFrame],
+    product_master: DataFrame,
+    shop_dim: DataFrame,
+    ds_start: str,
+    ds_end: str,
+) -> DataFrame:
+    """Per-order-date profit rows with dimension enrichment.
+
+    ~ analytics__profit_daily (dbt_postgres/models/marts/sales/
+    analytics__profit_daily.sql:21-67): the profit_base TVF passed
+    through unaggregated, LEFT-joined to the product master, shop dim
+    and order-status mapping. Narrow plan: three broadcast joins over
+    the gated fact, no shuffle at all.
+    """
+    return _enrich_profit_fact(
+        base(ds_start, ds_end), product_master, shop_dim, ["order_date"]
+    )
+
+
+def profit_monthly(
+    base: Callable[[str, str], DataFrame],
+    product_master: DataFrame,
+    shop_dim: DataFrame,
+    ds_start: str,
+    ds_end: str,
+) -> DataFrame:
+    """Month-grain profit rollup with dimension enrichment.
+
+    ~ analytics__profit_monthly (dbt_postgres/models/marts/sales/
+    analytics__profit_monthly.sql:21-38,40-95): profit_base aggregated
+    to (order_ym, product, shop, status) with MIN/MAX order dates, then
+    the same dim enrichment as profit_daily. The groupBy is partial-agg
+    over fine-grained uniform keys — the one shuffle, at output grain.
+    """
+    monthly = (
+        base(ds_start, ds_end)
+        .groupBy(
+            F.trunc("order_date", "month").alias("order_ym"),
+            "product_id",
+            "shop_id",
+            "order_status",
+        )
+        .agg(
+            *[F.sum(m).alias(m) for m in _BASE_METRICS],
+            F.min("order_date").alias("order_start_date"),
+            F.max("order_date").alias("order_end_date"),
+        )
+    )
+    return _enrich_profit_fact(
+        monthly,
+        product_master,
+        shop_dim,
+        ["order_start_date", "order_end_date", "order_ym"],
     )

@@ -44,6 +44,7 @@ __all__ = [
     "split_by_cost_weight",
     "max_delivery_fee",
     "sku_quantity",
+    "opt_to_sbn_relation",
 ]
 
 OPEN_TIER_MAX = 9999  # smartstore__sales_daily.sql:23
@@ -194,3 +195,156 @@ def max_delivery_fee(po: DataFrame, tiers: DataFrame) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def opt_to_sbn_relation(
+    existing_rel: DataFrame,
+    order_options: DataFrame,
+    mapping_id: DataFrame,
+    mapping_name: DataFrame,
+    add_product: DataFrame,
+    sbn_options: DataFrame,
+    shop_id: str = "shop0055",
+) -> DataFrame:
+    """SmartStore option -> sabangnet bundle relation with auto-matching.
+
+    ~ relation__smt_opt_to_sbn_ids (dbt_postgres/models/intermediate/
+    sales/smartstore/relation__smt_opt_to_sbn_ids.sql): options absent
+    from the curated relation are matched by product type —
+    type 0 by product id against the id mapping (:31-40, option id =
+    product_id || '-0001'); type 1 by sku name against the name mapping,
+    where a '$수량$' placeholder compiles into a regex (escape the
+    literal parts, placeholder -> '[^/]* / [^/]*', edge placeholders ->
+    '[^/]*', :42-67); type 2 by the '[group]'-prefixed product name or
+    the space-stripped 'group:option' concat against the add-product
+    catalog (:69-87). Matches resolve to bundles via the sabangnet
+    option table ('option:1' self-bundle default, '-NNNN' sku suffixes
+    stripped, :89-108), and ONE bundle per option wins — fewest bundle
+    items, then lowest option id (:117-130 ROW_NUMBER).
+
+    Scale notes: every mapping/catalog input is a dimension (broadcast);
+    the OR-condition type-2 match is a broadcast nested-loop on dim
+    cardinality, never fact-sized. The final ROW_NUMBER partitions on
+    option_id_smt — per-option groups of a handful of candidates.
+    """
+    opts = order_options.alias("opt").join(
+        existing_rel.select("option_id").alias("rel"),
+        F.col("opt.option_id") == F.col("rel.option_id"),
+        "left_anti",
+    )
+
+    # type 0: id-mapped products, synthesized '-0001' default option.
+    m_id = mapping_id.filter(F.col("shop_id") == shop_id).alias("map")
+    type0 = (
+        opts.filter(F.col("opt.product_type") == 0)
+        .join(
+            broadcast(m_id),
+            F.col("opt.product_id").cast("string") == F.col("map.product_id_shop"),
+        )
+        .select(
+            F.col("opt.option_id").alias("option_id_smt"),
+            F.concat(F.col("map.product_id"), F.lit("-0001")).alias("option_id_sbn"),
+        )
+    )
+
+    # type 1: sku-name match; '$수량$' placeholder compiles to a regex.
+    qty_marker = "$수량$"
+    escaped = F.regexp_replace(
+        F.replace(F.col("sku_name"), F.lit(qty_marker), F.lit("__수량__")),
+        r"([\*\+\?\$\^\.\[\]\{\}\(\)\|])",
+        r"\\$1",
+    )
+    pattern = F.replace(
+        F.regexp_replace(
+            F.regexp_replace(escaped, "^__수량__", r"[^/]*"),
+            "__수량__$",
+            r"[^/]*",
+        ),
+        F.lit("__수량__"),
+        F.lit("[^/]* / [^/]*"),
+    )
+    m_name = (
+        mapping_name.filter(F.col("shop_id") == shop_id)
+        .withColumn("sku_pattern", pattern)
+        .alias("map")
+    )
+    name_cond = F.when(
+        F.col("map.sku_name").contains(qty_marker),
+        F.expr("option_name rlike sku_pattern"),
+    ).otherwise(F.col("opt.option_name") == F.col("map.sku_name"))
+    type1 = (
+        opts.filter(F.col("opt.product_type") == 1)
+        .join(
+            broadcast(m_name),
+            (F.col("opt.product_id").cast("string") == F.col("map.product_id_shop"))
+            & name_cond,
+        )
+        .select(
+            F.col("opt.option_id").alias("option_id_smt"),
+            F.col("map.option_id").alias("option_id_sbn"),
+        )
+    )
+
+    # type 2: '[group]'-prefixed add products, two alternative matches.
+    t2 = (
+        opts.filter(F.col("opt.product_type") == 2)
+        .select(
+            F.col("opt.option_id").alias("option_id_smt"),
+            F.regexp_extract(F.col("opt.product_name"), r"^\[([^\]]+)\]", 1).alias(
+                "opt_group_id"
+            ),
+            F.trim(
+                F.regexp_replace(F.col("opt.product_name"), r"^\[[^\]]+\]", "")
+            ).alias("opt_product_name"),
+            F.col("opt.option_name").alias("opt_option_name"),
+        )
+        .alias("t2")
+    )
+    prd = add_product.alias("prd")
+    strip = lambda c: F.replace(F.col(c), F.lit(" "), F.lit(""))  # noqa: E731
+    type2 = t2.join(
+        broadcast(prd),
+        (
+            (F.col("t2.opt_group_id") == F.col("prd.group_id"))
+            & (F.col("t2.opt_product_name") == F.col("prd.option_name"))
+        )
+        | (
+            strip("t2.opt_option_name")
+            == F.concat(strip("prd.group_name"), F.lit(":"), strip("prd.option_name"))
+        ),
+    ).select(
+        F.col("t2.option_id_smt").alias("option_id_smt"),
+        F.col("prd.option_id").alias("option_id_sbn"),
+    )
+
+    matched = type0.unionByName(type1).unionByName(type2).alias("smt")
+    auto = matched.join(
+        broadcast(sbn_options.select("option_id", "bundle_option_ids").alias("sbn")),
+        F.col("smt.option_id_sbn") == F.col("sbn.option_id"),
+        "left",
+    ).select(
+        "smt.option_id_smt",
+        "smt.option_id_sbn",
+        F.regexp_replace(
+            F.coalesce(
+                F.col("sbn.bundle_option_ids"),
+                F.concat(F.col("smt.option_id_sbn"), F.lit(":1")),
+            ),
+            "-[0-9]{4}",
+            "",
+        ).alias("bundle_product_ids"),
+    )
+
+    w = Window.partitionBy("option_id_smt").orderBy(
+        F.size(F.split(F.col("bundle_product_ids"), ",")).asc(),
+        F.col("option_id_sbn").asc(),
+    )
+    best = (
+        auto.withColumn("option_rank", F.row_number().over(w))
+        .filter(F.col("option_rank") == 1)
+        .select(
+            F.col("option_id_smt").alias("option_id"),
+            "bundle_product_ids",
+        )
+    )
+    return existing_rel.select("option_id", "bundle_product_ids").unionByName(best)

@@ -36,6 +36,8 @@ Scale notes
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -43,7 +45,13 @@ from pyspark.sql.functions import broadcast
 from linkmerce_spark.frames import load_star
 from linkmerce_spark.operators.rownum import global_row_number
 
-__all__ = ["stock_report"]
+__all__ = [
+    "stock_report",
+    "ecount_sku_relation",
+    "stock_qty_batch",
+    "stock_time_batch",
+    "stock_cost_mom",
+]
 
 
 def stock_report(
@@ -188,4 +196,340 @@ def stock_report(
         "performance",
         "stock_cost",
         "priority",
+    )
+
+
+# --------------------------------------------------------------- batch family
+#
+# Parity targets (semantics, not code):
+# - ``stock_qty_batch``  ~ core__stock_qty_batch (dbt_postgres/models/
+#   intermediate/stock/core__stock_qty_batch.sql:18-104): the ecount
+#   sku->product relation (DISTINCT ON (product_id, expiration_date)
+#   ordered by updated_at DESC NULLS LAST), three channel sources
+#   re-keyed to ecount product codes, UNION ALL, then per-channel
+#   conditional sums (the A2 idiom) at (ymd, batch, product_code).
+# - ``stock_time_batch`` ~ core__stock_time_batch (...:17-70): the
+#   ::time < '17:00' batch-10/20 classification per channel and the
+#   conditional MAX(updated_at) rollup at (ymd, batch).
+# - ``stock_cost_mom``   ~ analytics__stock_cost_mom (dbt_postgres/
+#   models/marts/stock/analytics__stock_cost_mom.sql:26-147): month-end
+#   batch selection via two windows (MAX(ymd) per month, MAX(batch) per
+#   ymd), org_price*qty cost rollup, zero-cost fallback rows for sales
+#   months without stock, and the item-attribute enrichment with the
+#   day-of-week date label.
+#
+# Scale notes: every relation/product dim is broadcast; the only fact
+# shuffles are the (ymd, batch, product_code) and month-grain groupBys
+# (fine-grained keys, partial agg). The month-end windows run on the
+# already-aggregated batch table, not the raw feed.
+
+
+def ecount_sku_relation(ecount_product: DataFrame) -> DataFrame:
+    """The sabangnet-sku -> ecount product_code relation.
+
+    ``ecount_product`` carries (product_code, option_id, expiration_date
+    [YYYYMMDD string], updated_at). Derives product_id as the first
+    '-'-segment of option_id with the reference's '200000' fallback,
+    parses 8-digit expirations (else the 2999-12-31 sentinel), and keeps
+    one product_code per (product_id, expiration_date) ordered by
+    updated_at DESC NULLS LAST, product_code ASC, option_id ASC
+    (core__stock_qty_batch.sql:18-41 DISTINCT ON).
+    """
+    opt = F.nullif(F.col("option_id"), F.lit(""))
+    parsed = ecount_product.select(
+        F.col("product_code"),
+        F.coalesce(F.split(opt, "-").getItem(0), F.lit("200000")).alias("product_id"),
+        opt.alias("option_id"),
+        F.when(
+            F.col("expiration_date").rlike("^[0-9]{8}$"),
+            F.to_date(F.col("expiration_date"), "yyyyMMdd"),
+        )
+        .otherwise(F.lit("2999-12-31").cast("date"))
+        .alias("expiration_date"),
+        F.col("updated_at"),
+    )
+    w = Window.partitionBy("product_id", "expiration_date").orderBy(
+        F.col("updated_at").desc_nulls_last(),
+        F.col("product_code").asc(),
+        F.col("option_id").asc(),
+    )
+    return (
+        parsed.filter(F.col("option_id").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("product_id", "expiration_date", "product_code")
+    )
+
+
+def stock_qty_batch(
+    ecount_product: DataFrame,
+    ecount_qty: DataFrame,
+    cj_qty: DataFrame,
+    rfm_qty: DataFrame,
+    start_date: str,
+    end_date: str,
+) -> DataFrame:
+    """Batch stock quantity per (ymd, batch, product_code) across the
+    three channels, with per-channel conditional-sum splits.
+
+    ``ecount_qty`` carries (ymd, batch, product_code, stock_quantity);
+    ``cj_qty``/``rfm_qty`` carry (ymd, batch, product_id,
+    expiration_date, stock_quantity) and re-key through the sku
+    relation. NULL (not 0) channel slices where a channel has no rows —
+    the reference sums NULL ELSE branches.
+    """
+    lo, hi = F.lit(start_date).cast("date"), F.lit(end_date).cast("date")
+    rel = broadcast(ecount_sku_relation(ecount_product))
+    eco_codes = broadcast(
+        ecount_product.select("product_code").distinct()
+    )
+
+    def _ranged(df: DataFrame) -> DataFrame:
+        return df.filter(F.col("ymd").between(lo, hi))
+
+    eco = (
+        _ranged(ecount_qty)
+        .join(eco_codes.withColumnRenamed("product_code", "pc"),
+              F.col("product_code") == F.col("pc"), "left")
+        .select(
+            "ymd",
+            "batch",
+            F.coalesce(F.col("pc"), F.lit("")).alias("product_code"),
+            F.lit(0).alias("group_id"),
+            "stock_quantity",
+        )
+    )
+
+    def _via_rel(df: DataFrame, gid: int) -> DataFrame:
+        q = df.alias("q")
+        return (
+            _ranged(q)
+            .join(
+                rel.alias("r"),
+                (F.col("q.product_id") == F.col("r.product_id"))
+                & (F.col("q.expiration_date") == F.col("r.expiration_date")),
+                "left",
+            )
+            .select(
+                "q.ymd",
+                "q.batch",
+                F.coalesce(F.col("r.product_code"), F.lit("")).alias("product_code"),
+                F.lit(gid).alias("group_id"),
+                "q.stock_quantity",
+            )
+        )
+
+    unioned = eco.unionByName(_via_rel(cj_qty, 1)).unionByName(_via_rel(rfm_qty, 2))
+    g = F.col("group_id")
+    qty = F.col("stock_quantity")
+
+    def _slice(gid: int) -> F.Column:
+        return F.sum(F.when(g == gid, qty))
+
+    return unioned.groupBy("ymd", "batch", "product_code").agg(
+        F.sum(qty).alias("stock_qty"),
+        _slice(0).alias("ecount__stock_qty"),
+        _slice(1).alias("cj_eflexs__stock_qty"),
+        _slice(2).alias("coupang_rfm__stock_qty"),
+    )
+
+
+def stock_time_batch(
+    ecount_inventory: DataFrame,
+    cj_stock: DataFrame,
+    rfm_inventory: DataFrame,
+    start_date: str,
+    end_date: str,
+) -> DataFrame:
+    """Latest update time per (ymd, batch) across the three channels.
+
+    Each input carries an ``updated_at`` timestamp; the 17:00 cutoff
+    splits each day into batch 10 (before) / 20 (after), the
+    half-open [start, end+1) timestamp range bounds the feed, and the
+    rollup keeps the overall and per-channel MAX as 'yyyy-MM-dd
+    HH:mm:ss' strings (engine-portable output, queries.py conventions).
+    """
+    lo = F.lit(start_date).cast("date").cast("timestamp")
+    hi = F.date_add(F.lit(end_date).cast("date"), 1).cast("timestamp")
+
+    def _channel(df: DataFrame, gid: int) -> DataFrame:
+        u = F.col("updated_at")
+        return df.filter((u >= lo) & (u < hi)).select(
+            u.cast("date").alias("ymd"),
+            F.when(
+                F.date_format(u, "HH:mm:ss") < "17:00:00", F.lit(10)
+            ).otherwise(F.lit(20)).alias("batch"),
+            F.lit(gid).alias("group_id"),
+            u.alias("updated_at"),
+        )
+
+    unioned = (
+        _channel(ecount_inventory, 0)
+        .unionByName(_channel(cj_stock, 1))
+        .unionByName(_channel(rfm_inventory, 2))
+    )
+    g = F.col("group_id")
+    u = F.col("updated_at")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+
+    def _slice(gid: int) -> F.Column:
+        return F.date_format(F.max(F.when(g == gid, u)), fmt)
+
+    return unioned.groupBy("ymd", "batch").agg(
+        F.date_format(F.max(u), fmt).alias("max_updated_at"),
+        _slice(0).alias("ecount__max_updated_at"),
+        _slice(1).alias("cj_eflexs__max_updated_at"),
+        _slice(2).alias("coupang_rfm__max_updated_at"),
+    )
+
+
+def stock_cost_mom(
+    qty_batch: DataFrame,
+    ecount_product: DataFrame,
+    sales_daily: DataFrame,
+    product_master: DataFrame,
+    ds_start: str,
+    ds_end: str,
+    interval_months: int,
+) -> DataFrame:
+    """Monthly stock cost from each month's last batch, with zero-cost
+    fallbacks for sales months lacking stock rows, item-enriched.
+
+    ~ analytics__stock_cost_mom (dbt_postgres/models/marts/stock/
+    analytics__stock_cost_mom.sql): the month-end batch criteria are two
+    windows over the (already aggregated) batch table — MAX(ymd) per
+    month, MAX(batch) per ymd (:44-46); only rows matching both roll up
+    to (stock_ymd, product_id) cost (:57-60). Sales periods with no
+    stock row for the month contribute zero-cost rows anchored to the
+    month's stock date (:66-103). Date params resolve in Python so both
+    engines plan over literals.
+    """
+    from linkmerce_spark.frames import values_df
+    from linkmerce_spark.marts.profit import (
+        DOW_NAMES,
+        _month_floor,
+        _profit_dim_cols,
+        _shift_months,
+    )
+
+    lb_start = _shift_months(ds_end, interval_months)  # month floor of lookback
+    prev_month_end = (
+        _dt.date.fromisoformat(_month_floor(ds_end)) - _dt.timedelta(days=1)
+    ).isoformat()
+
+    # ecount product dim (:26-35): straight first '-'-segment, no fallback.
+    prd = broadcast(
+        ecount_product.filter(F.nullif(F.col("option_id"), F.lit("")).isNotNull())
+        .select(
+            "product_code",
+            F.split(F.col("option_id"), "-").getItem(0).alias("product_id"),
+            "org_price",
+        )
+    )
+
+    w_month = Window.partitionBy(F.trunc("ymd", "month"))
+    w_day = Window.partitionBy("ymd")
+    costed = (
+        qty_batch.filter(
+            F.col("ymd").between(
+                F.lit(lb_start).cast("date"), F.lit(ds_end).cast("date")
+            )
+        )
+        .join(prd, "product_code", "left")
+        .select(
+            F.coalesce(F.col("product_id"), F.lit("200000")).alias("product_id"),
+            (
+                F.coalesce(F.col("org_price"), F.lit(0).cast("long"))
+                * F.coalesce(F.col("stock_qty"), F.lit(0).cast("long"))
+            ).alias("stock_cost"),
+            F.col("ymd").alias("stock_ymd"),
+            F.col("batch").alias("stock_batch"),
+            F.max("ymd").over(w_month).alias("max_month_ymd"),
+            F.max("batch").over(w_day).alias("max_day_batch"),
+        )
+    )
+    monthly = (
+        costed.filter(
+            (F.col("stock_ymd") == F.col("max_month_ymd"))
+            & (F.col("stock_batch") == F.col("max_day_batch"))
+        )
+        .groupBy("stock_ymd", "product_id")
+        .agg(F.sum("stock_cost").alias("stock_cost"))
+        .withColumn("order_ym", F.trunc("stock_ymd", "month"))
+    )
+
+    # Fallback: sales months without a stock row for that product.
+    od = F.col("order_date")
+    ds_range = (
+        sales_daily.filter(
+            od.between(F.lit(ds_start).cast("date"), F.lit(ds_end).cast("date"))
+        )
+        .select(
+            "product_id",
+            F.lit(ds_end).cast("date").alias("stock_ymd"),
+            F.lit(_month_floor(ds_end)).cast("date").alias("order_ym"),
+        )
+        .distinct()
+    )
+    lookback = (
+        sales_daily.filter(
+            od.between(
+                F.lit(lb_start).cast("date"), F.lit(prev_month_end).cast("date")
+            )
+        )
+        .select(
+            "product_id",
+            F.last_day(od).alias("stock_ymd"),
+            F.trunc(od, "month").alias("order_ym"),
+        )
+        .distinct()
+    )
+    sales = ds_range.unionByName(lookback).distinct().alias("sales")
+    month_dates = broadcast(
+        monthly.select("order_ym", "stock_ymd").distinct().alias("md")
+    )
+    fallback = (
+        sales.join(
+            monthly.select("product_id", "order_ym").alias("st"),
+            (F.col("sales.product_id") == F.col("st.product_id"))
+            & (F.col("sales.order_ym") == F.col("st.order_ym")),
+            "left_anti",
+        )
+        .join(month_dates, F.col("sales.order_ym") == F.col("md.order_ym"), "left")
+        .select(
+            F.col("sales.product_id").alias("product_id"),
+            F.lit(0).cast("long").alias("stock_cost"),
+            F.coalesce(F.col("md.stock_ymd"), F.col("sales.stock_ymd")).alias(
+                "stock_ymd"
+            ),
+            F.col("sales.order_ym").alias("order_ym"),
+        )
+    )
+
+    fact = monthly.select(
+        "product_id", "stock_cost", "stock_ymd", "order_ym"
+    ).unionByName(fallback)
+
+    spark = fact.sparkSession
+    dow_map = values_df(spark, DOW_NAMES, "dayofweek int, name_ko string")
+    f = fact.alias("f")
+    enriched = f.join(
+        broadcast(product_master.alias("item")), "product_id", "left"
+    ).join(
+        broadcast(dow_map.alias("ed")),
+        F.dayofweek("f.stock_ymd") == F.col("ed.dayofweek"),
+        "left",
+    )
+    return enriched.select(
+        F.col("f.product_id").alias("product_id"),
+        *_profit_dim_cols(),
+        F.col("f.stock_cost").alias("stock_cost"),
+        F.col("f.stock_ymd").alias("stock_ymd"),
+        F.col("f.order_ym").alias("order_ym"),
+        F.concat(
+            F.lit("[ "),
+            F.date_format("f.stock_ymd", "yy/MM/dd"),
+            F.col("ed.name_ko"),
+            F.lit(" ]"),
+        ).alias("stock_date_label"),
     )

@@ -2805,3 +2805,114 @@ SELECT order_date, product_id, shop_id, order_status,
 FROM all_frames
 GROUP BY 1, 2, 3, 4
 """
+
+# --- round-3: profit grain variants ----------------------------------------
+_PROFIT_PM_CTE = """
+pm AS (
+  SELECT 'p' || CAST(i AS VARCHAR) AS product_id,
+    'IT-' || lpad(CAST(i AS VARCHAR), 6, '0') AS item_id,
+    CAST(i * 10 AS INT) AS item_seq,
+    'team' || CAST(i % 3 AS VARCHAR) AS team_name,
+    'brand' || CAST(i % 5 AS VARCHAR) AS brand_name,
+    'cat' || CAST(i % 2 AS VARCHAR) AS category_name1,
+    'sub' || CAST(i % 3 AS VARCHAR) AS category_name2,
+    'leaf' || CAST(i % 4 AS VARCHAR) AS category_name3,
+    'g4-' || CAST(i % 5 AS VARCHAR) AS category_name4,
+    'color' || CAST(i % 4 AS VARCHAR) AS color,
+    'product ' || CAST(i AS VARCHAR) AS product_name,
+    CASE WHEN i % 3 = 0 THEN NULL ELSE 'ea' || CAST(i % 3 AS VARCHAR) END AS unit_name,
+    CAST(i % 4 + 1 AS INT) AS unit_scale
+  FROM range(35) AS t(i)
+)
+"""
+
+_PROFIT_SHOP_STATUS_CTE = """
+shop_dim(shop_id, shop_group, shop_alias) AS (VALUES
+  ('shop0055', 'smartstore', 'SS-A'),
+  ('shop0075', 'coupang', 'CP-A'),
+  ('adop0001', 'adops', 'Google'),
+  ('adop0002', 'adops', 'Meta'),
+  ('adop9000', 'extra', 'Manual')
+), status_map(code, label) AS (VALUES
+  (0, '결제완료'), (1, '발송대기'), (2, '배송중'),
+  (3, '배송완료'), (4, '구매확정'), (5, '취소')
+)
+"""
+
+_ITEM_ATTRS_SQL = """
+  COALESCE(item.item_id, 'NA-AAAAAA-00') AS item_id,
+  COALESCE(item.item_seq, 99999999) AS item_seq,
+  COALESCE(item.team_name, '담당팀 없음') AS team_name,
+  COALESCE(item.brand_name, '브랜드 없음') AS brand_name,
+  COALESCE(item.category_name1, '-') AS category_name1,
+  COALESCE(item.category_name2, '-') AS category_name2,
+  COALESCE(item.category_name3, '-') AS category_name3,
+  COALESCE(item.category_name4, '-') AS category_name4,
+  COALESCE(item.color, '-') AS color,
+  COALESCE(item.product_name, '매칭 불가 상품') AS product_name,
+  COALESCE(
+    CASE WHEN item.unit_name IS NULL THEN item.category_name3
+         ELSE item.category_name3 || ' (' || item.unit_name || ')' END,
+    '-') AS category_unit_name
+"""
+
+_PROFIT_SHOP_STATUS_SELECT = """
+  f.shop_id,
+  COALESCE(shop.shop_group, '-') AS shop_group,
+  COALESCE(shop.shop_alias, '-') AS shop_name,
+  COALESCE(st.label, '알 수 없음') AS order_status,
+  CAST(COALESCE(f.sku_quantity * COALESCE(item.unit_scale, 1), 0) AS BIGINT) AS unit_quantity
+"""
+
+ORACLES["profit_daily"] = f"""
+WITH {_PROFIT_FACT_CTE},
+pb_all AS (
+  SELECT * FROM pb WHERE order_date BETWEEN DATE '1995-06-01' AND DATE '1995-06-30'
+  UNION ALL
+  SELECT * FROM extra WHERE order_date BETWEEN DATE '1995-06-01' AND DATE '1995-06-30'
+), {_PROFIT_PM_CTE}, {_PROFIT_SHOP_STATUS_CTE}
+SELECT f.product_id,
+  {_ITEM_ATTRS_SQL},
+  {_PROFIT_SHOP_STATUS_SELECT},
+  f.sku_quantity, f.payment_amount, f.supply_amount, f.supply_cost,
+  f.delivery_fee, f.margin_amount, f.ad_cost, f.extra_cost, f.profit,
+  f.order_date
+FROM pb_all AS f
+LEFT JOIN pm AS item ON f.product_id = item.product_id
+LEFT JOIN shop_dim AS shop ON f.shop_id = shop.shop_id
+LEFT JOIN status_map AS st ON f.order_status = st.code
+"""
+
+ORACLES["profit_monthly"] = f"""
+WITH {_PROFIT_FACT_CTE},
+pb_all AS (
+  SELECT * FROM pb WHERE order_date BETWEEN DATE '1995-05-01' AND DATE '1995-06-30'
+  UNION ALL
+  SELECT * FROM extra WHERE order_date BETWEEN DATE '1995-05-01' AND DATE '1995-06-30'
+), monthly AS (
+  SELECT CAST(date_trunc('month', order_date) AS DATE) AS order_ym,
+    product_id, shop_id, order_status,
+    CAST(SUM(sku_quantity) AS BIGINT) AS sku_quantity,
+    CAST(SUM(payment_amount) AS BIGINT) AS payment_amount,
+    CAST(SUM(supply_amount) AS BIGINT) AS supply_amount,
+    CAST(SUM(supply_cost) AS BIGINT) AS supply_cost,
+    CAST(SUM(delivery_fee) AS BIGINT) AS delivery_fee,
+    CAST(SUM(margin_amount) AS BIGINT) AS margin_amount,
+    CAST(SUM(ad_cost) AS BIGINT) AS ad_cost,
+    CAST(SUM(extra_cost) AS BIGINT) AS extra_cost,
+    CAST(SUM(profit) AS BIGINT) AS profit,
+    MIN(order_date) AS order_start_date,
+    MAX(order_date) AS order_end_date
+  FROM pb_all GROUP BY 1, 2, 3, 4
+), {_PROFIT_PM_CTE}, {_PROFIT_SHOP_STATUS_CTE}
+SELECT f.product_id,
+  {_ITEM_ATTRS_SQL},
+  {_PROFIT_SHOP_STATUS_SELECT},
+  f.sku_quantity, f.payment_amount, f.supply_amount, f.supply_cost,
+  f.delivery_fee, f.margin_amount, f.ad_cost, f.extra_cost, f.profit,
+  f.order_start_date, f.order_end_date, f.order_ym
+FROM monthly AS f
+LEFT JOIN pm AS item ON f.product_id = item.product_id
+LEFT JOIN shop_dim AS shop ON f.shop_id = shop.shop_id
+LEFT JOIN status_map AS st ON f.order_status = st.code
+"""
