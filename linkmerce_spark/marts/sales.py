@@ -114,22 +114,42 @@ def profit_mom(
         F.col("n_orders").alias("prev_orders"),
     )
     j = cur.join(prev, cur.c_priority == prev.p_priority, "full_outer")
-    pct = (
-        F.col("cur_revenue").cast("double")
-        / F.nullif(F.col("prev_revenue").cast("double"), F.lit(0.0))
-        - F.lit(1.0)
-    ) * 100.0
     zero2 = F.lit(0).cast("decimal(18,2)")
-    return j.select(
+    base = j.select(
         F.coalesce("c_priority", "p_priority").alias("priority"),
         F.coalesce("cur_revenue", zero2).alias("cur_revenue"),
         F.coalesce("prev_revenue", zero2).alias("prev_revenue"),
         F.coalesce("cur_orders", F.lit(0)).alias("cur_orders"),
         F.coalesce("prev_orders", F.lit(0)).alias("prev_orders"),
-        # decimal(18,2) makes the hash canonical: double rounding can
-        # emit -0.0 / last-ULP values that hash-differ across engines.
-        (F.floor(pct * 100.0 + F.lit(0.5)) / 100.0)
-        .cast("decimal(18,2)")
+    )
+    # mom_pct = round_half_up((cur/prev - 1) * 100, 2) in PURE integer
+    # arithmetic (no double anywhere): with cents c, p the target is
+    # floor(((c-p)*10000)/p + 1/2) at scale 2, i.e. floor((2N+p)/(2p))
+    # with N=(c-p)*10000; the ((m % e) + e) % e non-negative remainder
+    # makes the floor exact for negative N under both engines'
+    # sign-of-dividend %. The final *0.01 decimal multiply is exact, so
+    # Spark and DuckDB produce bit-identical DECIMAL(18,2) values.
+    base = (
+        base.withColumn("__c", (F.col("cur_revenue") * 100).cast("long"))
+        .withColumn("__p", (F.col("prev_revenue") * 100).cast("long"))
+        .withColumn("__m", (F.col("__c") - F.col("__p")) * 20000 + F.col("__p"))
+        .withColumn("__e", F.col("__p") * 2)
+    )
+    scaled = F.expr(
+        "(__m - ((__m % __e) + __e) % __e) div __e"
+    )
+    return base.select(
+        "priority",
+        "cur_revenue",
+        "prev_revenue",
+        "cur_orders",
+        "prev_orders",
+        F.when(
+            F.col("__p") > 0,
+            (scaled.cast("decimal(16,0)") * F.lit("0.01").cast("decimal(3,2)"))
+            .cast("decimal(18,2)"),
+        )
+        .otherwise(F.lit(None).cast("decimal(18,2)"))
         .alias("mom_pct"),
     )
 

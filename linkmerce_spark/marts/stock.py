@@ -280,9 +280,12 @@ def stock_qty_batch(
     """
     lo, hi = F.lit(start_date).cast("date"), F.lit(end_date).cast("date")
     rel = broadcast(ecount_sku_relation(ecount_product))
-    eco_codes = broadcast(
-        ecount_product.select("product_code").distinct()
-    )
+    # The reference joins the FULL (non-deduplicated) ecount_product
+    # (core__stock_qty_batch.sql:44-55): duplicate product_codes would
+    # fan out quantities there too, so no .distinct() here — parity over
+    # defensiveness. tests/test_stock_batch.py asserts the synthetic
+    # catalog's product_code uniqueness that the reference presumes.
+    eco_codes = broadcast(ecount_product.select("product_code"))
 
     def _ranged(df: DataFrame) -> DataFrame:
         return df.filter(F.col("ymd").between(lo, hi))

@@ -614,13 +614,22 @@ cur AS (
   SELECT priority, CAST(ROUND(SUM(revenue_dec), 2) AS DECIMAL(18,2)) AS prev_revenue, SUM(n_orders) AS prev_orders
   FROM daily WHERE ymd BETWEEN DATE '1996-01-01' AND DATE '1996-01-31' GROUP BY priority
 )
-SELECT COALESCE(cur.priority, prev.priority) AS priority,
-  COALESCE(cur_revenue, CAST(0 AS DECIMAL(18,2))) AS cur_revenue,
-  COALESCE(prev_revenue, CAST(0 AS DECIMAL(18,2))) AS prev_revenue,
-  COALESCE(cur_orders, 0) AS cur_orders,
-  COALESCE(prev_orders, 0) AS prev_orders,
-  CAST(FLOOR((CAST(cur_revenue AS DOUBLE) / NULLIF(CAST(prev_revenue AS DOUBLE), 0.0) - 1.0) * 100.0 * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS mom_pct
-FROM cur FULL OUTER JOIN prev ON cur.priority = prev.priority
+SELECT priority, cur_revenue, prev_revenue, cur_orders, prev_orders,
+  CASE WHEN p > 0 THEN CAST(CAST((m - ((m % e) + e) % e) // e AS DECIMAL(16,0))
+                          * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2))
+  END AS mom_pct
+FROM (
+  SELECT *, (c - p) * 20000 + p AS m, p * 2 AS e FROM (
+    SELECT COALESCE(cur.priority, prev.priority) AS priority,
+      COALESCE(cur_revenue, CAST(0 AS DECIMAL(18,2))) AS cur_revenue,
+      COALESCE(prev_revenue, CAST(0 AS DECIMAL(18,2))) AS prev_revenue,
+      COALESCE(cur_orders, 0) AS cur_orders,
+      COALESCE(prev_orders, 0) AS prev_orders,
+      CAST(COALESCE(cur_revenue, CAST(0 AS DECIMAL(18,2))) * 100 AS BIGINT) AS c,
+      CAST(COALESCE(prev_revenue, CAST(0 AS DECIMAL(18,2))) * 100 AS BIGINT) AS p
+    FROM cur FULL OUTER JOIN prev ON cur.priority = prev.priority
+  )
+)
 """
 
 ORACLES["mart_rolling_sales"] = f"""
@@ -2915,4 +2924,197 @@ FROM monthly AS f
 LEFT JOIN pm AS item ON f.product_id = item.product_id
 LEFT JOIN shop_dim AS shop ON f.shop_id = shop.shop_id
 LEFT JOIN status_map AS st ON f.order_status = st.code
+"""
+
+# --- stock batch family --------------------------------------------------
+# Shared input synthesis (queries._stock_ecount_product / _stock_qty_inputs
+# re-expressed in SQL) + core__stock_qty_batch semantics: the DISTINCT ON
+# sku relation, three channel feeds, UNION ALL, per-channel conditional
+# sums (dbt core__stock_qty_batch.sql:18-104).
+
+_STOCK_ECOUNT_CTE = """
+ecount_product AS (
+  SELECT 'pc' || CAST(p_partkey AS VARCHAR) AS product_code,
+    CASE WHEN p_partkey % 17 = 0 THEN ''
+         WHEN p_partkey % 13 = 0 THEN NULL
+         ELSE 'p' || CAST(p_partkey % 40 AS VARCHAR)
+              || '-' || CAST(p_partkey % 4 AS VARCHAR) END AS option_id,
+    CASE WHEN p_partkey % 11 = 0 THEN 'baddate'
+         ELSE '1997' || lpad(CAST(p_partkey % 12 + 1 AS VARCHAR), 2, '0')
+              || lpad(CAST(p_partkey % 28 + 1 AS VARCHAR), 2, '0') END AS expiration_date,
+    CASE WHEN p_partkey % 19 = 0 THEN CAST(NULL AS TIMESTAMP)
+         ELSE CAST('1996-01-01 ' || lpad(CAST(p_partkey % 24 AS VARCHAR), 2, '0')
+              || ':00:00' AS TIMESTAMP) END AS updated_at,
+    CAST((p_partkey % 90) * 100 AS BIGINT) AS org_price
+  FROM part
+)
+"""
+
+_STOCK_FEEDS_CTE = """
+feed AS (
+  SELECT o_orderkey AS ok, CAST(o_orderdate AS DATE) AS ymd,
+    CAST((o_orderkey % 2) * 10 + 10 AS INT) AS batch,
+    CASE WHEN o_orderkey % 9 = 0 THEN DATE '2999-12-31'
+         ELSE make_date(1997, CAST(o_orderkey % 12 + 1 AS INT),
+                        CAST(o_orderkey % 28 + 1 AS INT)) END AS expiration_date
+  FROM orders
+)
+"""
+
+_STOCK_REL_CTE = """
+rel AS (
+  SELECT product_id, expiration_date, product_code FROM (
+    SELECT product_id, expiration_date, product_code, option_id,
+      ROW_NUMBER() OVER (
+        PARTITION BY product_id, expiration_date
+        ORDER BY updated_at DESC NULLS LAST, product_code ASC, option_id ASC
+      ) AS rn
+    FROM (
+      SELECT product_code,
+        COALESCE(split_part(NULLIF(option_id, ''), '-', 1), '200000') AS product_id,
+        NULLIF(option_id, '') AS option_id,
+        CASE WHEN regexp_matches(expiration_date, '^[0-9]{8}$')
+             THEN CAST(strptime(expiration_date, '%Y%m%d') AS DATE)
+             ELSE DATE '2999-12-31' END AS expiration_date,
+        updated_at
+      FROM ecount_product
+      WHERE NULLIF(option_id, '') IS NOT NULL
+    )
+  ) WHERE rn = 1
+)
+"""
+
+_STOCK_QTY_BATCH_CTE = f"""
+{_STOCK_ECOUNT_CTE.strip().rstrip()},
+{_STOCK_FEEDS_CTE.strip()},
+{_STOCK_REL_CTE.strip()},
+eco_feed AS (
+  SELECT ymd, batch, 'pc' || CAST(ok % 2400 AS VARCHAR) AS product_code,
+         CAST(ok % 50 AS BIGINT) AS stock_quantity
+  FROM feed WHERE ok % 3 = 0 AND ymd BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
+), cj_feed AS (
+  SELECT ymd, batch, 'p' || CAST(ok % 44 AS VARCHAR) AS product_id,
+         expiration_date, CAST(ok % 30 AS BIGINT) AS stock_quantity
+  FROM feed WHERE ok % 3 = 1 AND ymd BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
+), rfm_feed AS (
+  SELECT ymd, batch, 'p' || CAST(ok % 44 AS VARCHAR) AS product_id,
+         expiration_date, CAST(ok % 20 AS BIGINT) AS stock_quantity
+  FROM feed WHERE ok % 3 = 2 AND ymd BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
+), unioned AS (
+  SELECT q.ymd, q.batch, COALESCE(c.product_code, '') AS product_code,
+         0 AS group_id, q.stock_quantity
+  FROM eco_feed q LEFT JOIN (SELECT product_code FROM ecount_product) c
+    ON q.product_code = c.product_code
+  UNION ALL
+  SELECT q.ymd, q.batch, COALESCE(r.product_code, '') AS product_code,
+         1 AS group_id, q.stock_quantity
+  FROM cj_feed q LEFT JOIN rel r
+    ON q.product_id = r.product_id AND q.expiration_date = r.expiration_date
+  UNION ALL
+  SELECT q.ymd, q.batch, COALESCE(r.product_code, '') AS product_code,
+         2 AS group_id, q.stock_quantity
+  FROM rfm_feed q LEFT JOIN rel r
+    ON q.product_id = r.product_id AND q.expiration_date = r.expiration_date
+), qty_batch AS (
+  SELECT ymd, batch, product_code,
+    CAST(SUM(stock_quantity) AS BIGINT) AS stock_qty,
+    CAST(SUM(CASE WHEN group_id = 0 THEN stock_quantity END) AS BIGINT) AS ecount__stock_qty,
+    CAST(SUM(CASE WHEN group_id = 1 THEN stock_quantity END) AS BIGINT) AS cj_eflexs__stock_qty,
+    CAST(SUM(CASE WHEN group_id = 2 THEN stock_quantity END) AS BIGINT) AS coupang_rfm__stock_qty
+  FROM unioned GROUP BY 1, 2, 3
+)
+"""
+
+ORACLES["stock_qty_batch"] = f"""
+WITH {_STOCK_QTY_BATCH_CTE}
+SELECT * FROM qty_batch
+"""
+
+ORACLES["stock_time_batch"] = """
+WITH feed AS (
+  SELECT o_orderkey AS ok, o_orderkey % 3 AS grp,
+    CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)
+      + to_seconds(CAST(o_orderkey % 86400 AS BIGINT)) AS updated_at
+  FROM orders
+), ranged AS (
+  SELECT CAST(updated_at AS DATE) AS ymd,
+    CASE WHEN strftime(updated_at, '%H:%M:%S') < '17:00:00' THEN 10 ELSE 20 END AS batch,
+    grp AS group_id, updated_at
+  FROM feed
+  WHERE updated_at >= TIMESTAMP '1996-01-01 00:00:00'
+    AND updated_at < TIMESTAMP '1996-04-01 00:00:00'
+)
+SELECT ymd, batch,
+  strftime(MAX(updated_at), '%Y-%m-%d %H:%M:%S') AS max_updated_at,
+  strftime(MAX(CASE WHEN group_id = 0 THEN updated_at END), '%Y-%m-%d %H:%M:%S') AS ecount__max_updated_at,
+  strftime(MAX(CASE WHEN group_id = 1 THEN updated_at END), '%Y-%m-%d %H:%M:%S') AS cj_eflexs__max_updated_at,
+  strftime(MAX(CASE WHEN group_id = 2 THEN updated_at END), '%Y-%m-%d %H:%M:%S') AS coupang_rfm__max_updated_at
+FROM ranged GROUP BY 1, 2
+"""
+
+# analytics__stock_cost_mom: month-end batch via two windows over the
+# aggregated batch table, zero-cost sales fallbacks, item + DOW label
+# enrichment (dbt analytics__stock_cost_mom.sql:26-147). Params:
+# ds 1996-03-01..1996-03-31, interval 2 -> lookback floor 1996-01-01,
+# prev month end 1996-02-29.
+ORACLES["stock_cost_mom"] = f"""
+WITH {_STOCK_QTY_BATCH_CTE},
+prd AS (
+  SELECT product_code, split_part(option_id, '-', 1) AS product_id, org_price
+  FROM ecount_product WHERE NULLIF(option_id, '') IS NOT NULL
+), costed AS (
+  SELECT COALESCE(p.product_id, '200000') AS product_id,
+    COALESCE(p.org_price, 0) * COALESCE(q.stock_qty, 0) AS stock_cost,
+    q.ymd AS stock_ymd, q.batch AS stock_batch,
+    MAX(q.ymd) OVER (PARTITION BY date_trunc('month', q.ymd)) AS max_month_ymd,
+    MAX(q.batch) OVER (PARTITION BY q.ymd) AS max_day_batch
+  FROM qty_batch q LEFT JOIN prd p ON q.product_code = p.product_code
+  WHERE q.ymd BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
+), monthly AS (
+  SELECT stock_ymd, product_id, CAST(SUM(stock_cost) AS BIGINT) AS stock_cost,
+    CAST(date_trunc('month', stock_ymd) AS DATE) AS order_ym
+  FROM costed
+  WHERE stock_ymd = max_month_ymd AND stock_batch = max_day_batch
+  GROUP BY 1, 2
+), sales_daily AS (
+  SELECT 'p' || CAST(o_orderkey % 48 AS VARCHAR) AS product_id,
+    CAST(o_orderdate AS DATE) AS order_date
+  FROM orders
+), sales AS (
+  SELECT DISTINCT product_id, DATE '1996-03-31' AS stock_ymd,
+    DATE '1996-03-01' AS order_ym
+  FROM sales_daily
+  WHERE order_date BETWEEN DATE '1996-03-01' AND DATE '1996-03-31'
+  UNION
+  SELECT DISTINCT product_id, last_day(order_date) AS stock_ymd,
+    CAST(date_trunc('month', order_date) AS DATE) AS order_ym
+  FROM sales_daily
+  WHERE order_date BETWEEN DATE '1996-01-01' AND DATE '1996-02-29'
+), month_dates AS (
+  SELECT DISTINCT order_ym, stock_ymd FROM monthly
+), fallback AS (
+  SELECT s.product_id, CAST(0 AS BIGINT) AS stock_cost,
+    COALESCE(md.stock_ymd, s.stock_ymd) AS stock_ymd, s.order_ym
+  FROM sales s
+  LEFT JOIN month_dates md ON s.order_ym = md.order_ym
+  WHERE NOT EXISTS (
+    SELECT 1 FROM monthly m
+    WHERE m.product_id = s.product_id AND m.order_ym = s.order_ym
+  )
+), fact AS (
+  SELECT product_id, stock_cost, stock_ymd, order_ym FROM monthly
+  UNION ALL
+  SELECT product_id, stock_cost, stock_ymd, order_ym FROM fallback
+), {_PROFIT_PM_CTE.strip()},
+dow(dn, name_ko) AS (VALUES
+  (1, '(일)'), (2, '(월)'), (3, '(화)'), (4, '(수)'),
+  (5, '(목)'), (6, '(금)'), (7, '(토)')
+)
+SELECT f.product_id,
+  {_ITEM_ATTRS_SQL},
+  f.stock_cost, f.stock_ymd, f.order_ym,
+  '[ ' || strftime(f.stock_ymd, '%y/%m/%d') || d.name_ko || ' ]' AS stock_date_label
+FROM fact f
+LEFT JOIN pm AS item ON f.product_id = item.product_id
+LEFT JOIN dow d ON dayofweek(f.stock_ymd) + 1 = d.dn
 """

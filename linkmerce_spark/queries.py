@@ -3398,7 +3398,7 @@ def q_smt_prd_ranged_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _t(spark, sf_dir, "orders")
     ok = F.col("o_orderkey")
     first = (F.lit(100080) + ok % 10).cast("string")
-    second = (F.lit(100080) + (ok % 30) // 3).cast("string")
+    second = (F.lit(100080) + F.floor((ok % 30) / 3).cast("long")).cast("string")
     bundle = F.when(ok % 7 == 0, first).otherwise(
         F.concat_ws(",", first, second)
     )
