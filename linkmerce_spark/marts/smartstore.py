@@ -270,7 +270,7 @@ def opt_to_sbn_relation(
     )
     name_cond = F.when(
         F.col("map.sku_name").contains(qty_marker),
-        F.expr("option_name rlike sku_pattern"),
+        F.regexp_like(F.col("opt.option_name"), F.col("map.sku_pattern")),
     ).otherwise(F.col("opt.option_name") == F.col("map.sku_name"))
     type1 = (
         opts.filter(F.col("opt.product_type") == 1)
@@ -290,9 +290,14 @@ def opt_to_sbn_relation(
         opts.filter(F.col("opt.product_type") == 2)
         .select(
             F.col("opt.option_id").alias("option_id_smt"),
-            F.regexp_extract(F.col("opt.product_name"), r"^\[([^\]]+)\]", 1).alias(
-                "opt_group_id"
-            ),
+            # Postgres regexp_match yields NULL on no-match; Spark's
+            # regexp_extract yields '' — NULLIF restores NULL-never-
+            # matches so an unprefixed product_name can't equi-join an
+            # add_product row whose group_id is ''.
+            F.nullif(
+                F.regexp_extract(F.col("opt.product_name"), r"^\[([^\]]+)\]", 1),
+                F.lit(""),
+            ).alias("opt_group_id"),
             F.trim(
                 F.regexp_replace(F.col("opt.product_name"), r"^\[[^\]]+\]", "")
             ).alias("opt_product_name"),

@@ -124,15 +124,25 @@ def sabangnet_explode(bundle_product_order: DataFrame) -> DataFrame:
     passthrough = bundle_product_order.filter(
         F.col("bundle_option_ids").isNull()
     ).select(*shape)
-    w_rn = Window.partitionBy("account_no", "order_id").orderBy("order_seq")
+    # The ordinal tiebreak matters: one bundle explodes into several
+    # rows sharing order_seq, and "first row" must be the first ARRAY
+    # element (the reference's unnest WITH ORDINALITY order), not
+    # whichever row Spark happens to scan first.
+    w_rn = Window.partitionBy("account_no", "order_id").orderBy(
+        "order_seq", "bundle_pos"
+    )
     w_all = Window.partitionBy("account_no", "order_id")
     ex = (
         bundle_product_order.filter(F.col("bundle_option_ids").isNotNull())
         .select(
-            "*", F.explode(F.split("bundle_option_ids", ",")).alias("bundle_option")
+            "*",
+            F.posexplode(F.split("bundle_option_ids", ",")).alias(
+                "bundle_pos", "bundle_option"
+            ),
         )
         .select(
             "order_seq",
+            "bundle_pos",
             "order_id",
             "invoice_no",
             "account_no",

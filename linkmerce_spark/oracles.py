@@ -3118,3 +3118,665 @@ FROM fact f
 LEFT JOIN pm AS item ON f.product_id = item.product_id
 LEFT JOIN dow d ON dayofweek(f.stock_ymd) + 1 = d.dn
 """
+
+# --- relation views ------------------------------------------------------
+# relation__smt_prd_to_ranged_sbn_ids: effective-dating a flat bundle
+# relation around the 100088 pivot (dbt relation__smt_prd_to_ranged_
+# sbn_ids.sql:10-77); input synthesis mirrors q_smt_prd_ranged_relation.
+ORACLES["smt_prd_ranged_relation"] = """
+WITH rel AS (
+  SELECT 'sp' || CAST(ok AS VARCHAR) AS product_id,
+    CASE WHEN ok % 7 = 0 THEN f1 ELSE f1 || ',' || f2 END AS bundle_product_ids
+  FROM (
+    SELECT o_orderkey AS ok,
+      CAST(100080 + o_orderkey % 10 AS VARCHAR) AS f1,
+      CAST(100080 + (o_orderkey % 30) // 3 AS VARCHAR) AS f2
+    FROM orders WHERE o_orderkey % 5 = 0
+  )
+), flagged AS (
+  SELECT *, list_contains(string_split(bundle_product_ids, ','), '100088') AS has_pivot
+  FROM rel
+)
+SELECT product_id, bundle_product_ids,
+  DATE '2000-01-01' AS start_date, DATE '2999-12-31' AS end_date
+FROM flagged WHERE NOT has_pivot
+UNION ALL
+SELECT product_id, bundle_product_ids, DATE '2000-01-01', DATE '2026-06-09'
+FROM flagged WHERE has_pivot
+UNION ALL
+SELECT product_id,
+  CASE WHEN bundle_product_ids = '100088'
+       THEN '100081,100082,100083,100084,100085,100086,100087'
+       ELSE NULLIF(array_to_string(
+              list_filter(string_split(bundle_product_ids, ','), x -> x <> '100088'),
+              ','), '')
+  END,
+  DATE '2026-06-10', DATE '2999-12-31'
+FROM flagged WHERE has_pivot
+"""
+
+# relation__smt_opt_to_sbn_ids: type-0/1/2 auto-matching, the '$수량$'
+# placeholder regex compile, '-NNNN' bundle stripping, fewest-items-
+# first pick (dbt relation__smt_opt_to_sbn_ids.sql:10-130); inputs
+# mirror q_smt_opt_relation.
+ORACLES["smt_opt_relation"] = r"""
+WITH feed AS (SELECT o_orderkey AS ok FROM orders),
+existing AS (
+  SELECT 'so' || CAST(ok AS VARCHAR) AS option_id,
+         'B' || CAST(ok % 3 AS VARCHAR) AS bundle_product_ids
+  FROM feed WHERE ok % 11 = 0
+), opts AS (
+  SELECT 'so' || CAST(ok AS VARCHAR) AS option_id,
+    ok % 30 AS product_id,
+    CAST(ok % 3 AS INT) AS product_type,
+    CASE WHEN ok % 3 = 2
+         THEN '[g' || CAST(ok % 4 AS VARCHAR) || '] ad-name-' || CAST(ok % 6 AS VARCHAR)
+         ELSE 'name' || CAST(ok % 6 AS VARCHAR) END AS product_name,
+    CASE WHEN ok % 3 = 2 AND ok % 5 = 0
+         THEN 'group ' || CAST(ok % 4 AS VARCHAR) || ' : ad-name-' || CAST(ok % 6 AS VARCHAR)
+         WHEN ok % 4 = 0
+         THEN '색상 (레드) / ' || CAST(ok % 5 + 1 AS VARCHAR) || '개'
+         ELSE '옵션' || CAST(ok % 8 AS VARCHAR) || ' (단품)' END AS option_name
+  FROM feed
+), new_opts AS (
+  SELECT o.* FROM opts o
+  WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.option_id = o.option_id)
+), mapping_id AS (
+  SELECT 'shop0055' AS shop_id, CAST(i AS VARCHAR) AS product_id_shop,
+         'P' || CAST(i AS VARCHAR) AS product_id
+  FROM range(0, 30, 2) t(i)
+  UNION ALL SELECT 'shop0099', '1', 'X1'
+), mapping_name AS (
+  SELECT 'shop0055' AS shop_id, CAST(i AS VARCHAR) AS product_id_shop,
+         '색상 (레드) / $수량$' AS sku_name,
+         'N' || CAST(i AS VARCHAR) || '-0001' AS option_id
+  FROM range(30) t(i) WHERE i % 3 = 1
+  UNION ALL
+  SELECT 'shop0055', CAST(i AS VARCHAR),
+         '옵션' || CAST(i % 8 AS VARCHAR) || ' (단품)',
+         'N' || CAST(i AS VARCHAR) || '-0002'
+  FROM range(30) t(i) WHERE i % 3 = 1
+), add_product AS (
+  SELECT 'g' || CAST(g AS VARCHAR) AS group_id,
+    'group ' || CAST(g AS VARCHAR) AS group_name,
+    'ad-name-' || CAST(n AS VARCHAR) AS option_name,
+    'A' || CAST(g AS VARCHAR) || CAST(n AS VARCHAR) || '-0003' AS option_id
+  FROM range(4) tg(g) CROSS JOIN range(6) tn(n)
+), sbn_options AS (
+  SELECT 'P' || CAST(i AS VARCHAR) || '-0001' AS option_id,
+    'P' || CAST(i AS VARCHAR) || '-0001:1,Q' || CAST(i AS VARCHAR) || '-0002:2' AS bundle_option_ids
+  FROM range(0, 30, 2) t(i)
+  UNION ALL
+  SELECT 'N' || CAST(i AS VARCHAR) || '-0001', NULL
+  FROM range(30) t(i) WHERE i % 3 = 1 AND i % 2 = 0
+), type0 AS (
+  SELECT o.option_id AS option_id_smt, m.product_id || '-0001' AS option_id_sbn
+  FROM new_opts o JOIN mapping_id m
+    ON m.shop_id = 'shop0055' AND CAST(o.product_id AS VARCHAR) = m.product_id_shop
+  WHERE o.product_type = 0
+), m_name AS (
+  SELECT *, replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(replace(sku_name, '$수량$', '__수량__'),
+            '([\*\+\?\$\^\.\[\]\{\}\(\)\|])', '\\\1', 'g'),
+          '^__수량__', '[^/]*'),
+        '__수량__$', '[^/]*'),
+      '__수량__', '[^/]* / [^/]*') AS sku_pattern
+  FROM mapping_name WHERE shop_id = 'shop0055'
+), type1 AS (
+  SELECT o.option_id AS option_id_smt, m.option_id AS option_id_sbn
+  FROM new_opts o JOIN m_name m
+    ON CAST(o.product_id AS VARCHAR) = m.product_id_shop
+   AND CASE WHEN contains(m.sku_name, '$수량$')
+            THEN regexp_matches(o.option_name, m.sku_pattern)
+            ELSE o.option_name = m.sku_name END
+  WHERE o.product_type = 1
+), t2 AS (
+  SELECT option_id AS option_id_smt,
+    NULLIF(regexp_extract(product_name, '^\[([^\]]+)\]', 1), '') AS opt_group_id,
+    trim(regexp_replace(product_name, '^\[[^\]]+\]', '')) AS opt_product_name,
+    option_name AS opt_option_name
+  FROM new_opts WHERE product_type = 2
+), type2 AS (
+  SELECT t.option_id_smt, p.option_id AS option_id_sbn
+  FROM t2 t JOIN add_product p
+    ON (t.opt_group_id = p.group_id AND t.opt_product_name = p.option_name)
+    OR (replace(t.opt_option_name, ' ', '')
+        = replace(p.group_name, ' ', '') || ':' || replace(p.option_name, ' ', ''))
+), matched AS (
+  SELECT * FROM type0 UNION ALL SELECT * FROM type1 UNION ALL SELECT * FROM type2
+), auto AS (
+  SELECT m.option_id_smt, m.option_id_sbn,
+    regexp_replace(COALESCE(s.bundle_option_ids, m.option_id_sbn || ':1'),
+                   '-[0-9]{4}', '', 'g') AS bundle_product_ids
+  FROM matched m LEFT JOIN sbn_options s ON m.option_id_sbn = s.option_id
+), best AS (
+  SELECT option_id_smt AS option_id, bundle_product_ids FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY option_id_smt
+      ORDER BY len(string_split(bundle_product_ids, ',')) ASC, option_id_sbn ASC) AS rn
+    FROM auto) WHERE rn = 1
+)
+SELECT option_id, bundle_product_ids FROM existing
+UNION ALL
+SELECT option_id, bundle_product_ids FROM best
+"""
+
+# --- ad-platform masters -------------------------------------------------
+# Label vocabularies are rendered from the same Python constants the
+# Spark side plans as VALUES LocalRelations (marts/masters.py), so the
+# twins can never drift on mapping data.
+from linkmerce_spark.marts import masters as _m
+
+
+def _vals3(rows) -> str:
+    out = []
+    for seq, code, label in rows:
+        c = f"'{code}'" if isinstance(code, str) else str(code)
+        out.append(f"({seq}, {c}, '{label}')")
+    return ", ".join(out)
+
+
+def _arr(codes) -> str:
+    return "[" + ", ".join(f"'{c}'" for c in codes) + "]"
+
+
+ORACLES["searchad_campaign_master"] = f"""
+WITH campaign AS (
+  SELECT CAST(o_orderkey % 5 AS INT) AS customer_id,
+    'cmp' || CAST(o_orderkey AS VARCHAR) AS campaign_id,
+    'campaign ' || CAST(o_orderkey % 20 AS VARCHAR) AS campaign_name,
+    CAST(o_orderkey % 15 AS INT) AS campaign_type,
+    o_orderkey % 2 = 0 AS is_enabled,
+    o_orderkey % 6 = 0 AS is_deleted,
+    CAST(o_orderdate AS DATE) AS created_at,
+    CASE WHEN o_orderkey % 6 = 0 THEN CAST(o_orderdate AS DATE) + 30 END AS deleted_at
+  FROM orders WHERE o_orderkey % 7 = 0
+), account(customer_id, account_name, account_type, account_seq) AS (VALUES
+  (0, 'acct-a', 'agency', 1), (1, 'acct-b', 'direct', 2),
+  (2, 'acct-c', 'agency', 3), (3, 'acct-d', 'direct', NULL)
+), ctype(seq, code, label) AS (VALUES {_vals3(_m.SEARCHAD_CAMPAIGN_TYPES)}),
+adtype(seq, code, label) AS (VALUES {_vals3(_m.SEARCHAD_CAMPAIGN_AD_TYPES)})
+SELECT cmp.customer_id, acc.account_name, acc.account_type,
+  cmp.campaign_id, cmp.campaign_name,
+  ct.label AS campaign_type, at.label AS ad_type,
+  cmp.is_enabled, cmp.is_deleted, cmp.created_at, cmp.deleted_at,
+  (CASE WHEN cmp.is_deleted THEN 2 ELSE 1 END) * 10000
+    + COALESCE(acc.account_seq, 99) * 100 + COALESCE(ct.seq, 99) AS sort_key
+FROM campaign cmp
+LEFT JOIN account acc ON cmp.customer_id = acc.customer_id
+LEFT JOIN ctype ct ON cmp.campaign_type = ct.code
+LEFT JOIN adtype at ON cmp.campaign_type = at.code
+"""
+
+_META_OBJS = _arr([c for _, c, _ in _m.META_OBJECTIVES[:8]] + ["UNMAPPED_OBJ"])
+_META_STS = _arr([c for _, c, _ in _m.META_EFFECTIVE_STATUSES[:6]])
+
+ORACLES["meta_campaign_master"] = f"""
+WITH campaign AS (
+  SELECT 'act' || CAST(o_orderkey % 4 AS VARCHAR) AS account_id,
+    'mc' || CAST(o_orderkey AS VARCHAR) AS campaign_id,
+    'meta campaign ' || CAST(o_orderkey % 12 AS VARCHAR) AS campaign_name,
+    ({_META_OBJS})[o_orderkey % 9 + 1] AS objective,
+    ({_META_STS})[o_orderkey % 6 + 1] AS effective_status,
+    CAST(o_orderdate AS DATE) AS created_at
+  FROM orders WHERE o_orderkey % 9 = 0
+), account(account_id, account_name, account_seq) AS (VALUES
+  ('act0', 'meta-a', 1), ('act1', 'meta-b', 2), ('act2', 'meta-c', NULL)
+), obj(seq, code, label) AS (VALUES {_vals3(_m.META_OBJECTIVES)}),
+st(seq, code, label) AS (VALUES {_vals3(_m.META_EFFECTIVE_STATUSES)})
+SELECT cmp.account_id, acc.account_name, cmp.campaign_id, cmp.campaign_name,
+  ob.label AS objective, es.label AS effective_status, cmp.created_at,
+  (CASE WHEN cmp.effective_status = 'DELETED' THEN 2 ELSE 1 END) * 10000
+    + COALESCE(acc.account_seq, 99) * 100 + COALESCE(ob.seq, 99) AS sort_key
+FROM campaign cmp
+LEFT JOIN account acc ON cmp.account_id = acc.account_id
+LEFT JOIN obj ob ON cmp.objective = ob.code
+LEFT JOIN st es ON cmp.effective_status = es.code
+"""
+
+ORACLES["coupang_campaign_master"] = f"""
+WITH campaign AS (
+  SELECT 'v' || CAST(o_orderkey % 4 AS VARCHAR) AS vendor_id,
+    CAST(o_orderkey % 2 AS INT) AS vendor_type,
+    'cc' || CAST(o_orderkey AS VARCHAR) AS campaign_id,
+    'coupang campaign ' || CAST(o_orderkey % 10 AS VARCHAR) AS campaign_name,
+    CASE WHEN o_orderkey % 5 = 0 THEN 'BR' ELSE 'PA' END AS campaign_type,
+    CAST(o_orderkey % 4 AS INT) AS goal_type,
+    o_orderkey % 2 = 0 AS is_active,
+    o_orderkey % 10 = 0 AS is_deleted,
+    CAST((o_orderkey % 40) * 10 AS BIGINT) AS roas_target,
+    CAST(o_orderdate AS DATE) AS created_at,
+    CAST(o_orderdate AS DATE) + 7 AS updated_at
+  FROM orders WHERE o_orderkey % 8 = 0
+), vendor(vendor_id, vendor_name, vendor_alias, vendor_seq) AS (VALUES
+  ('v0', 'vendor-0', 'V0', 1), ('v1', 'vendor-1', 'V1', 2),
+  ('v2', 'vendor-2', 'V2', NULL)
+), vtype(seq, code, label) AS (VALUES {_vals3(_m.COUPANG_VENDOR_TYPES)}),
+ctype(seq, code, label) AS (VALUES {_vals3(_m.COUPANG_CAMPAIGN_TYPES)}),
+gtype(seq, code, label) AS (VALUES {_vals3(_m.COUPANG_GOAL_TYPES)})
+SELECT cmp.vendor_id, vdr.vendor_name, vdr.vendor_alias,
+  vt.label AS vendor_type, cmp.campaign_id, cmp.campaign_name,
+  COALESCE(ct.label, cmp.campaign_type) AS campaign_type,
+  gt.label AS goal_type, cmp.is_active, cmp.is_deleted,
+  cmp.roas_target, cmp.created_at, cmp.updated_at,
+  (CASE WHEN cmp.is_deleted THEN 2 ELSE 1 END) * 1000
+    + COALESCE(vdr.vendor_seq, 99) * 10 + COALESCE(gt.seq, 9) AS sort_key
+FROM campaign cmp
+LEFT JOIN vendor vdr ON cmp.vendor_id = vdr.vendor_id
+LEFT JOIN vtype vt ON cmp.vendor_type = vt.code
+LEFT JOIN ctype ct ON cmp.campaign_type = ct.code
+LEFT JOIN gtype gt ON cmp.goal_type = gt.code
+"""
+
+_G_AD_TYPES10 = _arr([c for _, c, _ in _m.GOOGLE_AD_TYPES[:10]])
+_G_STATUSES = _arr([c for _, c, _ in _m.GOOGLE_STATUSES])
+_G_STATUSES3 = _arr([c for _, c, _ in _m.GOOGLE_STATUSES[:3]])
+_G_CTYPES = _arr([c for _, c, _ in _m.GOOGLE_CAMPAIGN_TYPES])
+_G_BIDS8 = _arr([c for _, c, _ in _m.GOOGLE_BIDDING_STRATEGIES[:8]])
+_G_GTYPES12 = _arr([c for _, c, _ in _m.GOOGLE_ADGROUP_TYPES[:12]])
+
+ORACLES["google_ad_master"] = f"""
+WITH ad AS (
+  SELECT CAST(o_orderkey % 3 AS INT) AS customer_id,
+    'gc' || CAST(o_orderkey % 12 AS VARCHAR) AS campaign_id,
+    'gg' || CAST(o_orderkey % 24 AS VARCHAR) AS adgroup_id,
+    'ga' || CAST(o_orderkey AS VARCHAR) AS ad_id,
+    'google ad ' || CAST(o_orderkey % 30 AS VARCHAR) AS ad_name,
+    ({_G_AD_TYPES10})[o_orderkey % 10 + 1] AS ad_type,
+    ({_G_STATUSES})[o_orderkey % 5 + 1] AS ad_status,
+    CAST(o_orderkey % 1000 AS BIGINT) AS impression_count_30d,
+    CAST(o_orderkey % 100 AS BIGINT) AS click_count_30d,
+    CAST((o_orderkey % 90) * 10 AS BIGINT) AS ad_cost_30d
+  FROM orders WHERE o_orderkey % 6 = 0
+), campaign AS (
+  SELECT 'gc' || CAST(i AS VARCHAR) AS campaign_id,
+    'g campaign ' || CAST(i AS VARCHAR) AS campaign_name,
+    ({_G_CTYPES})[i % 14 + 1] AS campaign_type,
+    ({_G_BIDS8})[i % 8 + 1] AS bidding_strategy,
+    ({_G_STATUSES3})[i % 3 + 1] AS campaign_status,
+    make_date(2024, CAST(i % 12 + 1 AS INT), 1) AS created_at
+  FROM range(12) t(i)
+), adgroup AS (
+  SELECT 'gg' || CAST(i AS VARCHAR) AS adgroup_id,
+    'g adgroup ' || CAST(i AS VARCHAR) AS adgroup_name,
+    ({_G_GTYPES12})[i % 12 + 1] AS adgroup_type,
+    ({_G_STATUSES3})[i % 3 + 1] AS adgroup_status
+  FROM range(24) t(i)
+), account(customer_id, account_name, account_seq) AS (VALUES
+  (0, 'google-a', 1), (1, 'google-b', 2), (2, 'google-c', NULL)
+), relation AS (
+  SELECT 'gc' || CAST(i AS VARCHAR) AS ad_id, 0 AS ad_level,
+         '100001,100002' AS bundle_product_ids
+  FROM range(0, 12, 2) t(i)
+  UNION ALL
+  SELECT 'gg' || CAST(i AS VARCHAR), 1, '100003' FROM range(0, 24, 3) t(i)
+  UNION ALL
+  SELECT 'ga' || CAST(i AS VARCHAR), 2, '100004,100005,100006'
+  FROM range(0, 48, 6) t(i)
+), st_map(seq, code, label) AS (VALUES {_vals3(_m.GOOGLE_STATUSES)}),
+ctype(seq, code, label) AS (VALUES {_vals3(_m.GOOGLE_CAMPAIGN_TYPES)}),
+btype(seq, code, label) AS (VALUES {_vals3(_m.GOOGLE_BIDDING_STRATEGIES)}),
+gtype(seq, code, label) AS (VALUES {_vals3(_m.GOOGLE_ADGROUP_TYPES)}),
+atype(seq, code, label) AS (VALUES {_vals3(_m.GOOGLE_AD_TYPES)})
+SELECT ad.customer_id, acc.account_name, ad.campaign_id, cmp.campaign_name,
+  ct.label AS campaign_type, bt.label AS bidding_strategy,
+  ad.adgroup_id, grp.adgroup_name, agt.label AS adgroup_type,
+  ad.ad_id, ad.ad_name, adt.label AS ad_type, sf.label AS ad_status,
+  COALESCE(ra.bundle_product_ids, rg.bundle_product_ids, rc.bundle_product_ids)
+    AS bundle_product_ids,
+  ad.impression_count_30d, ad.click_count_30d, ad.ad_cost_30d,
+  cmp.created_at,
+  (CASE WHEN sf.code = 'REMOVED' THEN 2 ELSE 1 END) * 100000000
+    + COALESCE(acc.account_seq, 99) * 1000000 + COALESCE(ct.seq, 99) * 10000
+    + COALESCE(agt.seq, 99) * 100 + COALESCE(adt.seq, 99) AS sort_key
+FROM ad
+LEFT JOIN account acc ON ad.customer_id = acc.customer_id
+LEFT JOIN campaign cmp ON ad.campaign_id = cmp.campaign_id
+LEFT JOIN adgroup grp ON ad.adgroup_id = grp.adgroup_id
+LEFT JOIN ctype ct ON cmp.campaign_type = ct.code
+LEFT JOIN btype bt ON cmp.bidding_strategy = bt.code
+LEFT JOIN gtype agt ON grp.adgroup_type = agt.code
+LEFT JOIN atype adt ON ad.ad_type = adt.code
+LEFT JOIN st_map sc ON cmp.campaign_status = sc.code
+LEFT JOIN st_map sg ON grp.adgroup_status = sg.code
+LEFT JOIN st_map sa ON ad.ad_status = sa.code
+LEFT JOIN st_map sf ON GREATEST(sc.seq, sg.seq, sa.seq) = sf.seq
+LEFT JOIN (SELECT ad_id, bundle_product_ids FROM relation WHERE ad_level = 0) rc
+  ON ad.campaign_id = rc.ad_id
+LEFT JOIN (SELECT ad_id, bundle_product_ids FROM relation WHERE ad_level = 1) rg
+  ON ad.adgroup_id = rg.ad_id
+LEFT JOIN (SELECT ad_id, bundle_product_ids FROM relation WHERE ad_level = 2) ra
+  ON ad.ad_id = ra.ad_id
+"""
+
+# --- total_order stack ---------------------------------------------------
+# analytics__total_order sabangnet pipeline (dbt analytics__total_order
+# .sql + sabangnet__sales_daily.sql:56-474): bundle explode with the
+# first-row payment idiom (ordinal tiebreak), DISTINCT ON ecount cost
+# attach, order-total amount split, CJ delivery COALESCE chain, max-ABS
+# fee pick + fee split, per-status metric gates.
+
+_TIERS_CTE = """
+tiers_raw(delivery_group, min_unit, delivery_fee, coolant_cost, label_cost,
+          wrap_cost, box_cost, n_arrival_fee, n_arrival_add) AS (VALUES
+  ('G1', 1, 100, 10, 5, 0, 15, 200, 50),
+  ('G1', 5, 80, 0, 0, 20, 0, 150, 30),
+  ('G2', NULL, 250, NULL, NULL, NULL, 30, 0, 0)
+), tiers AS (
+  SELECT delivery_group,
+    COALESCE(min_unit, 1) AS min_unit,
+    CASE WHEN MAX(min_unit) OVER (PARTITION BY delivery_group) = min_unit
+         THEN 9999
+         ELSE LEAD(min_unit) OVER (PARTITION BY delivery_group
+                                   ORDER BY min_unit ASC NULLS FIRST) END AS max_unit,
+    COALESCE(delivery_fee, 0) AS delivery_fee,
+    COALESCE(coolant_cost, 0) + COALESCE(label_cost, 0)
+      + COALESCE(wrap_cost, 0) + COALESCE(box_cost, 0) AS extra_cost,
+    COALESCE(n_arrival_fee, 0) AS n_arrival_fee,
+    COALESCE(n_arrival_add, 0) AS n_arrival_add
+  FROM tiers_raw
+)
+"""
+
+ORACLES["sabangnet_total_order"] = f"""
+WITH bpo AS (
+  SELECT o_orderkey AS order_seq,
+    'O' || CAST(o_orderkey - o_orderkey % 9 AS VARCHAR) AS order_id,
+    'INV' || CAST(o_orderkey - o_orderkey % 4 AS VARCHAR) AS invoice_no,
+    CAST((o_orderkey - o_orderkey % 9) % 7 AS INT) AS account_no,
+    (['shop0075', 'shop0011', 'shop0012'])[CAST((o_orderkey % 6) / 2 + 1 AS INT)] AS shop_id,
+    'P' || CAST(o_orderkey % 10 AS VARCHAR) AS product_id,
+    'OPT' || CAST(o_orderkey % 12 AS VARCHAR) AS option_id,
+    CASE WHEN o_orderkey % 5 = 0 THEN '601-A:2,602-B'
+         WHEN o_orderkey % 5 = 1 THEN '603-C' END AS bundle_option_ids,
+    CAST(o_orderkey % 6 AS INT) AS order_status,
+    o_orderkey % 3 + 1 AS order_quantity,
+    o_orderkey % 4 + 1 AS sku_quantity,
+    CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) AS payment_amount,
+    CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(2,1))) AS BIGINT) AS supply_amount,
+    CAST(o_orderdate AS DATE) AS order_date
+  FROM orders WHERE o_orderkey % 2 = 0
+), ecount_raw(option_id, expiration_date, product_code, org_price) AS (VALUES
+  ('601-A', DATE '2024-01-01', 'PCA', 500),
+  ('601-A', DATE '2024-06-01', 'PCB', 700),
+  ('603-C', DATE '2024-03-01', 'PCC', 400),
+  ('OPT3', DATE '2024-02-01', 'PCD', 300),
+  ('OPT3', DATE '2024-02-01', 'PCE', 350)
+), ecount AS (
+  SELECT split_part(option_id, '-', 1) AS product_id, option_id, org_price FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY option_id
+      ORDER BY expiration_date ASC, product_code DESC) AS rn
+    FROM ecount_raw) WHERE rn = 1
+), item(product_id, org_price, extra_cost, delivery_group, delivery_fee) AS (VALUES
+  ('P0', 1000, 50, 'G1', 0), ('P1', 1100, 0, 'G2', 120), ('P3', 900, 25, 'G1', -80),
+  ('601', 800, 0, 'G2', 100), ('602', 760, 10, 'G1', 0), ('603', 640, 0, NULL, 90)
+), cj_inv AS (
+  SELECT 'INV' || CAST(o_orderkey AS VARCHAR) AS invoice_no,
+    (o_orderkey % 5 - 2) * 100 AS delivery_fee,
+    (o_orderkey % 3) * 50 AS box_cost
+  FROM orders WHERE o_orderkey % 8 = 0
+), cj_ord AS (
+  SELECT 'O' || CAST(o_orderkey AS VARCHAR) AS order_id,
+    (o_orderkey % 7) * 80 AS delivery_fee,
+    (o_orderkey % 2) * 30 AS box_cost
+  FROM orders WHERE o_orderkey % 18 = 0
+), unit(product_id, unit) AS (VALUES ('P0', 2), ('601', 3), ('P2', 1), ('603', 2)),
+{_TIERS_CTE.strip().lstrip()},
+exploded0 AS (
+  SELECT order_seq, order_id, invoice_no, account_no, shop_id,
+    UNNEST(string_split(bundle_option_ids, ',')) AS bundle_option,
+    UNNEST(range(1, len(string_split(bundle_option_ids, ',')) + 1)) AS bundle_pos,
+    order_quantity, payment_amount AS pay0, supply_amount AS sup0,
+    order_status, order_date
+  FROM bpo WHERE bundle_option_ids IS NOT NULL
+), exploded AS (
+  SELECT order_id, invoice_no, account_no, shop_id,
+    split_part(bundle_option, '-', 1) AS product_id,
+    split_part(bundle_option, ':', 1) AS option_id,
+    order_status,
+    (CASE WHEN regexp_matches(split_part(bundle_option, ':', 2), '^[0-9]+$')
+          THEN CAST(split_part(bundle_option, ':', 2) AS INT) ELSE 1 END)
+      * order_quantity AS sku_quantity,
+    CASE WHEN ROW_NUMBER() OVER (PARTITION BY account_no, order_id
+                                 ORDER BY order_seq, bundle_pos) = 1
+         THEN MAX(pay0) OVER (PARTITION BY account_no, order_id) ELSE 0 END AS payment_amount,
+    CASE WHEN ROW_NUMBER() OVER (PARTITION BY account_no, order_id
+                                 ORDER BY order_seq, bundle_pos) = 1
+         THEN MAX(sup0) OVER (PARTITION BY account_no, order_id) ELSE 0 END AS supply_amount,
+    order_date
+  FROM exploded0
+), unioned AS (
+  SELECT order_id, invoice_no, account_no, shop_id, product_id, option_id,
+    order_status, sku_quantity, payment_amount, supply_amount, order_date
+  FROM bpo WHERE bundle_option_ids IS NULL
+  UNION ALL
+  SELECT * FROM exploded
+), costed AS (
+  SELECT u.*,
+    COALESCE(ec.org_price, it.org_price, 0) + COALESCE(it.extra_cost, 0) AS org_price,
+    COALESCE(it.delivery_group, '-') AS delivery_group,
+    COALESCE(it.delivery_fee, 0) AS own_delivery_fee,
+    COUNT(*) OVER (PARTITION BY u.account_no, u.order_id) AS bundle_product_count,
+    (COALESCE(ec.org_price, it.org_price, 0) + COALESCE(it.extra_cost, 0))
+      * u.sku_quantity AS cost_amount
+  FROM unioned u
+  LEFT JOIN ecount ec ON u.option_id = ec.option_id
+  LEFT JOIN item it ON u.product_id = it.product_id
+), marked AS (
+  SELECT *,
+    COUNT(*) OVER (PARTITION BY account_no, order_id) AS n,
+    SUM(cost_amount) OVER (PARTITION BY account_no, order_id) AS total_cost,
+    ROW_NUMBER() OVER (PARTITION BY account_no, order_id ORDER BY product_id ASC) AS rn,
+    SUM(payment_amount) OVER (PARTITION BY account_no, order_id) AS pay_total,
+    SUM(supply_amount) OVER (PARTITION BY account_no, order_id) AS sup_total
+  FROM costed
+), splits AS (
+  SELECT *,
+    COALESCE(CAST(FLOOR(pay_total * (cost_amount / NULLIF(total_cost, 0)) + 0.5) AS BIGINT), 0) AS pay_split,
+    COALESCE(CAST(FLOOR(sup_total * (cost_amount / NULLIF(total_cost, 0)) + 0.5) AS BIGINT), 0) AS sup_split
+  FROM marked
+), allocated AS (
+  SELECT * REPLACE (
+    CASE WHEN n > 1 THEN
+      (CASE WHEN rn = 1 THEN pay_total - SUM(pay_split) OVER (PARTITION BY account_no, order_id) ELSE 0 END) + pay_split
+    ELSE payment_amount END AS payment_amount,
+    CASE WHEN n > 1 THEN
+      (CASE WHEN rn = 1 THEN sup_total - SUM(sup_split) OVER (PARTITION BY account_no, order_id) ELSE 0 END) + sup_split
+    ELSE supply_amount END AS supply_amount)
+  FROM splits
+), dlv AS (
+  SELECT a.order_id, a.invoice_no, a.account_no, a.shop_id, a.product_id,
+    a.option_id, a.order_status, a.sku_quantity, a.payment_amount,
+    a.supply_amount, a.order_date, a.org_price, a.delivery_group,
+    a.bundle_product_count, a.cost_amount,
+    a.org_price * a.sku_quantity AS supply_cost,
+    a.sku_quantity * COALESCE(un.unit, 1) AS delivery_quantity,
+    COALESCE(ci.delivery_fee, co.delivery_fee, a.own_delivery_fee, 0) AS delivery_fee,
+    COALESCE(ci.box_cost, co.box_cost, 0) AS box_cost
+  FROM allocated a
+  LEFT JOIN cj_inv ci ON a.invoice_no = ci.invoice_no
+  LEFT JOIN cj_ord co ON a.order_id = co.order_id
+  LEFT JOIN unit un ON a.product_id = un.product_id
+), fee_agg AS (
+  SELECT order_id, invoice_no, delivery_group,
+    MAX(delivery_fee) AS delivery_fee, SUM(box_cost) AS box_cost,
+    COALESCE(SUM(delivery_quantity), 0) AS delivery_quantity
+  FROM dlv GROUP BY 1, 2, 3
+), fee_scored AS (
+  SELECT f.order_id, f.invoice_no, f.delivery_group,
+    CASE WHEN t.delivery_group IS NULL THEN f.delivery_fee
+         WHEN f.delivery_fee > 0 THEN f.delivery_fee
+              + (CASE WHEN f.box_cost > 0 THEN f.box_cost ELSE t.extra_cost END)
+         ELSE t.delivery_fee + t.extra_cost END AS fee
+  FROM fee_agg f LEFT JOIN tiers t
+    ON f.delivery_group = t.delivery_group
+   AND f.delivery_quantity BETWEEN t.min_unit AND t.max_unit
+), fee_top AS (
+  SELECT order_id, invoice_no, fee FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY order_id, invoice_no
+      ORDER BY ABS(fee) DESC, fee DESC, delivery_group ASC) AS frn
+    FROM fee_scored) WHERE frn = 1
+), attached AS (
+  SELECT d.* REPLACE (ft.fee AS delivery_fee),
+    COUNT(*) OVER (PARTITION BY d.order_id, d.invoice_no) AS fn,
+    SUM(d.cost_amount) OVER (PARTITION BY d.order_id, d.invoice_no) AS ftotal_cost,
+    ROW_NUMBER() OVER (PARTITION BY d.order_id, d.invoice_no ORDER BY d.product_id ASC) AS frn
+  FROM dlv d LEFT JOIN fee_top ft
+    ON d.order_id = ft.order_id AND d.invoice_no = ft.invoice_no
+), fee_split AS (
+  SELECT *,
+    COALESCE(CAST(FLOOR(delivery_fee * (cost_amount / NULLIF(ftotal_cost, 0)) + 0.5) AS BIGINT), 0) AS f_split
+  FROM attached
+), final AS (
+  SELECT * REPLACE (
+    CASE WHEN fn > 1 THEN
+      (CASE WHEN frn = 1 THEN delivery_fee - SUM(f_split) OVER (PARTITION BY order_id, invoice_no) ELSE 0 END) + f_split
+    ELSE delivery_fee END AS delivery_fee)
+  FROM fee_split
+)
+SELECT order_id, product_id, shop_id, order_status,
+  CASE WHEN order_status = 0 THEN COALESCE(sku_quantity, 0) ELSE 0 END AS sku_quantity,
+  CASE WHEN shop_id = 'adop9000' THEN 0
+       WHEN order_status = 0 THEN COALESCE(payment_amount, 0) ELSE 0 END AS payment_amount,
+  CASE WHEN order_status = 0 THEN COALESCE(supply_amount, 0) ELSE 0 END AS supply_amount,
+  CASE WHEN order_status IN (0, 2, 6) THEN COALESCE(supply_cost, 0) ELSE 0 END AS supply_cost,
+  CASE WHEN order_status IN (0, 1, 2, 5, 7) THEN COALESCE(delivery_fee, 0) ELSE 0 END AS delivery_fee,
+  order_date
+FROM final
+"""
+
+# coupang_rfm pipeline of analytics__total_order (coupang_rfm__sales_
+# daily.sql:829-1059): FULL OUTER sales/shipping merge with NULL->7 /
+# LEAST(status,3), bundle COALESCE chain with the 200000 catch-all,
+# 9-prefix status-6 promotion, per-product cost attach, tier-ranged
+# delivery extra, status-6 zero-cost rule, 3-amount cost-weight split.
+ORACLES["coupang_total_order"] = f"""
+WITH sales AS (
+  SELECT grp AS order_id, 'OPT' || CAST(grp % 12 AS VARCHAR) AS option_id,
+    ANY_VALUE('v' || CAST(grp % 3 AS VARCHAR)) AS vendor_id,
+    MAX(CASE WHEN grp % 5 = 0 THEN 0 ELSE CAST(k % 6 AS INT) END) AS order_status,
+    SUM(k % 4) AS order_quantity,
+    SUM(COALESCE((k % 7) * 100, 0) * COALESCE(k % 4, 0)
+        - COALESCE((k % 5) * 10, 0) - COALESCE((k % 3) * 5, 0)) AS sales_amount,
+    SUM(CAST(FLOOR(tp * CAST(0.8 AS DECIMAL(2,1))) AS BIGINT)) AS settlement_amount,
+    MAX(d) AS sales_date
+  FROM (
+    SELECT o_orderkey AS k, o_orderkey - o_orderkey % 9 AS grp,
+      CAST(o_orderdate AS DATE) AS d, CAST(o_totalprice AS DECIMAL(18,2)) AS tp
+    FROM orders WHERE o_orderkey % 3 = 0
+  ) GROUP BY 1, 2
+), ship AS (
+  SELECT grp AS order_id, 'OPT' || CAST(grp % 12 AS VARCHAR) AS option_id,
+    ANY_VALUE('v' || CAST(grp % 3 AS VARCHAR)) AS vendor_id,
+    SUM(COALESCE((k % 6) * 20, 0) - COALESCE((k % 4) * 10, 0)
+        + COALESCE((k % 5) * 5, 0)) AS delivery_fee,
+    MAX(d) AS sales_date
+  FROM (
+    SELECT o_orderkey AS k, o_orderkey - o_orderkey % 9 AS grp,
+      CAST(o_orderdate AS DATE) AS d
+    FROM orders WHERE o_orderkey % 3 = 1
+  ) GROUP BY 1, 2
+), merged0 AS (
+  SELECT COALESCE(s.order_id, h.order_id) AS order_id,
+    COALESCE(s.option_id, h.option_id) AS option_id,
+    COALESCE(s.vendor_id, h.vendor_id) AS vendor_id,
+    s.order_status, s.order_quantity, s.sales_amount, s.settlement_amount,
+    h.delivery_fee, COALESCE(s.sales_date, h.sales_date) AS sales_date
+  FROM sales s FULL OUTER JOIN ship h
+    ON s.order_id = h.order_id AND s.option_id = h.option_id
+), merged AS (
+  SELECT sales_date, order_id, option_id,
+    ANY_VALUE(vendor_id) AS vendor_id,
+    CASE WHEN MAX(order_status) IS NULL THEN 7
+         ELSE LEAST(MAX(order_status), 3) END AS order_status,
+    COALESCE(SUM(order_quantity), 0) AS order_quantity,
+    COALESCE(SUM(sales_amount), 0) AS sales_amount,
+    COALESCE(SUM(settlement_amount), 0) AS settlement_amount,
+    COALESCE(SUM(delivery_fee), 0) AS delivery_fee
+  FROM merged0 GROUP BY 1, 2, 3
+), rel(option_id, bundle_product_ids) AS (VALUES
+  ('OPT0', '901:2,P3'), ('OPT3', 'P4,P5'), ('OPT6', '902'), ('OPT9', 'P6:3')
+), vendor(vendor_id, bundle_brand_ids) AS (VALUES
+  ('v0', 'B1'), ('v1', 'B2,903')
+), ecount(product_id, org_price) AS (VALUES
+  ('P3', 300), ('P4', 400), ('901', 900)
+), item(product_id, org_price, extra_cost, delivery_group) AS (VALUES
+  ('P3', 350, 10, 'G1'), ('P5', 550, 0, 'G2'), ('902', 20, 5, 'G1'),
+  ('B1', 100, 0, NULL), ('903', 130, 0, 'G1')
+), unit(product_id, unit) AS (VALUES ('P3', 2), ('902', 1), ('B1', 4)),
+{_TIERS_CTE.strip().lstrip()},
+bundled AS (
+  SELECT m.order_id, m.option_id,
+    COALESCE(r.bundle_product_ids, v.bundle_brand_ids, '200000') AS bundle_product_ids,
+    m.order_status, m.order_quantity,
+    m.sales_amount AS payment_amount,
+    m.settlement_amount AS supply_amount,
+    m.delivery_fee, m.sales_date AS order_date
+  FROM merged m
+  LEFT JOIN rel r ON m.option_id = r.option_id
+  LEFT JOIN vendor v ON m.vendor_id = v.vendor_id
+  WHERE NOT (m.order_quantity = 0 AND m.delivery_fee = 0)
+), ex AS (
+  SELECT *, UNNEST(string_split(bundle_product_ids, ',')) AS bundle_product
+  FROM bundled
+), exploded AS (
+  SELECT b.order_id, b.option_id,
+    split_part(b.bundle_product, ':', 1) AS product_id,
+    CASE WHEN b.order_status = 0 AND substr(b.bundle_product, 1, 1) = '9' THEN 6
+         ELSE b.order_status END AS order_status,
+    (CASE WHEN regexp_matches(split_part(b.bundle_product, ':', 2), '^[0-9]+$')
+          THEN CAST(split_part(b.bundle_product, ':', 2) AS INT)
+          ELSE 1 END) * b.order_quantity AS sku_quantity,
+    b.payment_amount, b.supply_amount,
+    COALESCE(ec.org_price, it.org_price, 0) + COALESCE(it.extra_cost, 0) AS org_price,
+    b.delivery_fee, it.delivery_group, b.order_date
+  FROM ex b
+  LEFT JOIN ecount ec ON split_part(b.bundle_product, ':', 1) = ec.product_id
+  LEFT JOIN item it ON split_part(b.bundle_product, ':', 1) = it.product_id
+), with_extra AS (
+  SELECT e.*, t.extra_cost AS t_extra
+  FROM exploded e
+  LEFT JOIN unit un ON e.product_id = un.product_id
+  LEFT JOIN tiers t ON e.delivery_group = t.delivery_group
+    AND (e.sku_quantity * COALESCE(un.unit, 1)) BETWEEN t.min_unit AND t.max_unit
+), projected AS (
+  SELECT order_id, option_id, product_id, order_status, sku_quantity,
+    payment_amount, supply_amount,
+    org_price * sku_quantity AS supply_cost,
+    COALESCE(MAX(t_extra) OVER (PARTITION BY order_id, option_id), 0)
+      + delivery_fee AS delivery_fee,
+    order_date,
+    CASE WHEN order_status = 6 THEN 0
+         ELSE org_price * sku_quantity END AS cost_amount
+  FROM with_extra
+), marked AS (
+  SELECT *,
+    COUNT(*) OVER (PARTITION BY order_id, option_id) AS n,
+    SUM(cost_amount) OVER (PARTITION BY order_id, option_id) AS total_cost,
+    ROW_NUMBER() OVER (PARTITION BY order_id, option_id ORDER BY product_id ASC) AS rn
+  FROM projected
+), splits AS (
+  SELECT *,
+    COALESCE(CAST(FLOOR(payment_amount * (cost_amount / NULLIF(total_cost, 0)) + 0.5) AS BIGINT), 0) AS pay_split,
+    COALESCE(CAST(FLOOR(supply_amount * (cost_amount / NULLIF(total_cost, 0)) + 0.5) AS BIGINT), 0) AS sup_split,
+    COALESCE(CAST(FLOOR(delivery_fee * (cost_amount / NULLIF(total_cost, 0)) + 0.5) AS BIGINT), 0) AS fee_split
+  FROM marked
+), final AS (
+  SELECT * REPLACE (
+    CASE WHEN n > 1 THEN
+      (CASE WHEN rn = 1 THEN payment_amount - SUM(pay_split) OVER (PARTITION BY order_id, option_id) ELSE 0 END) + pay_split
+    ELSE payment_amount END AS payment_amount,
+    CASE WHEN n > 1 THEN
+      (CASE WHEN rn = 1 THEN supply_amount - SUM(sup_split) OVER (PARTITION BY order_id, option_id) ELSE 0 END) + sup_split
+    ELSE supply_amount END AS supply_amount,
+    CASE WHEN n > 1 THEN
+      (CASE WHEN rn = 1 THEN delivery_fee - SUM(fee_split) OVER (PARTITION BY order_id, option_id) ELSE 0 END) + fee_split
+    ELSE delivery_fee END AS delivery_fee)
+  FROM splits
+)
+SELECT CAST(order_id AS VARCHAR) AS order_id, product_id,
+  'shop9001' AS shop_id, order_status, sku_quantity,
+  payment_amount, supply_amount, supply_cost, delivery_fee, order_date
+FROM final
+"""
