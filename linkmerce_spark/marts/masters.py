@@ -45,8 +45,15 @@ from linkmerce_spark.frames import values_df
 
 __all__ = [
     "searchad_campaign_master",
+    "searchad_adgroup_master",
+    "searchad_ad_master",
     "meta_campaign_master",
+    "meta_adset_master",
+    "meta_ad_master",
     "coupang_campaign_master",
+    "coupang_adgroup_master",
+    "google_campaign_master",
+    "google_adgroup_master",
     "google_ad_master",
     "SEARCHAD_CAMPAIGN_TYPES",
     "SEARCHAD_CAMPAIGN_AD_TYPES",
@@ -91,6 +98,48 @@ SEARCHAD_CAMPAIGN_AD_TYPES = [
     (10, 106, "성과형-기타"),
     (11, 107, "성과형-기타"),
     (12, 108, "성과형-ADVoost 소재"),
+]
+
+# macros/mapping/searchad.sql: searchad__adgroup_type_mapping()
+SEARCHAD_ADGROUP_TYPES = [
+    (0, 1, "파워링크"),
+    (1, 2, "쇼핑검색-쇼핑몰 상품형"),
+    (2, 3, "파워컨텐츠-정보형"),
+    (3, 4, "파워컨텐츠-상품형"),
+    (4, 5, "브랜드검색-일반형"),
+    (5, 6, "플레이스-지역소상공인"),
+    (6, 7, "쇼핑검색-제품 카탈로그형"),
+    (7, 8, "브랜드검색-브랜드형"),
+    (8, 9, "쇼핑검색-쇼핑 브랜드형"),
+    (9, 10, "플레이스-플레이스검색"),
+    (10, 11, "브랜드검색-신제품검색형"),
+    (11, 101, "성과형-클릭 수 최대화"),
+    (12, 102, "성과형-전환 수 최대화"),
+    (13, 103, "성과형-전환 가치 최대화"),
+    (14, 104, "성과형-수동 입찰"),
+]
+
+# macros/mapping/searchad.sql: searchad__ad_type_mapping() — seq 7 /
+# code 8 is genuinely absent in the reference vocabulary.
+SEARCHAD_AD_TYPES = [
+    (0, 1, "파워링크-단일형 소재"),
+    (1, 2, "쇼핑검색-상품형 소재"),
+    (2, 3, "파워컨텐츠-정보형 소재"),
+    (3, 4, "파워컨텐츠-상품형 소재"),
+    (4, 5, "브랜드검색-일반형 소재"),
+    (5, 6, "플레이스-지역소상공인 소재"),
+    (6, 7, "쇼핑검색-카탈로그형 소재"),
+    (8, 9, "쇼핑검색-쇼핑 브랜드형 소재"),
+    (9, 10, "플레이스-플레이스 검색 소재"),
+    (10, 11, "브랜드검색-신제품검색형 소재"),
+    (11, 12, "쇼핑검색-쇼핑 브랜드형 이미지 섬네일형 소재"),
+    (12, 13, "쇼핑검색-쇼핑 브랜드형 이미지 배너형 소재"),
+    (13, 101, "성과형-네이티브 이미지"),
+    (14, 102, "성과형-컬렉션"),
+    (15, 103, "성과형-동영상"),
+    (16, 104, "성과형-이미지 배너"),
+    (17, 105, "성과형-카탈로그"),
+    (18, 106, "성과형-ADVoost 소재"),
 ]
 
 # macros/mapping/meta_ads.sql: meta_ads__objective_mapping()
@@ -519,6 +568,503 @@ def google_ad_master(
         "ad.impression_count_30d",
         "ad.click_count_30d",
         "ad.ad_cost_30d",
+        "cmp.created_at",
+        sort_key.alias("sort_key"),
+    )
+
+
+def searchad_adgroup_master(
+    adgroup: DataFrame, campaign: DataFrame, account: DataFrame
+) -> DataFrame:
+    """searchad__adgroup_master.sql:19-55: adgroup -> campaign ->
+    account chain, campaign/adgroup type labels, the AND-folded
+    is_enabled COALESCE, 4-component sort key."""
+    spark = adgroup.sparkSession
+    ctype = _mapping(SEARCHAD_CAMPAIGN_TYPES, spark, _MAP_SCHEMA_INT)
+    gtype = _mapping(SEARCHAD_ADGROUP_TYPES, spark, _MAP_SCHEMA_INT)
+    out = (
+        adgroup.alias("grp")
+        .join(broadcast(account.alias("acc")), "customer_id", "left")
+        .join(broadcast(campaign.alias("cmp")), "campaign_id", "left")
+        .join(
+            broadcast(ctype.alias("ct")),
+            F.col("cmp.campaign_type") == F.col("ct.code"),
+            "left",
+        )
+        .join(
+            broadcast(gtype.alias("gt")),
+            F.col("grp.adgroup_type") == F.col("gt.code"),
+            "left",
+        )
+    )
+    sort_key = (
+        F.when(F.col("grp.is_deleted"), F.lit(2)).otherwise(F.lit(1)) * 1000000
+        + _seq99("acc.account_seq") * 10000
+        + _seq99("ct.seq") * 100
+        + _seq99("gt.seq")
+    )
+    return out.select(
+        "customer_id",
+        "acc.account_name",
+        "acc.account_type",
+        "campaign_id",
+        "cmp.campaign_name",
+        F.col("ct.label").alias("campaign_type"),
+        "grp.adgroup_id",
+        "grp.adgroup_name",
+        F.col("gt.label").alias("adgroup_type"),
+        "grp.bid_amount",
+        F.coalesce(
+            F.col("cmp.is_enabled") & F.col("grp.is_enabled"), F.col("grp.is_enabled")
+        ).alias("is_enabled"),
+        "grp.is_deleted",
+        "grp.created_at",
+        "grp.deleted_at",
+        sort_key.alias("sort_key"),
+    )
+
+
+def searchad_ad_master(
+    ad: DataFrame,
+    adgroup: DataFrame,
+    campaign: DataFrame,
+    account: DataFrame,
+    relation: DataFrame,
+    product_rel: DataFrame,
+) -> DataFrame:
+    """searchad__ad_master.sql:19-108: ad -> adgroup -> campaign ->
+    account chain, three type labels, and the FOUR-source bundle
+    COALESCE (product relation > ad > adgroup > campaign levels).
+
+    ``relation``: (ad_id, ad_level, bundle_product_ids), already
+    platform-filtered; ``product_rel``: (product_id,
+    bundle_product_ids) — relation__smt_prd_to_sbn_ids."""
+    spark = ad.sparkSession
+    ctype = _mapping(SEARCHAD_CAMPAIGN_TYPES, spark, _MAP_SCHEMA_INT)
+    gtype = _mapping(SEARCHAD_ADGROUP_TYPES, spark, _MAP_SCHEMA_INT)
+    atype = _mapping(SEARCHAD_AD_TYPES, spark, _MAP_SCHEMA_INT)
+
+    def _rel(level: int, alias: str) -> DataFrame:
+        return (
+            relation.filter(F.col("ad_level") == level)
+            .select(
+                F.col("ad_id").alias(f"{alias}_key"),
+                F.col("bundle_product_ids").alias(f"{alias}_bundle"),
+            )
+            .alias(alias)
+        )
+
+    out = (
+        ad.alias("ad")
+        .join(broadcast(account.alias("acc")), "customer_id", "left")
+        .join(broadcast(adgroup.alias("grp")), "adgroup_id", "left")
+        .join(
+            broadcast(campaign.alias("cmp")),
+            F.col("grp.campaign_id") == F.col("cmp.campaign_id"),
+            "left",
+        )
+        .join(
+            broadcast(ctype.alias("ct")),
+            F.col("cmp.campaign_type") == F.col("ct.code"),
+            "left",
+        )
+        .join(
+            broadcast(gtype.alias("gt")),
+            F.col("grp.adgroup_type") == F.col("gt.code"),
+            "left",
+        )
+        .join(
+            broadcast(atype.alias("at")),
+            F.col("ad.ad_type") == F.col("at.code"),
+            "left",
+        )
+        .join(
+            broadcast(_rel(0, "rc")),
+            F.col("grp.campaign_id") == F.col("rc.rc_key"),
+            "left",
+        )
+        .join(
+            broadcast(_rel(1, "rg")), F.col("adgroup_id") == F.col("rg.rg_key"), "left"
+        )
+        .join(
+            broadcast(_rel(2, "ra")), F.col("ad.ad_id") == F.col("ra.ra_key"), "left"
+        )
+        .join(
+            broadcast(
+                product_rel.select(
+                    F.col("product_id").alias("rp_key"),
+                    F.col("bundle_product_ids").alias("rp_bundle"),
+                ).alias("rp")
+            ),
+            F.col("ad.product_id") == F.col("rp.rp_key"),
+            "left",
+        )
+    )
+    sort_key = (
+        F.when(F.col("ad.is_deleted"), F.lit(2)).otherwise(F.lit(1)) * 100000000
+        + _seq99("acc.account_seq") * 1000000
+        + _seq99("ct.seq") * 10000
+        + _seq99("gt.seq") * 100
+        + _seq99("at.seq")
+    )
+    return out.select(
+        "customer_id",
+        "acc.account_name",
+        "acc.account_type",
+        F.col("grp.campaign_id").alias("campaign_id"),
+        "cmp.campaign_name",
+        F.col("ct.label").alias("campaign_type"),
+        "adgroup_id",
+        "grp.adgroup_name",
+        F.col("gt.label").alias("adgroup_type"),
+        "ad.ad_id",
+        "ad.title",
+        "ad.description",
+        F.col("at.label").alias("ad_type"),
+        F.col("ad.product_id").alias("mall_product_id"),
+        F.coalesce("rp.rp_bundle", "ra.ra_bundle", "rg.rg_bundle", "rc.rc_bundle").alias(
+            "bundle_product_ids"
+        ),
+        "ad.bid_amount",
+        F.coalesce(
+            F.col("cmp.is_enabled") & F.col("grp.is_enabled") & F.col("ad.is_enabled"),
+            F.col("ad.is_enabled"),
+        ).alias("is_enabled"),
+        "ad.is_deleted",
+        "ad.landing_url_pc",
+        "ad.landing_url_mobile",
+        "ad.created_at",
+        "ad.deleted_at",
+        sort_key.alias("sort_key"),
+    )
+
+
+def meta_adset_master(
+    adset: DataFrame, campaign: DataFrame, account: DataFrame
+) -> DataFrame:
+    """meta_ads__adset_master.sql:19-55: campaign joined on (account_id,
+    campaign_id), GREATEST(campaign, adset) status resolution, created
+    COALESCE, DELETED sort penalty."""
+    spark = adset.sparkSession
+    obj = _mapping(META_OBJECTIVES, spark, _MAP_SCHEMA_STR)
+    st = _mapping(META_EFFECTIVE_STATUSES, spark, _MAP_SCHEMA_STR)
+    out = (
+        adset.alias("adset")
+        .join(broadcast(account.alias("acc")), "account_id", "left")
+        .join(
+            broadcast(campaign.alias("cmp")),
+            (F.col("adset.account_id") == F.col("cmp.account_id"))
+            & (F.col("adset.campaign_id") == F.col("cmp.campaign_id")),
+            "left",
+        )
+        .join(
+            broadcast(obj.alias("ob")),
+            F.col("cmp.objective") == F.col("ob.code"),
+            "left",
+        )
+        .join(
+            broadcast(st.alias("sc")),
+            F.col("cmp.effective_status") == F.col("sc.code"),
+            "left",
+        )
+        .join(
+            broadcast(st.alias("sa")),
+            F.col("adset.effective_status") == F.col("sa.code"),
+            "left",
+        )
+    )
+    out = out.join(
+        broadcast(st.alias("sf")),
+        F.greatest("sc.seq", "sa.seq") == F.col("sf.seq"),
+        "left",
+    )
+    sort_key = (
+        F.when(F.col("sf.code") == "DELETED", F.lit(2)).otherwise(F.lit(1)) * 10000
+        + _seq99("acc.account_seq") * 100
+        + _seq99("ob.seq")
+    )
+    return out.select(
+        F.col("adset.account_id").alias("account_id"),
+        "acc.account_name",
+        F.col("adset.campaign_id").alias("campaign_id"),
+        "cmp.campaign_name",
+        F.col("ob.label").alias("objective"),
+        "adset.adset_id",
+        "adset.adset_name",
+        F.col("sf.label").alias("effective_status"),
+        "adset.daily_budget",
+        F.coalesce("adset.created_at", "cmp.created_at").alias("created_at"),
+        sort_key.alias("sort_key"),
+    )
+
+
+def meta_ad_master(
+    ad: DataFrame,
+    adset: DataFrame,
+    campaign: DataFrame,
+    account: DataFrame,
+    relation: DataFrame,
+) -> DataFrame:
+    """meta_ads__ad_master.sql:19-108: three-status GREATEST resolution,
+    ad > adset > campaign bundle COALESCE, 3-way created COALESCE."""
+    spark = ad.sparkSession
+    obj = _mapping(META_OBJECTIVES, spark, _MAP_SCHEMA_STR)
+    st = _mapping(META_EFFECTIVE_STATUSES, spark, _MAP_SCHEMA_STR)
+
+    def _rel(level: int, alias: str) -> DataFrame:
+        return (
+            relation.filter(F.col("ad_level") == level)
+            .select(
+                F.col("ad_id").alias(f"{alias}_key"),
+                F.col("bundle_product_ids").alias(f"{alias}_bundle"),
+            )
+            .alias(alias)
+        )
+
+    out = (
+        ad.alias("ad")
+        .join(broadcast(account.alias("acc")), "account_id", "left")
+        .join(broadcast(campaign.alias("cmp")), "campaign_id", "left")
+        .join(broadcast(adset.alias("adset")), "adset_id", "left")
+        .join(
+            broadcast(obj.alias("ob")),
+            F.col("cmp.objective") == F.col("ob.code"),
+            "left",
+        )
+        .join(
+            broadcast(st.alias("sc")),
+            F.col("cmp.effective_status") == F.col("sc.code"),
+            "left",
+        )
+        .join(
+            broadcast(st.alias("ss")),
+            F.col("adset.effective_status") == F.col("ss.code"),
+            "left",
+        )
+        .join(
+            broadcast(st.alias("sa")),
+            F.col("ad.effective_status") == F.col("sa.code"),
+            "left",
+        )
+    )
+    out = (
+        out.join(
+            broadcast(st.alias("sf")),
+            F.greatest("sc.seq", "ss.seq", "sa.seq") == F.col("sf.seq"),
+            "left",
+        )
+        .join(
+            broadcast(_rel(0, "rc")),
+            F.col("campaign_id") == F.col("rc.rc_key"),
+            "left",
+        )
+        .join(
+            broadcast(_rel(1, "rs")), F.col("adset_id") == F.col("rs.rs_key"), "left"
+        )
+        .join(
+            broadcast(_rel(2, "ra")), F.col("ad.ad_id") == F.col("ra.ra_key"), "left"
+        )
+    )
+    sort_key = (
+        F.when(F.col("sf.code") == "DELETED", F.lit(2)).otherwise(F.lit(1)) * 10000
+        + _seq99("acc.account_seq") * 100
+        + _seq99("ob.seq")
+    )
+    return out.select(
+        "account_id",
+        "acc.account_name",
+        "campaign_id",
+        "cmp.campaign_name",
+        F.col("ob.label").alias("objective"),
+        "adset_id",
+        "adset.adset_name",
+        "ad.ad_id",
+        "ad.ad_name",
+        F.col("sf.label").alias("effective_status"),
+        F.coalesce("ra.ra_bundle", "rs.rs_bundle", "rc.rc_bundle").alias(
+            "bundle_product_ids"
+        ),
+        F.coalesce("ad.created_at", "adset.created_at", "cmp.created_at").alias(
+            "created_at"
+        ),
+        sort_key.alias("sort_key"),
+    )
+
+
+def coupang_adgroup_master(
+    adgroup: DataFrame, campaign: DataFrame, vendor: DataFrame
+) -> DataFrame:
+    """coupang_ads__adgroup_master.sql:19-55: campaign attrs pulled
+    through the adgroup, vendor_type mapped off the CAMPAIGN row,
+    goal off the adgroup, (deleted, vendor, goal) sort key."""
+    spark = adgroup.sparkSession
+    vtype = _mapping(COUPANG_VENDOR_TYPES, spark, _MAP_SCHEMA_INT)
+    ctype = _mapping(COUPANG_CAMPAIGN_TYPES, spark, _MAP_SCHEMA_STR)
+    gtype = _mapping(COUPANG_GOAL_TYPES, spark, _MAP_SCHEMA_INT)
+    out = (
+        adgroup.alias("grp")
+        .join(broadcast(campaign.alias("cmp")), "campaign_id", "left")
+        .join(broadcast(vendor.alias("vdr")), "vendor_id", "left")
+        .join(
+            broadcast(vtype.alias("vt")),
+            F.col("cmp.vendor_type") == F.col("vt.code"),
+            "left",
+        )
+        .join(
+            broadcast(ctype.alias("ct")),
+            F.col("cmp.campaign_type") == F.col("ct.code"),
+            "left",
+        )
+        .join(
+            broadcast(gtype.alias("gt")),
+            F.col("grp.goal_type") == F.col("gt.code"),
+            "left",
+        )
+    )
+    sort_key = (
+        F.when(F.col("grp.is_deleted"), F.lit(2)).otherwise(F.lit(1)) * 1000
+        + F.coalesce(F.col("vdr.vendor_seq"), F.lit(99)) * 10
+        + F.coalesce(F.col("gt.seq"), F.lit(9))
+    )
+    return out.select(
+        "vendor_id",
+        "vdr.vendor_name",
+        "vdr.vendor_alias",
+        F.col("vt.label").alias("vendor_type"),
+        "campaign_id",
+        "cmp.campaign_name",
+        F.coalesce(F.col("ct.label"), F.col("cmp.campaign_type")).alias(
+            "campaign_type"
+        ),
+        "grp.adgroup_id",
+        "grp.adgroup_name",
+        F.col("gt.label").alias("goal_type"),
+        "grp.is_active",
+        "grp.is_deleted",
+        "grp.roas_target",
+        "grp.created_at",
+        "grp.updated_at",
+        sort_key.alias("sort_key"),
+    )
+
+
+def google_adgroup_master(
+    adgroup: DataFrame, campaign: DataFrame, account: DataFrame
+) -> DataFrame:
+    """google_ads__adgroup_master.sql:19-75: campaign dim chain,
+    GREATEST(campaign, adgroup) status, target_cpa + 30d metrics."""
+    spark = adgroup.sparkSession
+    st_map = _mapping(GOOGLE_STATUSES, spark, _MAP_SCHEMA_STR)
+    ctype = _mapping(GOOGLE_CAMPAIGN_TYPES, spark, _MAP_SCHEMA_STR)
+    btype = _mapping(GOOGLE_BIDDING_STRATEGIES, spark, _MAP_SCHEMA_STR)
+    gtype = _mapping(GOOGLE_ADGROUP_TYPES, spark, _MAP_SCHEMA_STR)
+    out = (
+        adgroup.alias("grp")
+        .join(broadcast(account.alias("acc")), "customer_id", "left")
+        .join(broadcast(campaign.alias("cmp")), "campaign_id", "left")
+        .join(
+            broadcast(ctype.alias("ct")),
+            F.col("cmp.campaign_type") == F.col("ct.code"),
+            "left",
+        )
+        .join(
+            broadcast(btype.alias("bt")),
+            F.col("cmp.bidding_strategy") == F.col("bt.code"),
+            "left",
+        )
+        .join(
+            broadcast(gtype.alias("agt")),
+            F.col("grp.adgroup_type") == F.col("agt.code"),
+            "left",
+        )
+        .join(
+            broadcast(st_map.alias("sc")),
+            F.col("cmp.campaign_status") == F.col("sc.code"),
+            "left",
+        )
+        .join(
+            broadcast(st_map.alias("sg")),
+            F.col("grp.adgroup_status") == F.col("sg.code"),
+            "left",
+        )
+    )
+    out = out.join(
+        broadcast(st_map.alias("sf")),
+        F.greatest("sc.seq", "sg.seq") == F.col("sf.seq"),
+        "left",
+    )
+    sort_key = (
+        F.when(F.col("sf.code") == "REMOVED", F.lit(2)).otherwise(F.lit(1)) * 1000000
+        + _seq99("acc.account_seq") * 10000
+        + _seq99("ct.seq") * 100
+        + _seq99("agt.seq")
+    )
+    return out.select(
+        "customer_id",
+        "acc.account_name",
+        "campaign_id",
+        "cmp.campaign_name",
+        F.col("ct.label").alias("campaign_type"),
+        F.col("bt.label").alias("bidding_strategy"),
+        "grp.adgroup_id",
+        "grp.adgroup_name",
+        F.col("agt.label").alias("adgroup_type"),
+        F.col("sf.label").alias("adgroup_status"),
+        "grp.target_cpa",
+        "grp.impression_count_30d",
+        "grp.click_count_30d",
+        "grp.ad_cost_30d",
+        "cmp.created_at",
+        sort_key.alias("sort_key"),
+    )
+
+
+def google_campaign_master(campaign: DataFrame, account: DataFrame) -> DataFrame:
+    """google_ads__campaign_master.sql:19-55: account join, three label
+    maps; the sort penalty keys off the RAW status code."""
+    spark = campaign.sparkSession
+    st_map = _mapping(GOOGLE_STATUSES, spark, _MAP_SCHEMA_STR)
+    ctype = _mapping(GOOGLE_CAMPAIGN_TYPES, spark, _MAP_SCHEMA_STR)
+    btype = _mapping(GOOGLE_BIDDING_STRATEGIES, spark, _MAP_SCHEMA_STR)
+    out = (
+        campaign.alias("cmp")
+        .join(broadcast(account.alias("acc")), "customer_id", "left")
+        .join(
+            broadcast(ctype.alias("ct")),
+            F.col("cmp.campaign_type") == F.col("ct.code"),
+            "left",
+        )
+        .join(
+            broadcast(btype.alias("bt")),
+            F.col("cmp.bidding_strategy") == F.col("bt.code"),
+            "left",
+        )
+        .join(
+            broadcast(st_map.alias("cs")),
+            F.col("cmp.campaign_status") == F.col("cs.code"),
+            "left",
+        )
+    )
+    sort_key = (
+        F.when(F.col("cmp.campaign_status") == "REMOVED", F.lit(2)).otherwise(
+            F.lit(1)
+        )
+        * 10000
+        + _seq99("acc.account_seq") * 100
+        + _seq99("ct.seq")
+    )
+    return out.select(
+        "customer_id",
+        "acc.account_name",
+        "campaign_id",
+        "cmp.campaign_name",
+        F.col("ct.label").alias("campaign_type"),
+        F.col("cs.label").alias("campaign_status"),
+        F.col("bt.label").alias("bidding_strategy"),
+        "cmp.campaign_budget",
+        "cmp.impression_count_30d",
+        "cmp.click_count_30d",
+        "cmp.ad_cost_30d",
         "cmp.created_at",
         sort_key.alias("sort_key"),
     )

@@ -27,7 +27,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-__all__ = ["quantized_cosine", "QUANT_DEFAULT", "ivf_centroids", "ivf_assign"]
+__all__ = [
+    "quantized_cosine",
+    "QUANT_DEFAULT",
+    "ivf_centroids",
+    "ivf_assign",
+    "ivf_train",
+]
 
 QUANT_DEFAULT = 1000
 
@@ -90,24 +96,28 @@ def ivf_assign(
     dim: int = 64,
     k: int = 8,
     quant: int = QUANT_DEFAULT,
+    centroids: list[list[int]] | None = None,
 ):
     """Add ``cell`` (nearest centroid, 1-based) and ``dist2`` (its
     squared L2 distance) — the IVF coarse quantizer.
 
+    ``centroids`` defaults to the closed-form constants (stable unit
+    tests); pass ``ivf_train(...)`` output for data-adaptive cells.
     All arithmetic is int64 on quantized components: the assignment is
     exact and engine-portable (ties break to the lowest cell index via
     first-position-of-min, same rule as SQL list_position). The cell is
     the shuffle key for probe-time candidate generation; at index-build
     scale this is a pure per-row map — no shuffle at all.
     """
+    cents = centroids if centroids is not None else ivf_centroids(dim, k, quant)
     q = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * quant + F.lit(0.5)).cast("bigint"),
     )
     df = df.withColumn("__q", q)
     dists = []
-    for plane in ivf_centroids(dim, k, quant):
-        consts = F.array(*[F.lit(c).cast("bigint") for c in plane])
+    for plane in cents:
+        consts = F.array(*[F.lit(int(c)).cast("bigint") for c in plane])
         d = F.aggregate(
             F.zip_with(F.col("__q"), consts, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("bigint"),
@@ -121,3 +131,92 @@ def ivf_assign(
         .withColumn("cell", F.array_position("__d", F.col("dist2")).cast("int"))
         .drop("__q", "__d")
     )
+
+
+def ivf_train(
+    df,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 8,
+    quant: int = QUANT_DEFAULT,
+    oversample: int = 2,
+) -> list[list[int]]:
+    """Deterministic k-means||-style centroid training, exact-integer.
+
+    The classic k-means|| recipe — oversample candidate seeds, weight
+    each candidate by how many points it attracts, reduce to k, then
+    Lloyd-refine — with every random draw replaced by a deterministic
+    rule so a SQL oracle reproduces it bit-for-bit:
+
+    1. candidates = the ``k*oversample`` sample vectors with the
+       smallest ids, quantized to int64 (candidate index = id order);
+    2. weights   = per-candidate member counts over the FULL data
+       (nearest candidate, exact int L2, first-min tie rule);
+    3. reduce    = top-k candidates by (weight DESC, candidate ASC);
+    4. refine    = one Lloyd step: members' element-wise floor-mean
+       ((s - ((s%c)+c)%c)/c — floor semantics under both engines' %),
+       empty cells keep their seed vector.
+
+    Only k-sized aggregates ever reach the driver (three collects of
+    ≤ k*oversample rows) — the scans stay distributed, so the same
+    procedure runs against a 100 TB table; at that scale you would
+    train on a sampled sub-frame (``df.sample``) and the procedure is
+    unchanged. Returns k integer centroid vectors for ``ivf_assign``
+    (and for rendering the twin SQL's VALUES — though the oracle can
+    also re-derive them from scratch, which is what oracles.py does).
+    """
+    m = k * oversample
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * quant + F.lit(0.5)).cast("bigint"),
+    )
+    qdf = df.select(F.col(id_col).alias("__id"), q.alias("__q"))
+
+    cands = [
+        [int(v) for v in r["__q"]]
+        for r in qdf.orderBy("__id").limit(m).collect()
+    ]
+
+    def _nearest(frame, cents):
+        dists = []
+        for plane in cents:
+            consts = F.array(*[F.lit(int(c)).cast("bigint") for c in plane])
+            dists.append(
+                F.aggregate(
+                    F.zip_with(F.col("__q"), consts, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                )
+            )
+        darr = F.array(*dists)
+        return frame.withColumn(
+            "cell", F.array_position(darr, F.array_min(darr)).cast("int")
+        )
+
+    wts = {
+        r["cell"]: r["cnt"]
+        for r in _nearest(qdf, cands)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    order = sorted(range(1, m + 1), key=lambda c: (-wts.get(c, 0), c))[:k]
+    seeds = [cands[c - 1] for c in order]
+
+    stats = (
+        _nearest(qdf, seeds)
+        .select("cell", F.posexplode("__q").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    by_cell: dict[int, dict[int, int]] = {}
+    for r in stats:
+        # Python // is floor division — identical to the SQL
+        # (s - ((s % c) + c) % c) / c form for negative sums.
+        by_cell.setdefault(r["cell"], {})[r["pos"]] = r["s"] // r["c"]
+    return [
+        [by_cell[j + 1][i] for i in range(dim)] if (j + 1) in by_cell else seeds[j]
+        for j in range(k)
+    ]

@@ -540,26 +540,75 @@ WITH toks AS (
 SELECT source, id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.02
 """
 
-from linkmerce_spark.operators.similarity import ivf_centroids
-
-_IVF_DISTS = ",\n    ".join(
-    f"list_sum(list_transform(range(1, 65), i -> (q[i] - (CAST({c} AS BIGINT[]))[i]) * (q[i] - (CAST({c} AS BIGINT[]))[i])))"
-    for c in ivf_centroids(64, 8)
+# Deterministic k-means||-style IVF training, re-derived in SQL from
+# scratch (operators/similarity.ivf_train semantics): 16 smallest-id
+# candidate seeds -> full-data weighting (first-min tie rule) -> top-8
+# by (weight DESC, candidate ASC) -> one exact-integer Lloyd step with
+# floor-mean and empty-cell seed fallback -> final assignment.
+_IVF_TRAIN_CTE = """
+ivf_q AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+), ivf_cand AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, q
+  FROM (SELECT vec_id, q FROM ivf_q ORDER BY vec_id LIMIT 16)
+), ivf_a1 AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT v.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        CAST(list_sum(list_transform(range(1, 65),
+          i -> (v.q[i] - c.q[i]) * (v.q[i] - c.q[i]))) AS BIGINT) ASC, c.cid ASC) AS rn
+    FROM ivf_q v CROSS JOIN ivf_cand c
+  ) WHERE rn = 1
+), ivf_seeds AS (
+  SELECT cell, q FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY COALESCE(w.cnt, 0) DESC, c.cid ASC) AS cell, c.q
+    FROM ivf_cand c
+    LEFT JOIN (SELECT cell, COUNT(*) AS cnt FROM ivf_a1 GROUP BY cell) w
+      ON c.cid = w.cell
+  ) WHERE cell <= 8
+), ivf_a2 AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, s.cell,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        CAST(list_sum(list_transform(range(1, 65),
+          i -> (v.q[i] - s.q[i]) * (v.q[i] - s.q[i]))) AS BIGINT) ASC, s.cell ASC) AS rn
+    FROM ivf_q v CROSS JOIN ivf_seeds s
+  ) WHERE rn = 1
+), ivf_cs AS (
+  SELECT cell, pos, CAST(SUM(val) AS BIGINT) AS s, COUNT(*) AS c FROM (
+    SELECT a.cell, UNNEST(v.q) AS val, UNNEST(range(1, 65)) AS pos
+    FROM ivf_a2 a JOIN ivf_q v ON a.vec_id = v.vec_id
+  ) GROUP BY 1, 2
+), ivf_mean AS (
+  SELECT cell, list(CAST((s - ((s % c) + c) % c) // c AS BIGINT) ORDER BY pos) AS q
+  FROM ivf_cs GROUP BY cell
+), ivf_cents AS (
+  SELECT s.cell, COALESCE(m.q, s.q) AS q
+  FROM ivf_seeds s LEFT JOIN ivf_mean m ON s.cell = m.cell
+), ivf_cells AS (
+  SELECT vec_id, cell, dist AS dist2 FROM (
+    SELECT v.vec_id, t.cell,
+      CAST(list_sum(list_transform(range(1, 65),
+        i -> (v.q[i] - t.q[i]) * (v.q[i] - t.q[i]))) AS BIGINT) AS dist,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        CAST(list_sum(list_transform(range(1, 65),
+          i -> (v.q[i] - t.q[i]) * (v.q[i] - t.q[i]))) AS BIGINT) ASC, t.cell ASC) AS rn
+    FROM ivf_q v CROSS JOIN ivf_cents t
+  ) WHERE rn = 1
 )
+"""
 
 ORACLES["embedding_near_dups"] = f"""
-WITH e AS (
+WITH {_IVF_TRAIN_CTE.strip()},
+e AS (
   SELECT vec_id, {_QVEC} AS q,
          sqrt(CAST(list_sum(list_transform({_QVEC}, x -> x * x)) AS DOUBLE)) AS nrm
   FROM embeddings
-), d AS (
-  SELECT vec_id, q, nrm, [
-    {_IVF_DISTS}
-  ] AS dists FROM e
 ), c AS (
-  SELECT vec_id, q AS v, nrm,
-         CAST(list_position(dists, list_min(dists)) AS INTEGER) AS cell
-  FROM d
+  SELECT e.vec_id, e.q AS v, e.nrm, CAST(ic.cell AS INTEGER) AS cell
+  FROM e JOIN ivf_cells ic ON e.vec_id = ic.vec_id
 ), pairs AS (
   SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
     FLOOR(CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS DOUBLE)
@@ -694,18 +743,8 @@ GROUP BY 1
 """
 
 ORACLES["embedding_ivf_cells"] = f"""
-WITH e AS (
-  SELECT vec_id,
-    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
-  FROM embeddings
-), d AS (
-  SELECT vec_id, [
-    {_IVF_DISTS}
-  ] AS dists FROM e
-)
-SELECT vec_id, CAST(list_position(dists, list_min(dists)) AS INTEGER) AS cell,
-       CAST(list_min(dists) AS BIGINT) AS dist2
-FROM d
+WITH {_IVF_TRAIN_CTE.strip()}
+SELECT vec_id, CAST(cell AS INTEGER) AS cell, dist2 FROM ivf_cells
 """
 
 ORACLES["array_predicates"] = """
@@ -3779,4 +3818,461 @@ SELECT CAST(order_id AS VARCHAR) AS order_id, product_id,
   'shop9001' AS shop_id, order_status, sku_quantity,
   payment_amount, supply_amount, supply_cost, delivery_fee, order_date
 FROM final
+"""
+
+# --- core masters + CJ delivery pair -------------------------------------
+# Shared synthetic item catalog (queries._core_item_feed in SQL).
+_CORE_ITEM_CTE = """
+item AS (
+  SELECT
+    CASE WHEN p_partkey % 13 = 0 THEN NULL
+         WHEN p_partkey % 4 = 0 THEN '2' || CAST(p_partkey % 60 AS VARCHAR)
+         ELSE '1' || CAST(p_partkey % 80 AS VARCHAR) END AS product_id,
+    'IT-' || lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS item_id,
+    CASE WHEN p_partkey % 11 = 0 THEN NULL
+         ELSE CAST(p_partkey % 97 AS INT) END AS item_seq,
+    CASE WHEN p_partkey % 7 = 0 THEN NULL
+         ELSE 'team' || CAST(p_partkey % 5 AS VARCHAR) END AS team_name,
+    CASE WHEN p_partkey % 6 = 0 THEN '브랜드 없음'
+         ELSE 'brand' || CAST(p_partkey % 9 AS VARCHAR) END AS brand_name,
+    'c1-' || CAST(p_partkey % 3 AS VARCHAR) AS category_name1,
+    'c2-' || CAST(p_partkey % 4 AS VARCHAR) AS category_name2,
+    'c3-' || CAST(p_partkey % 5 AS VARCHAR) AS category_name3,
+    'c4-' || CAST(p_partkey % 6 AS VARCHAR) AS category_name4,
+    'color' || CAST(p_partkey % 7 AS VARCHAR) AS color,
+    'product ' || CAST(p_partkey % 80 AS VARCHAR) AS product_name,
+    CASE WHEN p_partkey % 3 = 0 THEN NULL
+         ELSE 'ea' || CAST(p_partkey % 3 AS VARCHAR) END AS unit_name,
+    CAST(p_partkey % 4 + 1 AS INT) AS unit_scale
+  FROM part
+)
+"""
+
+# core__product_master.sql:10-31 (DISTINCT ON product_id, item_seq ASC
+# NULLS LAST; item_id appended as the documented determinism tiebreak).
+ORACLES["core_product_master"] = f"""
+WITH {_CORE_ITEM_CTE.strip()}
+SELECT product_id, item_id, item_seq, team_name, brand_name,
+  category_name1, category_name2, category_name3, category_name4,
+  color, product_name, unit_name, unit_scale, rn
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY product_id
+    ORDER BY item_seq ASC NULLS LAST, item_id ASC) AS rn
+  FROM item WHERE product_id IS NOT NULL
+) WHERE rn = 1
+"""
+
+# core__brand_master.sql:10-34 with the documented (item_seq, item_id)
+# determinism tiebreaks on every window.
+ORACLES["core_brand_master"] = f"""
+WITH {_CORE_ITEM_CTE.strip()},
+base AS (
+  SELECT product_id AS brand_id, item_id, item_seq, team_name, brand_name
+  FROM item
+  WHERE starts_with(product_id, '2')
+    AND NULLIF(brand_name, '브랜드 없음') IS NOT NULL
+), seq AS (
+  SELECT *,
+    ROW_NUMBER() OVER (ORDER BY team_name DESC NULLS LAST, brand_id ASC,
+                       item_seq ASC NULLS LAST, item_id ASC) AS brand_seq,
+    ROW_NUMBER() OVER (PARTITION BY brand_id
+                       ORDER BY item_seq ASC NULLS LAST, item_id ASC) AS rn1,
+    ROW_NUMBER() OVER (PARTITION BY brand_name
+                       ORDER BY item_seq ASC NULLS LAST, item_id ASC) AS rn2
+  FROM base
+)
+SELECT brand_id, item_id, item_seq, team_name, brand_name, brand_seq
+FROM seq WHERE rn1 = 1 AND rn2 = 1
+"""
+
+# cj__invoice.sql:16-55 / cj__invoice_order.sql:16-59 with the callers'
+# ±7-day widening (window 1996-02-01..1996-03-31 -> 01-25..04-07).
+_CJ_FEEDS_CTE = """
+lois AS (
+  SELECT replace('LP-' || CAST(o_orderkey % 600 AS VARCHAR) || '-X', '-', '') AS invoice_no,
+    COALESCE(CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE 'ORD' || CAST(o_orderkey % 400 AS VARCHAR) END, 'none') AS order_id,
+    SUM((o_orderkey % 9) * 100) AS delivery_fee,
+    CAST(0 AS BIGINT) AS box_cost
+  FROM orders
+  WHERE o_orderkey % 2 = 0
+    AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-25' AND DATE '1996-04-07'
+  GROUP BY 1, 2
+), eflexs AS (
+  SELECT 'LP' || CAST(o_orderkey % 600 AS VARCHAR) || 'X' AS invoice_no,
+    'ORD' || CAST(o_orderkey % 400 AS VARCHAR) AS order_id,
+    SUM((o_orderkey % 5) * 80) AS delivery_fee,
+    CAST(SUM((o_orderkey % 3) * 50) AS BIGINT) AS box_cost
+  FROM orders
+  WHERE o_orderkey % 2 = 1
+    AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-25' AND DATE '1996-04-07'
+  GROUP BY 1, 2
+), unioned AS (
+  SELECT * FROM lois UNION ALL SELECT * FROM eflexs
+)
+"""
+
+ORACLES["cj_invoice"] = f"""
+WITH {_CJ_FEEDS_CTE.strip()}
+SELECT invoice_no, SUM(delivery_fee) AS delivery_fee, SUM(box_cost) AS box_cost
+FROM unioned GROUP BY 1
+"""
+
+ORACLES["cj_invoice_order"] = f"""
+WITH {_CJ_FEEDS_CTE.strip()}
+SELECT order_id, SUM(delivery_fee) AS delivery_fee, SUM(box_cost) AS box_cost
+FROM unioned WHERE order_id != 'none' GROUP BY 1
+"""
+
+# --- remaining entity masters --------------------------------------------
+_SEARCHAD_ACC = """
+account(customer_id, account_name, account_type, account_seq) AS (VALUES
+  (0, 'acct-a', 'agency', 1), (1, 'acct-b', 'direct', 2),
+  (2, 'acct-c', 'agency', 3), (3, 'acct-d', 'direct', NULL)
+)
+"""
+
+ORACLES["searchad_adgroup_master"] = f"""
+WITH adgroup AS (
+  SELECT CAST(o_orderkey % 4 AS INT) AS customer_id,
+    'cmp' || CAST(o_orderkey % 35 AS VARCHAR) AS campaign_id,
+    'grp' || CAST(o_orderkey AS VARCHAR) AS adgroup_id,
+    'adgroup ' || CAST(o_orderkey % 25 AS VARCHAR) AS adgroup_name,
+    CASE WHEN o_orderkey % 13 = 0 THEN 999
+         ELSE CAST(o_orderkey % 12 AS INT) END AS adgroup_type,
+    CAST((o_orderkey % 50) * 10 AS BIGINT) AS bid_amount,
+    o_orderkey % 2 = 0 AS is_enabled,
+    o_orderkey % 9 = 0 AS is_deleted,
+    CAST(o_orderdate AS DATE) AS created_at,
+    CASE WHEN o_orderkey % 9 = 0 THEN CAST(o_orderdate AS DATE) + 14 END AS deleted_at
+  FROM orders WHERE o_orderkey % 5 = 0
+), campaign AS (
+  SELECT 'cmp' || CAST(i AS VARCHAR) AS campaign_id,
+    'campaign ' || CAST(i AS VARCHAR) AS campaign_name,
+    CAST(i % 15 AS INT) AS campaign_type, i % 3 > 0 AS is_enabled
+  FROM range(35) t(i)
+), {_SEARCHAD_ACC.strip()},
+ctype(seq, code, label) AS (VALUES {_vals3(_m.SEARCHAD_CAMPAIGN_TYPES)}),
+gtype(seq, code, label) AS (VALUES {_vals3(_m.SEARCHAD_ADGROUP_TYPES)})
+SELECT grp.customer_id, acc.account_name, acc.account_type,
+  grp.campaign_id, cmp.campaign_name, ct.label AS campaign_type,
+  grp.adgroup_id, grp.adgroup_name, gt.label AS adgroup_type,
+  grp.bid_amount,
+  COALESCE(cmp.is_enabled AND grp.is_enabled, grp.is_enabled) AS is_enabled,
+  grp.is_deleted, grp.created_at, grp.deleted_at,
+  (CASE WHEN grp.is_deleted THEN 2 ELSE 1 END) * 1000000
+    + COALESCE(acc.account_seq, 99) * 10000
+    + COALESCE(ct.seq, 99) * 100 + COALESCE(gt.seq, 99) AS sort_key
+FROM adgroup grp
+LEFT JOIN account acc ON grp.customer_id = acc.customer_id
+LEFT JOIN campaign cmp ON grp.campaign_id = cmp.campaign_id
+LEFT JOIN ctype ct ON cmp.campaign_type = ct.code
+LEFT JOIN gtype gt ON grp.adgroup_type = gt.code
+"""
+
+ORACLES["searchad_ad_master"] = f"""
+WITH ad AS (
+  SELECT CAST(o_orderkey % 4 AS INT) AS customer_id,
+    'grp' || CAST(o_orderkey % 30 AS VARCHAR) AS adgroup_id,
+    'ad' || CAST(o_orderkey AS VARCHAR) AS ad_id,
+    'title ' || CAST(o_orderkey % 40 AS VARCHAR) AS title,
+    'desc ' || CAST(o_orderkey % 10 AS VARCHAR) AS description,
+    CASE WHEN o_orderkey % 17 = 0 THEN 999
+         ELSE CAST(o_orderkey % 14 AS INT) END AS ad_type,
+    CASE WHEN o_orderkey % 3 = 0
+         THEN 'mp' || CAST(o_orderkey % 50 AS VARCHAR) END AS product_id,
+    CAST((o_orderkey % 45) * 10 AS BIGINT) AS bid_amount,
+    o_orderkey % 2 = 0 AS is_enabled,
+    o_orderkey % 11 = 0 AS is_deleted,
+    'https://pc/' || CAST(o_orderkey % 5 AS VARCHAR) AS landing_url_pc,
+    CASE WHEN o_orderkey % 4 = 0
+         THEN 'https://m/' || CAST(o_orderkey % 5 AS VARCHAR) END AS landing_url_mobile,
+    CAST(o_orderdate AS DATE) AS created_at,
+    CASE WHEN o_orderkey % 11 = 0 THEN CAST(o_orderdate AS DATE) + 21 END AS deleted_at
+  FROM orders WHERE o_orderkey % 7 = 0
+), adgroup AS (
+  SELECT 'grp' || CAST(i AS VARCHAR) AS adgroup_id,
+    'adgroup ' || CAST(i AS VARCHAR) AS adgroup_name,
+    'cmp' || CAST(i % 12 AS VARCHAR) AS campaign_id,
+    CAST(i % 12 AS INT) AS adgroup_type, i % 4 > 0 AS is_enabled
+  FROM range(30) t(i)
+), campaign AS (
+  SELECT 'cmp' || CAST(i AS VARCHAR) AS campaign_id,
+    'campaign ' || CAST(i AS VARCHAR) AS campaign_name,
+    CAST(i % 15 AS INT) AS campaign_type, i % 2 = 0 AS is_enabled
+  FROM range(12) t(i)
+), {_SEARCHAD_ACC.strip()},
+relation AS (
+  SELECT 'cmp' || CAST(i AS VARCHAR) AS ad_id, 0 AS ad_level,
+         '100010,100011' AS bundle_product_ids FROM range(0, 12, 2) t(i)
+  UNION ALL
+  SELECT 'grp' || CAST(i AS VARCHAR), 1, '100012' FROM range(0, 30, 3) t(i)
+  UNION ALL
+  SELECT 'ad' || CAST(i AS VARCHAR), 2, '100013,100014' FROM range(0, 140, 14) t(i)
+), product_rel AS (
+  SELECT 'mp' || CAST(i AS VARCHAR) AS product_id,
+         '1000' || CAST(i AS VARCHAR) AS bundle_product_ids
+  FROM range(0, 50, 5) t(i)
+), ctype(seq, code, label) AS (VALUES {_vals3(_m.SEARCHAD_CAMPAIGN_TYPES)}),
+gtype(seq, code, label) AS (VALUES {_vals3(_m.SEARCHAD_ADGROUP_TYPES)}),
+atype(seq, code, label) AS (VALUES {_vals3(_m.SEARCHAD_AD_TYPES)})
+SELECT ad.customer_id, acc.account_name, acc.account_type,
+  grp.campaign_id, cmp.campaign_name, ct.label AS campaign_type,
+  ad.adgroup_id, grp.adgroup_name, gt.label AS adgroup_type,
+  ad.ad_id, ad.title, ad.description, at.label AS ad_type,
+  ad.product_id AS mall_product_id,
+  COALESCE(rp.bundle_product_ids, ra.bundle_product_ids,
+           rg.bundle_product_ids, rc.bundle_product_ids) AS bundle_product_ids,
+  ad.bid_amount,
+  COALESCE(cmp.is_enabled AND grp.is_enabled AND ad.is_enabled, ad.is_enabled) AS is_enabled,
+  ad.is_deleted, ad.landing_url_pc, ad.landing_url_mobile,
+  ad.created_at, ad.deleted_at,
+  (CASE WHEN ad.is_deleted THEN 2 ELSE 1 END) * 100000000
+    + COALESCE(acc.account_seq, 99) * 1000000 + COALESCE(ct.seq, 99) * 10000
+    + COALESCE(gt.seq, 99) * 100 + COALESCE(at.seq, 99) AS sort_key
+FROM ad
+LEFT JOIN account acc ON ad.customer_id = acc.customer_id
+LEFT JOIN adgroup grp ON ad.adgroup_id = grp.adgroup_id
+LEFT JOIN campaign cmp ON grp.campaign_id = cmp.campaign_id
+LEFT JOIN ctype ct ON cmp.campaign_type = ct.code
+LEFT JOIN gtype gt ON grp.adgroup_type = gt.code
+LEFT JOIN atype at ON ad.ad_type = at.code
+LEFT JOIN (SELECT ad_id, bundle_product_ids FROM relation WHERE ad_level = 0) rc
+  ON grp.campaign_id = rc.ad_id
+LEFT JOIN (SELECT ad_id, bundle_product_ids FROM relation WHERE ad_level = 1) rg
+  ON ad.adgroup_id = rg.ad_id
+LEFT JOIN (SELECT ad_id, bundle_product_ids FROM relation WHERE ad_level = 2) ra
+  ON ad.ad_id = ra.ad_id
+LEFT JOIN product_rel rp ON ad.product_id = rp.product_id
+"""
+
+_META_ACC = """
+account(account_id, account_name, account_seq) AS (VALUES
+  ('act0', 'meta-a', 1), ('act1', 'meta-b', 2), ('act2', 'meta-c', NULL)
+)
+"""
+
+ORACLES["meta_adset_master"] = f"""
+WITH adset AS (
+  SELECT 'act' || CAST(o_orderkey % 3 AS VARCHAR) AS account_id,
+    'mc' || CAST(o_orderkey % 16 AS VARCHAR) AS campaign_id,
+    'as' || CAST(o_orderkey AS VARCHAR) AS adset_id,
+    'adset ' || CAST(o_orderkey % 20 AS VARCHAR) AS adset_name,
+    ({_META_STS})[o_orderkey % 6 + 1] AS effective_status,
+    CAST((o_orderkey % 30) * 1000 AS BIGINT) AS daily_budget,
+    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+         ELSE CAST(o_orderdate AS DATE) END AS created_at
+  FROM orders WHERE o_orderkey % 8 = 0
+), campaign AS (
+  SELECT 'mc' || CAST(i AS VARCHAR) AS campaign_id,
+    'act' || CAST(i % 3 AS VARCHAR) AS account_id,
+    'meta campaign ' || CAST(i AS VARCHAR) AS campaign_name,
+    ({_META_OBJS})[i % 8 + 1] AS objective,
+    ({_META_STS})[i % 6 + 1] AS effective_status,
+    make_date(2024, CAST(i % 12 + 1 AS INT), 5) AS created_at
+  FROM range(16) t(i)
+), {_META_ACC.strip()},
+obj(seq, code, label) AS (VALUES {_vals3(_m.META_OBJECTIVES)}),
+st(seq, code, label) AS (VALUES {_vals3(_m.META_EFFECTIVE_STATUSES)})
+SELECT adset.account_id, acc.account_name, adset.campaign_id,
+  cmp.campaign_name, ob.label AS objective,
+  adset.adset_id, adset.adset_name, sf.label AS effective_status,
+  adset.daily_budget,
+  COALESCE(adset.created_at, cmp.created_at) AS created_at,
+  (CASE WHEN sf.code = 'DELETED' THEN 2 ELSE 1 END) * 10000
+    + COALESCE(acc.account_seq, 99) * 100 + COALESCE(ob.seq, 99) AS sort_key
+FROM adset
+LEFT JOIN account acc ON adset.account_id = acc.account_id
+LEFT JOIN campaign cmp
+  ON adset.account_id = cmp.account_id AND adset.campaign_id = cmp.campaign_id
+LEFT JOIN obj ob ON cmp.objective = ob.code
+LEFT JOIN st sc ON cmp.effective_status = sc.code
+LEFT JOIN st sa ON adset.effective_status = sa.code
+LEFT JOIN st sf ON GREATEST(sc.seq, sa.seq) = sf.seq
+"""
+
+ORACLES["meta_ad_master"] = f"""
+WITH ad AS (
+  SELECT 'act' || CAST(CAST((o_orderkey % 27) / 9 AS INT) AS VARCHAR) AS account_id,
+    'mc' || CAST(o_orderkey % 16 AS VARCHAR) AS campaign_id,
+    'as' || CAST(o_orderkey % 24 AS VARCHAR) AS adset_id,
+    'mad' || CAST(o_orderkey AS VARCHAR) AS ad_id,
+    'meta ad ' || CAST(o_orderkey % 14 AS VARCHAR) AS ad_name,
+    ({_META_STS})[CAST((o_orderkey % 54) / 9 AS INT) + 1] AS effective_status,
+    CASE WHEN o_orderkey % 4 = 0 THEN NULL
+         ELSE CAST(o_orderdate AS DATE) END AS created_at
+  FROM orders WHERE o_orderkey % 9 = 0
+), adset AS (
+  SELECT 'as' || CAST(i AS VARCHAR) AS adset_id,
+    'adset ' || CAST(i AS VARCHAR) AS adset_name,
+    ({_META_STS})[i % 6 + 1] AS effective_status,
+    CASE WHEN i % 3 = 0 THEN NULL
+         ELSE make_date(2024, CAST(i % 12 + 1 AS INT), 10) END AS created_at
+  FROM range(24) t(i)
+), campaign AS (
+  SELECT 'mc' || CAST(i AS VARCHAR) AS campaign_id,
+    'meta campaign ' || CAST(i AS VARCHAR) AS campaign_name,
+    ({_META_OBJS})[i % 8 + 1] AS objective,
+    ({_META_STS})[i % 6 + 1] AS effective_status,
+    make_date(2024, CAST(i % 12 + 1 AS INT), 15) AS created_at
+  FROM range(16) t(i)
+), {_META_ACC.strip()},
+relation AS (
+  SELECT 'mc' || CAST(i AS VARCHAR) AS ad_id, 0 AS ad_level,
+         '200001,200002' AS bundle_product_ids FROM range(0, 16, 2) t(i)
+  UNION ALL
+  SELECT 'as' || CAST(i AS VARCHAR), 1, '200003' FROM range(0, 24, 3) t(i)
+  UNION ALL
+  SELECT 'mad' || CAST(i AS VARCHAR), 2, '200004' FROM range(0, 180, 18) t(i)
+), obj(seq, code, label) AS (VALUES {_vals3(_m.META_OBJECTIVES)}),
+st(seq, code, label) AS (VALUES {_vals3(_m.META_EFFECTIVE_STATUSES)})
+SELECT ad.account_id, acc.account_name, ad.campaign_id, cmp.campaign_name,
+  ob.label AS objective, ad.adset_id, adset.adset_name,
+  ad.ad_id, ad.ad_name, sf.label AS effective_status,
+  COALESCE(ra.bundle_product_ids, rs.bundle_product_ids,
+           rc.bundle_product_ids) AS bundle_product_ids,
+  COALESCE(ad.created_at, adset.created_at, cmp.created_at) AS created_at,
+  (CASE WHEN sf.code = 'DELETED' THEN 2 ELSE 1 END) * 10000
+    + COALESCE(acc.account_seq, 99) * 100 + COALESCE(ob.seq, 99) AS sort_key
+FROM ad
+LEFT JOIN account acc ON ad.account_id = acc.account_id
+LEFT JOIN campaign cmp ON ad.campaign_id = cmp.campaign_id
+LEFT JOIN adset ON ad.adset_id = adset.adset_id
+LEFT JOIN obj ob ON cmp.objective = ob.code
+LEFT JOIN st sc ON cmp.effective_status = sc.code
+LEFT JOIN st ss ON adset.effective_status = ss.code
+LEFT JOIN st sa ON ad.effective_status = sa.code
+LEFT JOIN st sf ON GREATEST(sc.seq, ss.seq, sa.seq) = sf.seq
+LEFT JOIN (SELECT ad_id, bundle_product_ids FROM relation WHERE ad_level = 0) rc
+  ON ad.campaign_id = rc.ad_id
+LEFT JOIN (SELECT ad_id, bundle_product_ids FROM relation WHERE ad_level = 1) rs
+  ON ad.adset_id = rs.ad_id
+LEFT JOIN (SELECT ad_id, bundle_product_ids FROM relation WHERE ad_level = 2) ra
+  ON ad.ad_id = ra.ad_id
+"""
+
+ORACLES["coupang_adgroup_master"] = f"""
+WITH adgroup AS (
+  SELECT 'v' || CAST(o_orderkey % 3 AS VARCHAR) AS vendor_id,
+    'cc' || CAST(o_orderkey % 20 AS VARCHAR) AS campaign_id,
+    'cg' || CAST(o_orderkey AS VARCHAR) AS adgroup_id,
+    'cp adgroup ' || CAST(o_orderkey % 15 AS VARCHAR) AS adgroup_name,
+    CAST(o_orderkey % 4 AS INT) AS goal_type,
+    o_orderkey % 2 = 0 AS is_active,
+    o_orderkey % 12 = 0 AS is_deleted,
+    CAST((o_orderkey % 35) * 10 AS BIGINT) AS roas_target,
+    CAST(o_orderdate AS DATE) AS created_at,
+    CAST(o_orderdate AS DATE) + 3 AS updated_at
+  FROM orders WHERE o_orderkey % 6 = 0
+), campaign AS (
+  SELECT 'cc' || CAST(i AS VARCHAR) AS campaign_id,
+    'coupang campaign ' || CAST(i AS VARCHAR) AS campaign_name,
+    CAST(i % 3 AS INT) AS vendor_type,
+    CASE WHEN i % 4 = 0 THEN 'BR' ELSE 'PA' END AS campaign_type
+  FROM range(20) t(i)
+), vendor(vendor_id, vendor_name, vendor_alias, vendor_seq) AS (VALUES
+  ('v0', 'vendor-0', 'V0', 1), ('v1', 'vendor-1', 'V1', 2),
+  ('v2', 'vendor-2', 'V2', NULL)
+), vtype(seq, code, label) AS (VALUES {_vals3(_m.COUPANG_VENDOR_TYPES)}),
+ctype(seq, code, label) AS (VALUES {_vals3(_m.COUPANG_CAMPAIGN_TYPES)}),
+gtype(seq, code, label) AS (VALUES {_vals3(_m.COUPANG_GOAL_TYPES)})
+SELECT grp.vendor_id, vdr.vendor_name, vdr.vendor_alias,
+  vt.label AS vendor_type, grp.campaign_id, cmp.campaign_name,
+  COALESCE(ct.label, cmp.campaign_type) AS campaign_type,
+  grp.adgroup_id, grp.adgroup_name, gt.label AS goal_type,
+  grp.is_active, grp.is_deleted, grp.roas_target,
+  grp.created_at, grp.updated_at,
+  (CASE WHEN grp.is_deleted THEN 2 ELSE 1 END) * 1000
+    + COALESCE(vdr.vendor_seq, 99) * 10 + COALESCE(gt.seq, 9) AS sort_key
+FROM adgroup grp
+LEFT JOIN campaign cmp ON grp.campaign_id = cmp.campaign_id
+LEFT JOIN vendor vdr ON grp.vendor_id = vdr.vendor_id
+LEFT JOIN vtype vt ON cmp.vendor_type = vt.code
+LEFT JOIN ctype ct ON cmp.campaign_type = ct.code
+LEFT JOIN gtype gt ON grp.goal_type = gt.code
+"""
+
+_G_CAMPAIGN_DIM = f"""
+campaign AS (
+  SELECT 'gc' || CAST(i AS VARCHAR) AS campaign_id,
+    'g campaign ' || CAST(i AS VARCHAR) AS campaign_name,
+    ({_G_CTYPES})[i % 14 + 1] AS campaign_type,
+    ({_G_BIDS8})[i % 8 + 1] AS bidding_strategy,
+    ({_G_STATUSES3})[i % 3 + 1] AS campaign_status,
+    make_date(2024, CAST(i % 12 + 1 AS INT), 1) AS created_at
+  FROM range(12) t(i)
+), account(customer_id, account_name, account_seq) AS (VALUES
+  (0, 'google-a', 1), (1, 'google-b', 2), (2, 'google-c', NULL)
+)
+"""
+
+ORACLES["google_adgroup_master"] = f"""
+WITH adgroup AS (
+  SELECT CAST(o_orderkey % 3 AS INT) AS customer_id,
+    'gc' || CAST(o_orderkey % 12 AS VARCHAR) AS campaign_id,
+    'gg' || CAST(o_orderkey AS VARCHAR) AS adgroup_id,
+    'g adgroup ' || CAST(o_orderkey % 22 AS VARCHAR) AS adgroup_name,
+    ({_G_GTYPES12})[o_orderkey % 12 + 1] AS adgroup_type,
+    ({_G_STATUSES})[o_orderkey % 5 + 1] AS adgroup_status,
+    CAST((o_orderkey % 40) * 100 AS BIGINT) AS target_cpa,
+    CAST(o_orderkey % 900 AS BIGINT) AS impression_count_30d,
+    CAST(o_orderkey % 90 AS BIGINT) AS click_count_30d,
+    CAST((o_orderkey % 80) * 10 AS BIGINT) AS ad_cost_30d
+  FROM orders WHERE o_orderkey % 4 = 0
+), {_G_CAMPAIGN_DIM.strip()},
+st_map(seq, code, label) AS (VALUES {_vals3(_m.GOOGLE_STATUSES)}),
+ctype(seq, code, label) AS (VALUES {_vals3(_m.GOOGLE_CAMPAIGN_TYPES)}),
+btype(seq, code, label) AS (VALUES {_vals3(_m.GOOGLE_BIDDING_STRATEGIES)}),
+gtype(seq, code, label) AS (VALUES {_vals3(_m.GOOGLE_ADGROUP_TYPES)})
+SELECT grp.customer_id, acc.account_name, grp.campaign_id,
+  cmp.campaign_name, ct.label AS campaign_type, bt.label AS bidding_strategy,
+  grp.adgroup_id, grp.adgroup_name, agt.label AS adgroup_type,
+  sf.label AS adgroup_status, grp.target_cpa,
+  grp.impression_count_30d, grp.click_count_30d, grp.ad_cost_30d,
+  cmp.created_at,
+  (CASE WHEN sf.code = 'REMOVED' THEN 2 ELSE 1 END) * 1000000
+    + COALESCE(acc.account_seq, 99) * 10000 + COALESCE(ct.seq, 99) * 100
+    + COALESCE(agt.seq, 99) AS sort_key
+FROM adgroup grp
+LEFT JOIN account acc ON grp.customer_id = acc.customer_id
+LEFT JOIN campaign cmp ON grp.campaign_id = cmp.campaign_id
+LEFT JOIN ctype ct ON cmp.campaign_type = ct.code
+LEFT JOIN btype bt ON cmp.bidding_strategy = bt.code
+LEFT JOIN gtype agt ON grp.adgroup_type = agt.code
+LEFT JOIN st_map sc ON cmp.campaign_status = sc.code
+LEFT JOIN st_map sg ON grp.adgroup_status = sg.code
+LEFT JOIN st_map sf ON GREATEST(sc.seq, sg.seq) = sf.seq
+"""
+
+ORACLES["google_campaign_master"] = f"""
+WITH campaign AS (
+  SELECT CAST(o_orderkey % 3 AS INT) AS customer_id,
+    'gcm' || CAST(o_orderkey AS VARCHAR) AS campaign_id,
+    'g campaign ' || CAST(o_orderkey % 18 AS VARCHAR) AS campaign_name,
+    ({_G_CTYPES})[o_orderkey % 14 + 1] AS campaign_type,
+    ({_G_BIDS8})[o_orderkey % 8 + 1] AS bidding_strategy,
+    ({_G_STATUSES})[o_orderkey % 5 + 1] AS campaign_status,
+    CAST((o_orderkey % 60) * 1000 AS BIGINT) AS campaign_budget,
+    CAST(o_orderkey % 1000 AS BIGINT) AS impression_count_30d,
+    CAST(o_orderkey % 100 AS BIGINT) AS click_count_30d,
+    CAST((o_orderkey % 90) * 10 AS BIGINT) AS ad_cost_30d,
+    CAST(o_orderdate AS DATE) AS created_at
+  FROM orders WHERE o_orderkey % 10 = 0
+), account(customer_id, account_name, account_seq) AS (VALUES
+  (0, 'google-a', 1), (1, 'google-b', 2), (2, 'google-c', NULL)
+), st_map(seq, code, label) AS (VALUES {_vals3(_m.GOOGLE_STATUSES)}),
+ctype(seq, code, label) AS (VALUES {_vals3(_m.GOOGLE_CAMPAIGN_TYPES)}),
+btype(seq, code, label) AS (VALUES {_vals3(_m.GOOGLE_BIDDING_STRATEGIES)})
+SELECT cmp.customer_id, acc.account_name, cmp.campaign_id, cmp.campaign_name,
+  ct.label AS campaign_type, cs.label AS campaign_status,
+  bt.label AS bidding_strategy, cmp.campaign_budget,
+  cmp.impression_count_30d, cmp.click_count_30d, cmp.ad_cost_30d,
+  cmp.created_at,
+  (CASE WHEN cmp.campaign_status = 'REMOVED' THEN 2 ELSE 1 END) * 10000
+    + COALESCE(acc.account_seq, 99) * 100 + COALESCE(ct.seq, 99) AS sort_key
+FROM campaign cmp
+LEFT JOIN account acc ON cmp.customer_id = acc.customer_id
+LEFT JOIN ctype ct ON cmp.campaign_type = ct.code
+LEFT JOIN btype bt ON cmp.bidding_strategy = bt.code
+LEFT JOIN st_map cs ON cmp.campaign_status = cs.code
 """

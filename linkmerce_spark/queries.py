@@ -895,10 +895,15 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     linearly; the assignment itself is a pure map (no shuffle). The
     brute-force baseline is q_embedding_topk.
     """
-    from linkmerce_spark.operators.similarity import ivf_assign, quantized_cosine
+    from linkmerce_spark.operators.similarity import (
+        ivf_assign,
+        ivf_train,
+        quantized_cosine,
+    )
 
     (emb,) = _t(spark, sf_dir, "embeddings")
-    cells = ivf_assign(emb, "embedding", dim=64, k=8)
+    cents = ivf_train(emb, "vec_id", "embedding", dim=64, k=8)
+    cells = ivf_assign(emb, "embedding", dim=64, k=8, centroids=cents)
     a = cells.select(F.col("cell"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = cells.select(F.col("cell"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     cos = quantized_cosine("va", "vb")
@@ -1028,12 +1033,18 @@ def q_date_pruned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantizer assignment: nearest of 8 fixed centroids,
-    exact int64 distance math (the ANN index-build step)."""
-    from linkmerce_spark.operators.similarity import ivf_assign
+    """IVF coarse-quantizer assignment with TRAINED centroids: the
+    deterministic k-means|| adaptation (oversampled seeds -> weight ->
+    top-k reduce -> one exact-integer Lloyd step), then nearest-cell
+    assignment (the ANN index-build step). The oracle re-derives the
+    same centroids in SQL from scratch."""
+    from linkmerce_spark.operators.similarity import ivf_assign, ivf_train
 
     (emb,) = _t(spark, sf_dir, "embeddings")
-    return ivf_assign(emb, "embedding", dim=64, k=8).select("vec_id", "cell", "dist2")
+    cents = ivf_train(emb, "vec_id", "embedding", dim=64, k=8)
+    return ivf_assign(emb, "embedding", dim=64, k=8, centroids=cents).select(
+        "vec_id", "cell", "dist2"
+    )
 
 
 def q_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3700,6 +3711,499 @@ def q_google_ad_master(spark: SparkSession, sf_dir: str) -> DataFrame:
     return google_ad_master(ad, adgroup, campaign, account, relation)
 
 
+# ------------------------------------------------- core masters + CJ pair
+def _core_item_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic raw item catalog from ``part``: NULL product ids,
+    many item rows per product (dedup targets), '2'-prefixed brand
+    rows, '브랜드 없음' placeholder labels, NULLable seq/team/unit.
+    item_id is unique per row so every window order is total."""
+    (part,) = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    return part.select(
+        F.when(pk % 13 == 0, F.lit(None).cast("string"))
+        .when(pk % 4 == 0, F.concat(F.lit("2"), (pk % 60).cast("string")))
+        .otherwise(F.concat(F.lit("1"), (pk % 80).cast("string")))
+        .alias("product_id"),
+        F.concat(F.lit("IT-"), F.lpad(pk.cast("string"), 8, "0")).alias("item_id"),
+        F.when(pk % 11 == 0, F.lit(None).cast("int"))
+        .otherwise((pk % 97).cast("int"))
+        .alias("item_seq"),
+        F.when(pk % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("team"), (pk % 5).cast("string")))
+        .alias("team_name"),
+        F.when(pk % 6 == 0, F.lit("브랜드 없음"))
+        .otherwise(F.concat(F.lit("brand"), (pk % 9).cast("string")))
+        .alias("brand_name"),
+        F.concat(F.lit("c1-"), (pk % 3).cast("string")).alias("category_name1"),
+        F.concat(F.lit("c2-"), (pk % 4).cast("string")).alias("category_name2"),
+        F.concat(F.lit("c3-"), (pk % 5).cast("string")).alias("category_name3"),
+        F.concat(F.lit("c4-"), (pk % 6).cast("string")).alias("category_name4"),
+        F.concat(F.lit("color"), (pk % 7).cast("string")).alias("color"),
+        F.concat(F.lit("product "), (pk % 80).cast("string")).alias("product_name"),
+        F.when(pk % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("ea"), (pk % 3).cast("string")))
+        .alias("unit_name"),
+        (pk % 4 + 1).cast("int").alias("unit_scale"),
+    )
+
+
+def q_core_product_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """core__product_master (marts/core_masters): DISTINCT ON
+    (product_id) by item_seq ASC NULLS LAST over the raw item catalog
+    (dbt core__product_master.sql:10-31)."""
+    from linkmerce_spark.marts.core_masters import product_master
+
+    return product_master(_core_item_feed(spark, sf_dir))
+
+
+def q_core_brand_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """core__brand_master (marts/core_masters): '2'-prefixed branded
+    rows, global brand_seq (team DESC NULLS LAST), one row per product
+    AND per brand (dbt core__brand_master.sql:10-34)."""
+    from linkmerce_spark.marts.core_masters import brand_master
+
+    return brand_master(_core_item_feed(spark, sf_dir))
+
+
+def _cj_feeds(spark: SparkSession, sf_dir: str):
+    """loisparcel + eflexs invoice feeds from ``orders``; the stripped
+    loisparcel invoice ids collide with eflexs ids on purpose so the
+    union rollup actually merges across feeds."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    lois = orders.filter(k % 2 == 0).select(
+        F.concat(F.lit("LP-"), (k % 600).cast("string"), F.lit("-X")).alias(
+            "invoice_no"
+        ),
+        F.when(k % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("ORD"), (k % 400).cast("string")))
+        .alias("order_id"),
+        ((k % 9) * 100).alias("delivery_fee"),
+        d.alias("register_date"),
+    )
+    eflexs = orders.filter(k % 2 == 1).select(
+        F.concat(F.lit("LP"), (k % 600).cast("string"), F.lit("X")).alias(
+            "invoice_no"
+        ),
+        F.concat(F.lit("ORD"), (k % 400).cast("string")).alias("order_id"),
+        ((k % 5) * 80).alias("delivery_fee"),
+        ((k % 3) * 50).alias("box_cost"),
+        d.alias("order_date"),
+    )
+    return lois, eflexs
+
+
+def q_cj_invoice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cj__invoice (marts/delivery): '-'-stripped loisparcel UNION ALL
+    eflexs, per-invoice rollup, callers' ±7-day late-data widening
+    (dbt cj__invoice.sql:16-55; smartstore__sales_daily.sql:249-258)."""
+    from linkmerce_spark.marts.delivery import cj_invoice
+
+    lois, eflexs = _cj_feeds(spark, sf_dir)
+    return cj_invoice(lois, eflexs, "1996-02-01", "1996-03-31", lookback_days=7)
+
+
+def q_cj_invoice_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cj__invoice_order (marts/delivery): same feeds per order with
+    the 'none' placeholder rows excluded (dbt cj__invoice_order.sql:
+    16-59)."""
+    from linkmerce_spark.marts.delivery import cj_invoice_order
+
+    lois, eflexs = _cj_feeds(spark, sf_dir)
+    return cj_invoice_order(lois, eflexs, "1996-02-01", "1996-03-31", lookback_days=7)
+
+
+# ----------------------------------------- remaining ad entity masters
+def _searchad_account(spark: SparkSession) -> DataFrame:
+    return values_df(
+        spark,
+        [(0, "acct-a", "agency", 1), (1, "acct-b", "direct", 2),
+         (2, "acct-c", "agency", 3), (3, "acct-d", "direct", None)],
+        "customer_id int, account_name string, account_type string, account_seq int",
+    )
+
+
+def q_searchad_adgroup_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """searchad__adgroup_master (marts/masters): adgroup->campaign->
+    account chain, AND-folded is_enabled COALESCE, 4-part sort key
+    (dbt searchad__adgroup_master.sql:19-55)."""
+    from linkmerce_spark.marts.masters import searchad_adgroup_master
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    adgroup = orders.filter(ok % 5 == 0).select(
+        (ok % 4).cast("int").alias("customer_id"),
+        F.concat(F.lit("cmp"), (ok % 35).cast("string")).alias("campaign_id"),
+        F.concat(F.lit("grp"), ok.cast("string")).alias("adgroup_id"),
+        F.concat(F.lit("adgroup "), (ok % 25).cast("string")).alias("adgroup_name"),
+        F.when(ok % 13 == 0, F.lit(999)).otherwise((ok % 12).cast("int")).alias(
+            "adgroup_type"
+        ),
+        ((ok % 50) * 10).cast("long").alias("bid_amount"),
+        (ok % 2 == 0).alias("is_enabled"),
+        (ok % 9 == 0).alias("is_deleted"),
+        F.col("o_orderdate").cast("date").alias("created_at"),
+        F.when(ok % 9 == 0, F.date_add(F.col("o_orderdate").cast("date"), 14))
+        .otherwise(F.lit(None).cast("date"))
+        .alias("deleted_at"),
+    )
+    campaign = spark.range(0, 35, 1, 1).select(
+        F.concat(F.lit("cmp"), F.col("id").cast("string")).alias("campaign_id"),
+        F.concat(F.lit("campaign "), F.col("id").cast("string")).alias(
+            "campaign_name"
+        ),
+        (F.col("id") % 15).cast("int").alias("campaign_type"),
+        (F.col("id") % 3 > 0).alias("is_enabled"),
+    )
+    return searchad_adgroup_master(adgroup, campaign, _searchad_account(spark))
+
+
+def q_searchad_ad_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """searchad__ad_master (marts/masters): ad->adgroup->campaign->
+    account chain, the code-8 gap in the ad-type vocabulary, and the
+    FOUR-source bundle COALESCE incl. the product-level relation
+    (dbt searchad__ad_master.sql:19-108)."""
+    from linkmerce_spark.marts.masters import searchad_ad_master
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    ad = orders.filter(ok % 7 == 0).select(
+        (ok % 4).cast("int").alias("customer_id"),
+        F.concat(F.lit("grp"), (ok % 30).cast("string")).alias("adgroup_id"),
+        F.concat(F.lit("ad"), ok.cast("string")).alias("ad_id"),
+        F.concat(F.lit("title "), (ok % 40).cast("string")).alias("title"),
+        F.concat(F.lit("desc "), (ok % 10).cast("string")).alias("description"),
+        F.when(ok % 17 == 0, F.lit(999)).otherwise((ok % 14).cast("int")).alias(
+            "ad_type"
+        ),
+        F.when(ok % 3 == 0, F.concat(F.lit("mp"), (ok % 50).cast("string")))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("product_id"),
+        ((ok % 45) * 10).cast("long").alias("bid_amount"),
+        (ok % 2 == 0).alias("is_enabled"),
+        (ok % 11 == 0).alias("is_deleted"),
+        F.concat(F.lit("https://pc/"), (ok % 5).cast("string")).alias(
+            "landing_url_pc"
+        ),
+        F.when(ok % 4 == 0, F.concat(F.lit("https://m/"), (ok % 5).cast("string")))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("landing_url_mobile"),
+        d.alias("created_at"),
+        F.when(ok % 11 == 0, F.date_add(d, 21))
+        .otherwise(F.lit(None).cast("date"))
+        .alias("deleted_at"),
+    )
+    adgroup = spark.range(0, 30, 1, 1).select(
+        F.concat(F.lit("grp"), F.col("id").cast("string")).alias("adgroup_id"),
+        F.concat(F.lit("adgroup "), F.col("id").cast("string")).alias("adgroup_name"),
+        F.concat(F.lit("cmp"), (F.col("id") % 12).cast("string")).alias("campaign_id"),
+        (F.col("id") % 12).cast("int").alias("adgroup_type"),
+        (F.col("id") % 4 > 0).alias("is_enabled"),
+    )
+    campaign = spark.range(0, 12, 1, 1).select(
+        F.concat(F.lit("cmp"), F.col("id").cast("string")).alias("campaign_id"),
+        F.concat(F.lit("campaign "), F.col("id").cast("string")).alias(
+            "campaign_name"
+        ),
+        (F.col("id") % 15).cast("int").alias("campaign_type"),
+        (F.col("id") % 2 == 0).alias("is_enabled"),
+    )
+    rel_rows = [("cmp" + str(i), 0, "100010,100011") for i in range(0, 12, 2)]
+    rel_rows += [("grp" + str(i), 1, "100012") for i in range(0, 30, 3)]
+    rel_rows += [("ad" + str(i), 2, "100013,100014") for i in range(0, 140, 14)]
+    relation = values_df(
+        spark, rel_rows, "ad_id string, ad_level int, bundle_product_ids string"
+    )
+    product_rel = values_df(
+        spark,
+        [("mp" + str(i), "1000" + str(i)) for i in range(0, 50, 5)],
+        "product_id string, bundle_product_ids string",
+    )
+    return searchad_ad_master(
+        ad, adgroup, campaign, _searchad_account(spark), relation, product_rel
+    )
+
+
+def q_meta_adset_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """meta_ads__adset_master (marts/masters): campaign joined on
+    (account_id, campaign_id), GREATEST(campaign, adset) status,
+    created COALESCE (dbt meta_ads__adset_master.sql:19-55)."""
+    from linkmerce_spark.marts.masters import (
+        META_EFFECTIVE_STATUSES,
+        META_OBJECTIVES,
+        meta_adset_master,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    statuses = F.array(*[F.lit(c) for _, c, _ in META_EFFECTIVE_STATUSES[:6]])
+    objectives = F.array(*[F.lit(c) for _, c, _ in META_OBJECTIVES[:8]])
+    adset = orders.filter(ok % 8 == 0).select(
+        F.concat(F.lit("act"), (ok % 3).cast("string")).alias("account_id"),
+        F.concat(F.lit("mc"), (ok % 16).cast("string")).alias("campaign_id"),
+        F.concat(F.lit("as"), ok.cast("string")).alias("adset_id"),
+        F.concat(F.lit("adset "), (ok % 20).cast("string")).alias("adset_name"),
+        F.element_at(statuses, (ok % 6 + 1).cast("int")).alias("effective_status"),
+        ((ok % 30) * 1000).cast("long").alias("daily_budget"),
+        F.when(ok % 5 == 0, F.lit(None).cast("date")).otherwise(d).alias(
+            "created_at"
+        ),
+    )
+    campaign = spark.range(0, 16, 1, 1).select(
+        F.concat(F.lit("mc"), F.col("id").cast("string")).alias("campaign_id"),
+        F.concat(F.lit("act"), (F.col("id") % 3).cast("string")).alias("account_id"),
+        F.concat(F.lit("meta campaign "), F.col("id").cast("string")).alias(
+            "campaign_name"
+        ),
+        F.element_at(objectives, (F.col("id") % 8 + 1).cast("int")).alias(
+            "objective"
+        ),
+        F.element_at(statuses, (F.col("id") % 6 + 1).cast("int")).alias(
+            "effective_status"
+        ),
+        F.make_date(F.lit(2024), (F.col("id") % 12 + 1).cast("int"), F.lit(5)).alias(
+            "created_at"
+        ),
+    )
+    account = values_df(
+        spark,
+        [("act0", "meta-a", 1), ("act1", "meta-b", 2), ("act2", "meta-c", None)],
+        "account_id string, account_name string, account_seq int",
+    )
+    return meta_adset_master(adset, campaign, account)
+
+
+def q_meta_ad_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """meta_ads__ad_master (marts/masters): three-status GREATEST,
+    ad > adset > campaign bundle COALESCE, 3-way created COALESCE
+    (dbt meta_ads__ad_master.sql:19-108)."""
+    from linkmerce_spark.marts.masters import (
+        META_EFFECTIVE_STATUSES,
+        META_OBJECTIVES,
+        meta_ad_master,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    statuses = F.array(*[F.lit(c) for _, c, _ in META_EFFECTIVE_STATUSES[:6]])
+    objectives = F.array(*[F.lit(c) for _, c, _ in META_OBJECTIVES[:8]])
+    ad = orders.filter(ok % 9 == 0).select(
+        F.concat(F.lit("act"), ((ok % 27) / 9).cast("int").cast("string")).alias(
+            "account_id"
+        ),
+        F.concat(F.lit("mc"), (ok % 16).cast("string")).alias("campaign_id"),
+        F.concat(F.lit("as"), (ok % 24).cast("string")).alias("adset_id"),
+        F.concat(F.lit("mad"), ok.cast("string")).alias("ad_id"),
+        F.concat(F.lit("meta ad "), (ok % 14).cast("string")).alias("ad_name"),
+        F.element_at(statuses, ((ok % 54) / 9 + 1).cast("int")).alias(
+            "effective_status"
+        ),
+        F.when(ok % 4 == 0, F.lit(None).cast("date")).otherwise(d).alias(
+            "created_at"
+        ),
+    )
+    adset = spark.range(0, 24, 1, 1).select(
+        F.concat(F.lit("as"), F.col("id").cast("string")).alias("adset_id"),
+        F.concat(F.lit("adset "), F.col("id").cast("string")).alias("adset_name"),
+        F.element_at(statuses, (F.col("id") % 6 + 1).cast("int")).alias(
+            "effective_status"
+        ),
+        F.when(F.col("id") % 3 == 0, F.lit(None).cast("date"))
+        .otherwise(
+            F.make_date(F.lit(2024), (F.col("id") % 12 + 1).cast("int"), F.lit(10))
+        )
+        .alias("created_at"),
+    )
+    campaign = spark.range(0, 16, 1, 1).select(
+        F.concat(F.lit("mc"), F.col("id").cast("string")).alias("campaign_id"),
+        F.concat(F.lit("meta campaign "), F.col("id").cast("string")).alias(
+            "campaign_name"
+        ),
+        F.element_at(objectives, (F.col("id") % 8 + 1).cast("int")).alias(
+            "objective"
+        ),
+        F.element_at(statuses, (F.col("id") % 6 + 1).cast("int")).alias(
+            "effective_status"
+        ),
+        F.make_date(F.lit(2024), (F.col("id") % 12 + 1).cast("int"), F.lit(15)).alias(
+            "created_at"
+        ),
+    )
+    account = values_df(
+        spark,
+        [("act0", "meta-a", 1), ("act1", "meta-b", 2), ("act2", "meta-c", None)],
+        "account_id string, account_name string, account_seq int",
+    )
+    rel_rows = [("mc" + str(i), 0, "200001,200002") for i in range(0, 16, 2)]
+    rel_rows += [("as" + str(i), 1, "200003") for i in range(0, 24, 3)]
+    rel_rows += [("mad" + str(i), 2, "200004") for i in range(0, 180, 18)]
+    relation = values_df(
+        spark, rel_rows, "ad_id string, ad_level int, bundle_product_ids string"
+    )
+    return meta_ad_master(ad, adset, campaign, account, relation)
+
+
+def q_coupang_adgroup_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coupang_ads__adgroup_master (marts/masters): campaign attrs via
+    the adgroup, vendor_type off the campaign row, goal off the
+    adgroup (dbt coupang_ads__adgroup_master.sql:19-55)."""
+    from linkmerce_spark.marts.masters import coupang_adgroup_master
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    adgroup = orders.filter(ok % 6 == 0).select(
+        F.concat(F.lit("v"), (ok % 3).cast("string")).alias("vendor_id"),
+        F.concat(F.lit("cc"), (ok % 20).cast("string")).alias("campaign_id"),
+        F.concat(F.lit("cg"), ok.cast("string")).alias("adgroup_id"),
+        F.concat(F.lit("cp adgroup "), (ok % 15).cast("string")).alias(
+            "adgroup_name"
+        ),
+        (ok % 4).cast("int").alias("goal_type"),
+        (ok % 2 == 0).alias("is_active"),
+        (ok % 12 == 0).alias("is_deleted"),
+        ((ok % 35) * 10).cast("long").alias("roas_target"),
+        d.alias("created_at"),
+        F.date_add(d, 3).alias("updated_at"),
+    )
+    campaign = spark.range(0, 20, 1, 1).select(
+        F.concat(F.lit("cc"), F.col("id").cast("string")).alias("campaign_id"),
+        F.concat(F.lit("coupang campaign "), F.col("id").cast("string")).alias(
+            "campaign_name"
+        ),
+        (F.col("id") % 3).cast("int").alias("vendor_type"),
+        F.when(F.col("id") % 4 == 0, F.lit("BR")).otherwise(F.lit("PA")).alias(
+            "campaign_type"
+        ),
+    )
+    vendor = values_df(
+        spark,
+        [("v0", "vendor-0", "V0", 1), ("v1", "vendor-1", "V1", 2),
+         ("v2", "vendor-2", "V2", None)],
+        "vendor_id string, vendor_name string, vendor_alias string, vendor_seq int",
+    )
+    return coupang_adgroup_master(adgroup, campaign, vendor)
+
+
+def _google_campaign_dim(spark: SparkSession) -> DataFrame:
+    from linkmerce_spark.marts.masters import (
+        GOOGLE_BIDDING_STRATEGIES,
+        GOOGLE_CAMPAIGN_TYPES,
+        GOOGLE_STATUSES,
+    )
+
+    return spark.range(0, 12, 1, 1).select(
+        F.concat(F.lit("gc"), F.col("id").cast("string")).alias("campaign_id"),
+        F.concat(F.lit("g campaign "), F.col("id").cast("string")).alias(
+            "campaign_name"
+        ),
+        F.element_at(
+            F.array(*[F.lit(c) for _, c, _ in GOOGLE_CAMPAIGN_TYPES]),
+            (F.col("id") % 14 + 1).cast("int"),
+        ).alias("campaign_type"),
+        F.element_at(
+            F.array(*[F.lit(c) for _, c, _ in GOOGLE_BIDDING_STRATEGIES[:8]]),
+            (F.col("id") % 8 + 1).cast("int"),
+        ).alias("bidding_strategy"),
+        F.element_at(
+            F.array(*[F.lit(c) for _, c, _ in GOOGLE_STATUSES[:3]]),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("campaign_status"),
+        F.make_date(F.lit(2024), (F.col("id") % 12 + 1).cast("int"), F.lit(1)).alias(
+            "created_at"
+        ),
+    )
+
+
+def _google_account(spark: SparkSession) -> DataFrame:
+    return values_df(
+        spark,
+        [(0, "google-a", 1), (1, "google-b", 2), (2, "google-c", None)],
+        "customer_id int, account_name string, account_seq int",
+    )
+
+
+def q_google_adgroup_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """google_ads__adgroup_master (marts/masters): GREATEST(campaign,
+    adgroup) status, target_cpa + 30d metrics
+    (dbt google_ads__adgroup_master.sql:19-75)."""
+    from linkmerce_spark.marts.masters import (
+        GOOGLE_ADGROUP_TYPES,
+        GOOGLE_STATUSES,
+        google_adgroup_master,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    adgroup = orders.filter(ok % 4 == 0).select(
+        (ok % 3).cast("int").alias("customer_id"),
+        F.concat(F.lit("gc"), (ok % 12).cast("string")).alias("campaign_id"),
+        F.concat(F.lit("gg"), ok.cast("string")).alias("adgroup_id"),
+        F.concat(F.lit("g adgroup "), (ok % 22).cast("string")).alias(
+            "adgroup_name"
+        ),
+        F.element_at(
+            F.array(*[F.lit(c) for _, c, _ in GOOGLE_ADGROUP_TYPES[:12]]),
+            (ok % 12 + 1).cast("int"),
+        ).alias("adgroup_type"),
+        F.element_at(
+            F.array(*[F.lit(c) for _, c, _ in GOOGLE_STATUSES]),
+            (ok % 5 + 1).cast("int"),
+        ).alias("adgroup_status"),
+        ((ok % 40) * 100).cast("long").alias("target_cpa"),
+        (ok % 900).cast("long").alias("impression_count_30d"),
+        (ok % 90).cast("long").alias("click_count_30d"),
+        ((ok % 80) * 10).cast("long").alias("ad_cost_30d"),
+    )
+    return google_adgroup_master(
+        adgroup, _google_campaign_dim(spark), _google_account(spark)
+    )
+
+
+def q_google_campaign_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """google_ads__campaign_master (marts/masters): label maps + the
+    RAW-code REMOVED sort penalty
+    (dbt google_ads__campaign_master.sql:19-55)."""
+    from linkmerce_spark.marts.masters import (
+        GOOGLE_BIDDING_STRATEGIES,
+        GOOGLE_CAMPAIGN_TYPES,
+        GOOGLE_STATUSES,
+        google_campaign_master,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    campaign = orders.filter(ok % 10 == 0).select(
+        (ok % 3).cast("int").alias("customer_id"),
+        F.concat(F.lit("gcm"), ok.cast("string")).alias("campaign_id"),
+        F.concat(F.lit("g campaign "), (ok % 18).cast("string")).alias(
+            "campaign_name"
+        ),
+        F.element_at(
+            F.array(*[F.lit(c) for _, c, _ in GOOGLE_CAMPAIGN_TYPES]),
+            (ok % 14 + 1).cast("int"),
+        ).alias("campaign_type"),
+        F.element_at(
+            F.array(*[F.lit(c) for _, c, _ in GOOGLE_BIDDING_STRATEGIES[:8]]),
+            (ok % 8 + 1).cast("int"),
+        ).alias("bidding_strategy"),
+        F.element_at(
+            F.array(*[F.lit(c) for _, c, _ in GOOGLE_STATUSES]),
+            (ok % 5 + 1).cast("int"),
+        ).alias("campaign_status"),
+        ((ok % 60) * 1000).cast("long").alias("campaign_budget"),
+        (ok % 1000).cast("long").alias("impression_count_30d"),
+        (ok % 100).cast("long").alias("click_count_30d"),
+        ((ok % 90) * 10).cast("long").alias("ad_cost_30d"),
+        F.col("o_orderdate").cast("date").alias("created_at"),
+    )
+    return google_campaign_master(campaign, _google_account(spark))
+
+
 # Dict order is deliberate: the driver's correctness gate checks the
 # FIRST 50 entries only (CORRECTNESS_r01/r02 evidence), so the window
 # rotates each round to cover queries without a driver row yet. The
@@ -3764,12 +4268,27 @@ QUERIES = {
     "enum_encoding": q_enum_encoding,
     "profit_mom_dims": q_profit_mom_dims,  # sentinel
     "null_guards": q_null_guards,
+    # -- round-4 additions (twinned on arrival)
+    "core_product_master": q_core_product_master,
+    "core_brand_master": q_core_brand_master,
+    "cj_invoice": q_cj_invoice,
+    "cj_invoice_order": q_cj_invoice_order,
+    "doc_clean_corpus": q_doc_clean_corpus,  # sentinel
+    # ================= driver 50-row window boundary =================
+    # -- round-4 entity-master sweep (twinned; next rotation's leads)
+    "searchad_adgroup_master": q_searchad_adgroup_master,
+    "searchad_ad_master": q_searchad_ad_master,
+    "meta_adset_master": q_meta_adset_master,
+    "meta_ad_master": q_meta_ad_master,
+    "coupang_adgroup_master": q_coupang_adgroup_master,
+    "google_adgroup_master": q_google_adgroup_master,
+    "google_campaign_master": q_google_campaign_master,
+    # -- round-1 sentinels displaced by the round-4 additions (next
+    # rotation's first candidates alongside the rotated-out greens)
     "distinct_segments": q_distinct_segments,
     "string_agg_names": q_string_agg_names,
     "events_json_extract": q_events_json_extract,
     "events_hourly_windows": q_events_hourly_windows,
-    "doc_clean_corpus": q_doc_clean_corpus,  # sentinel
-    # ================= driver 50-row window boundary =================
     # -- driver-green in r03 (rotated out; local replica still runs all)
     "order_value_quantiles": q_order_value_quantiles,
     "sales_rollup": q_sales_rollup,
