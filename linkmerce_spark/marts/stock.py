@@ -51,6 +51,10 @@ __all__ = [
     "stock_qty_batch",
     "stock_time_batch",
     "stock_cost_mom",
+    "with_empty_fallback",
+    "stock_time_ds",
+    "stock_report_ds",
+    "rfm_stock_qty_batch",
 ]
 
 
@@ -535,4 +539,153 @@ def stock_cost_mom(
             F.col("ed.name_ko"),
             F.lit(" ]"),
         ).alias("stock_date_label"),
+    )
+
+
+# ------------------------------------------------------------- ds wrappers
+#
+# Parity targets: analytics__stock_time_ds / analytics__stock_report_ds
+# (dbt_postgres/models/marts/stock/analytics__stock_{time,report}_ds.sql)
+# — the dashboard entry points: explicit (REPORT_BATCH in (10,20)) vs
+# latest-batch mode with a previous-day fallback guarded by
+# NOT EXISTS(primary). 'Today' is an explicit parameter here (the
+# reference reads CURRENT_TIMESTAMP AT TIME ZONE 'Asia/Seoul').
+#
+# Scale note: the emptiness guard is a one-row COUNT aggregate
+# cross-joined broadcast into the fallback branch — fully declarative,
+# no driver-side collect, and AQE prunes the fallback scan when the
+# count is non-zero only at execution time (the plan stays static).
+
+
+def with_empty_fallback(primary: DataFrame, fallback: DataFrame) -> DataFrame:
+    """primary UNION ALL (fallback WHERE NOT EXISTS(primary))."""
+    guard = broadcast(primary.agg(F.count(F.lit(1)).alias("__n")))
+    fb = fallback.crossJoin(guard).filter(F.col("__n") == 0).drop("__n")
+    return primary.unionByName(fb)
+
+
+def _time_ds_shape(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.col("ymd").alias("report_date"),
+        F.col("batch").alias("report_batch"),
+        F.date_sub("ymd", 30).alias("order_start_date"),
+        F.date_sub("ymd", 1).alias("order_end_date"),
+        "max_updated_at",
+        "ecount__max_updated_at",
+        "cj_eflexs__max_updated_at",
+        "coupang_rfm__max_updated_at",
+    )
+
+
+def stock_time_ds(
+    time_batch: DataFrame, report_date: str, report_batch: int, today: str
+) -> DataFrame:
+    """analytics__stock_time_ds.sql:16-83."""
+    ymd = F.col("ymd")
+    if report_batch in (10, 20):
+        primary = time_batch.filter(
+            (ymd == F.lit(report_date).cast("date"))
+            & (F.col("batch") == report_batch)
+        )
+        fallback = time_batch.filter(F.lit(False))
+    else:
+        def _latest(day: str) -> DataFrame:
+            d = F.lit(day).cast("date")
+            mx = broadcast(
+                time_batch.filter(ymd == d).agg(F.max("batch").alias("__mx"))
+            )
+            return (
+                time_batch.filter(ymd == d)
+                .crossJoin(mx)
+                .filter(F.col("batch") == F.col("__mx"))
+                .drop("__mx")
+            )
+
+        primary = _latest(today)
+        fallback = _latest(
+            (_dt.date.fromisoformat(today) - _dt.timedelta(days=1)).isoformat()
+        )
+    return with_empty_fallback(_time_ds_shape(primary), _time_ds_shape(fallback))
+
+
+def stock_report_ds(report_fn, report_date: str, report_batch: int, today: str):
+    """analytics__stock_report_ds.sql:15-48; ``report_fn(date) ->
+    DataFrame`` is the stock_report TVF."""
+    t = _dt.date.fromisoformat(today)
+    if report_batch in (10, 20):
+        primary = report_fn(report_date)
+        # REPORT_BATCH NOT IN (10, 20) disables the fallback branch.
+        fallback = report_fn((t + _dt.timedelta(days=1)).isoformat()).filter(
+            F.lit(False)
+        )
+    else:
+        primary = report_fn(today)
+        fallback = report_fn((t - _dt.timedelta(days=1)).isoformat())
+    return with_empty_fallback(primary, fallback)
+
+
+def rfm_stock_qty_batch(
+    inventory: DataFrame,
+    inventory_exp: DataFrame,
+    relation: DataFrame,
+    start_date: str,
+    end_date: str,
+) -> DataFrame:
+    """coupang_rfm__stock_qty_batch (dbt_postgres/models/intermediate/
+    stock/sources/coupang_rfm__stock_qty_batch.sql:15-41): the
+    effective-dated expiration attach (J5: updated_at BETWEEN exp
+    start/end), option->bundle relation explode with ':N' multipliers,
+    17:00 batch split, (ymd, batch, product, expiration) rollup.
+
+    Scale: exp/relation are dims (broadcast interval join — no range
+    shuffle); the rollup keys are fine-grained.
+    """
+    u = F.col("updated_at")
+    lo = F.lit(start_date).cast("date").cast("timestamp")
+    hi = F.date_add(F.lit(end_date).cast("date"), 1).cast("timestamp")
+    exp = broadcast(
+        inventory_exp.select(
+            F.col("option_id").alias("__e_opt"),
+            F.col("expiration_date").alias("__e_exp"),
+            F.col("start_time").alias("__e_lo"),
+            F.col("end_time").alias("__e_hi"),
+        )
+    )
+    rel = broadcast(
+        relation.select(
+            F.col("option_id").alias("__r_opt"),
+            F.col("bundle_product_ids").alias("__r_bundle"),
+        )
+    )
+    j = (
+        inventory.filter((u >= lo) & (u < hi))
+        .join(
+            exp,
+            (F.col("option_id") == F.col("__e_opt"))
+            & u.between(F.col("__e_lo"), F.col("__e_hi")),
+            "left",
+        )
+        .join(rel, F.col("__e_opt") == F.col("__r_opt"), "left")
+        .select(
+            "*",
+            F.explode_outer(F.split("__r_bundle", ",")).alias("product"),
+        )
+    )
+    suffix = F.try_element_at(F.split("product", ":"), F.lit(2))
+    mult = F.when(suffix.rlike("^[0-9]+$"), suffix.cast("int")).otherwise(F.lit(1))
+    rows = j.select(
+        u.cast("date").alias("ymd"),
+        F.when(F.date_format(u, "HH:mm:ss") < "17:00:00", F.lit(10))
+        .otherwise(F.lit(20))
+        .alias("batch"),
+        F.coalesce(
+            F.try_element_at(F.split("product", ":"), F.lit(1)), F.lit("200000")
+        ).alias("product_id"),
+        F.coalesce(F.col("__e_exp"), F.lit("2999-12-31").cast("date")).alias(
+            "expiration_date"
+        ),
+        (mult * F.col("stock_quantity")).alias("stock_quantity"),
+    )
+    return rows.groupBy("ymd", "batch", "product_id", "expiration_date").agg(
+        F.sum("stock_quantity").alias("stock_quantity")
     )

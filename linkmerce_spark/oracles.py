@@ -4276,3 +4276,850 @@ LEFT JOIN ctype ct ON cmp.campaign_type = ct.code
 LEFT JOIN btype bt ON cmp.bidding_strategy = bt.code
 LEFT JOIN st_map cs ON cmp.campaign_status = cs.code
 """
+
+# --- product-family masters ----------------------------------------------
+from linkmerce_spark.marts import product as _p
+
+_SMT_PS = _arr([c for _, c, _ in _p.SMARTSTORE_PRODUCT_STATUSES])
+_SMT_DP = _arr([c for _, c, _ in _p.SMARTSTORE_DISPLAY_TYPES])
+
+_SMT_PM_CTE = f"""
+ss_product AS (
+  SELECT 'sp' || CAST(o_orderkey AS VARCHAR) AS product_id,
+    CAST(o_orderkey % 100000 AS BIGINT) AS product_no,
+    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+         ELSE 'cat' || CAST(o_orderkey % 300 AS VARCHAR) END AS catalog_id,
+    CAST(o_orderkey % 6 AS INT) AS channel_seq,
+    'ss product ' || CAST(o_orderkey % 35 AS VARCHAR) AS product_name,
+    ({_SMT_PS})[o_orderkey % 9 + 1] AS status_type,
+    ({_SMT_DP})[o_orderkey % 3 + 1] AS display_type,
+    CAST(o_orderkey % 13 AS INT) AS delivery_type,
+    'c' || CAST(o_orderkey % 40 AS VARCHAR) AS category_id,
+    'tag' || CAST(o_orderkey % 7 AS VARCHAR) AS tags,
+    CAST((o_orderkey % 500) * 100 AS BIGINT) AS price,
+    CAST((o_orderkey % 450) * 100 AS BIGINT) AS sales_price,
+    CAST((o_orderkey % 4) * 2500 AS BIGINT) AS delivery_fee,
+    CAST(o_orderdate AS DATE) AS register_dt,
+    CAST(o_orderdate AS DATE) + 1 AS modify_dt
+  FROM orders WHERE o_orderkey % 3 = 0
+), ss_channel AS (
+  SELECT CAST(i AS INT) AS channel_seq, 'team' || CAST(i % 3 AS VARCHAR) AS team_name,
+    'brand' || CAST(i AS VARCHAR) AS brand_name,
+    CASE WHEN i % 5 = 4 THEN NULL ELSE CAST(i + 1 AS INT) END AS brand_seq
+  FROM range(6) t(i)
+), ss_category AS (
+  SELECT 'c' || CAST(i AS VARCHAR) AS category_id,
+    'k1-' || CAST(i % 3 AS VARCHAR) AS category_name1,
+    'k2-' || CAST(i % 4 AS VARCHAR) AS category_name2,
+    'k3-' || CAST(i % 5 AS VARCHAR) AS category_name3,
+    'k4-' || CAST(i % 6 AS VARCHAR) AS category_name4
+  FROM range(40) t(i)
+), ss_st(seq, code, label) AS (VALUES {_vals3(_p.SMARTSTORE_PRODUCT_STATUSES)}),
+ss_dp(seq, code, label) AS (VALUES {_vals3(_p.SMARTSTORE_DISPLAY_TYPES)}),
+ss_dl(seq, code, label) AS (VALUES {_vals3(_p.SMARTSTORE_DELIVERY_TYPES)}),
+ss_pm AS (
+  SELECT prd.product_id, prd.product_no, prd.catalog_id,
+    chl.team_name, chl.brand_name, prd.product_name,
+    st.label AS status_type, dp.label AS display_type, dl.label AS delivery_type,
+    prd.category_id, cat.category_name1, cat.category_name2,
+    cat.category_name3, cat.category_name4,
+    prd.tags, prd.price, prd.sales_price, prd.delivery_fee,
+    prd.register_dt, prd.modify_dt,
+    CAST(COALESCE(chl.brand_seq, 99) * 1000
+         + COALESCE(prd.delivery_type, 99) * 10
+         + COALESCE(st.seq, 9) AS INT) AS sort_key
+  FROM ss_product prd
+  LEFT JOIN ss_channel chl ON prd.channel_seq = chl.channel_seq
+  LEFT JOIN ss_st st ON prd.status_type = st.code
+  LEFT JOIN ss_dp dp ON prd.display_type = dp.code
+  LEFT JOIN ss_dl dl ON prd.delivery_type = dl.code
+  LEFT JOIN ss_category cat ON prd.category_id = cat.category_id
+)
+"""
+
+ORACLES["smartstore_product_master"] = f"""
+WITH {_SMT_PM_CTE.strip()}
+SELECT * FROM ss_pm
+"""
+
+ORACLES["smartstore_option_master"] = f"""
+WITH {_SMT_PM_CTE.strip()},
+ss_opt AS (
+  SELECT 'sp' || CAST(o_orderkey % 1000 AS VARCHAR) AS product_id,
+    'so' || CAST(o_orderkey AS VARCHAR) AS option_id,
+    CAST(o_orderkey % 6 AS INT) AS channel_seq,
+    'ss product ' || CAST(o_orderkey % 35 AS VARCHAR) AS product_name,
+    'option ' || CAST(o_orderkey % 12 AS VARCHAR) AS option_name,
+    CAST(o_orderkey % 4 AS INT) AS product_type,
+    'SPC' || CAST(o_orderkey % 30 AS VARCHAR) AS seller_product_code,
+    CASE WHEN o_orderkey % 6 = 0 THEN NULL
+         ELSE 'SOC' || CAST(o_orderkey % 25 AS VARCHAR) END AS seller_option_code,
+    CAST((o_orderkey % 450) * 100 AS BIGINT) AS sales_price,
+    CAST((o_orderkey % 20) * 50 AS BIGINT) AS option_price,
+    CAST(o_orderdate AS DATE) AS first_payment_dt,
+    CAST(o_orderdate AS DATE) + 30 AS last_payment_dt
+  FROM orders WHERE o_orderkey % 4 = 0
+), ss_pt(seq, code, label) AS (VALUES {_vals3(_p.SMARTSTORE_PRODUCT_TYPES)}),
+nines AS (
+  SELECT CAST(repeat('9', length(CAST(MAX(sort_key) AS VARCHAR))) AS BIGINT) AS n
+  FROM ss_pm
+)
+SELECT opt.product_id, opt.option_id, chl.team_name, chl.brand_name,
+  opt.product_name, opt.option_name, pt.label AS product_type,
+  opt.seller_product_code, opt.seller_option_code,
+  opt.sales_price, opt.option_price,
+  opt.first_payment_dt, opt.last_payment_dt,
+  CAST(COALESCE(CAST(prd.sort_key AS BIGINT), nines.n) AS INT) AS sort_key1,
+  opt.product_type AS sort_key2
+FROM ss_opt opt
+LEFT JOIN ss_channel chl ON opt.channel_seq = chl.channel_seq
+LEFT JOIN ss_pm prd ON opt.product_id = prd.product_id
+LEFT JOIN ss_pt pt ON opt.product_type = pt.code
+CROSS JOIN nines
+"""
+
+_CORE_PM_SUB = """
+core_pm AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY product_id
+      ORDER BY item_seq ASC NULLS LAST, item_id ASC) AS rn
+    FROM item WHERE product_id IS NOT NULL
+  ) WHERE rn = 1
+)
+"""
+
+_CORE_BM_SUB = """
+core_bm AS (
+  SELECT brand_id, item_id, item_seq, team_name, brand_name, brand_seq FROM (
+    SELECT *,
+      ROW_NUMBER() OVER (ORDER BY team_name DESC NULLS LAST, brand_id ASC,
+                         item_seq ASC NULLS LAST, item_id ASC) AS brand_seq,
+      ROW_NUMBER() OVER (PARTITION BY brand_id
+                         ORDER BY item_seq ASC NULLS LAST, item_id ASC) AS rn1,
+      ROW_NUMBER() OVER (PARTITION BY brand_name
+                         ORDER BY item_seq ASC NULLS LAST, item_id ASC) AS rn2
+    FROM (
+      SELECT product_id AS brand_id, item_id, item_seq, team_name, brand_name
+      FROM item
+      WHERE starts_with(product_id, '2')
+        AND NULLIF(brand_name, '브랜드 없음') IS NOT NULL
+    )
+  ) WHERE rn1 = 1 AND rn2 = 1
+)
+"""
+
+ORACLES["coupang_option_master"] = f"""
+WITH {_CORE_ITEM_CTE.strip()}, {_CORE_PM_SUB.strip()},
+cp_opt AS (
+  SELECT CAST(o_orderkey % 3000 AS BIGINT) AS product_id,
+    'co' || CAST(o_orderkey AS VARCHAR) AS option_id,
+    CASE WHEN o_orderkey % 4 = 0 THEN NULL
+         ELSE 'ob' || CAST(o_orderkey % 6 AS VARCHAR) END AS brand_name,
+    'cp product ' || CAST(o_orderkey % 25 AS VARCHAR) AS product_name,
+    'cp option ' || CAST(o_orderkey % 9 AS VARCHAR) AS option_name,
+    CAST(o_orderkey % 4 AS INT) AS product_status,
+    o_orderkey % 10 = 0 AS is_deleted,
+    'ccat' || CAST(o_orderkey % 8 AS VARCHAR) AS category_name,
+    'v' || CAST(o_orderkey % 4 AS VARCHAR) AS vendor_id,
+    CAST((o_orderkey % 300) * 100 AS BIGINT) AS sales_price,
+    CAST(o_orderdate AS DATE) AS register_dt,
+    CAST(o_orderdate AS DATE) + 5 AS modify_dt
+  FROM orders WHERE o_orderkey % 5 = 0
+), cp_vendor(vendor_id, vendor_name, vendor_seq) AS (VALUES
+  ('v0', 'vendor-0', 1), ('v1', 'vendor-1', 2), ('v2', 'vendor-2', NULL)
+), cp_rel AS (
+  SELECT 'co' || CAST(i AS VARCHAR) AS option_id,
+    CASE WHEN i % 2 = 0 THEN '2' || CAST(i % 60 AS VARCHAR)
+         ELSE '2' || CAST(i % 60 AS VARCHAR) || ',77' END AS bundle_product_ids
+  FROM range(0, 3000, 15) t(i)
+)
+SELECT opt.product_id, opt.option_id, itm.team_name,
+  COALESCE(itm.brand_name, opt.brand_name) AS brand_name,
+  opt.product_name, opt.option_name,
+  CASE WHEN opt.product_status = 0 THEN '판매중'
+       WHEN opt.product_status = 1 THEN '품절'
+       WHEN opt.product_status = 2 THEN '숨김상품' END AS product_status,
+  opt.is_deleted, opt.category_name, vdr.vendor_name, opt.sales_price,
+  opt.register_dt, opt.modify_dt,
+  (CASE WHEN opt.is_deleted THEN 2 ELSE 1 END) * 100
+    + COALESCE(vdr.vendor_seq, 99) AS sort_key1,
+  COALESCE(opt.product_status, 9) AS sort_key2
+FROM cp_opt opt
+LEFT JOIN cp_vendor vdr ON opt.vendor_id = vdr.vendor_id
+LEFT JOIN cp_rel rel ON opt.option_id = rel.option_id
+LEFT JOIN core_pm itm ON left(rel.bundle_product_ids, 6) = itm.product_id
+"""
+
+_SBN_FEEDS_CTE = """
+sbn_product AS (
+  SELECT product_id, model_code, model_id, product_name, product_keyword,
+    brand_name, product_status, manufacture_year, sales_price, org_price,
+    image_file, register_dt, modify_dt
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY product_id ORDER BY k) AS prn
+    FROM (
+      SELECT o_orderkey AS k,
+        CASE WHEN o_orderkey % 5 = 0 THEN '2' || CAST(o_orderkey % 60 AS VARCHAR)
+             ELSE 'sb' || CAST(o_orderkey AS VARCHAR) END AS product_id,
+        'MC' || CAST(o_orderkey % 50 AS VARCHAR) AS model_code,
+        CAST(o_orderkey % 500 AS BIGINT) AS model_id,
+        'sb name ' || CAST(o_orderkey % 30 AS VARCHAR) AS product_name,
+        CASE WHEN o_orderkey % 7 = 0 THEN NULL
+             ELSE 'kw' || CAST(o_orderkey % 10 AS VARCHAR) END AS product_keyword,
+        'brand' || CAST(o_orderkey % 9 AS VARCHAR) AS brand_name,
+        CAST(o_orderkey % 9 AS INT) AS product_status,
+        CAST(1990 + o_orderkey % 30 AS INT) AS manufacture_year,
+        CAST((o_orderkey % 400) * 100 AS BIGINT) AS sales_price,
+        CAST((o_orderkey % 350) * 100 AS BIGINT) AS org_price,
+        CASE WHEN o_orderkey % 3 = 0
+             THEN 'img' || CAST(o_orderkey AS VARCHAR) || '.jpg' END AS image_file,
+        CAST(o_orderdate AS DATE) AS register_dt,
+        CAST(o_orderdate AS DATE) + 2 AS modify_dt
+      FROM orders WHERE o_orderkey % 6 = 0
+    )
+  ) WHERE prn = 1
+), sbn_option AS (
+  SELECT
+    (CASE WHEN o_orderkey % 5 = 0 THEN '2' || CAST(o_orderkey % 60 AS VARCHAR)
+          ELSE 'sb' || CAST(o_orderkey AS VARCHAR) END)
+      || '-' || CAST(o_orderkey % 10000 AS VARCHAR) AS option_id,
+    CASE WHEN o_orderkey % 3 = 0
+         THEN '1' || CAST(o_orderkey % 80 AS VARCHAR) || '-0001:2,2'
+              || CAST(o_orderkey % 60 AS VARCHAR) || '-0002'
+         WHEN o_orderkey % 3 = 1 THEN NULL
+         ELSE '9' || CAST(o_orderkey % 100 AS VARCHAR) || ':x' END AS bundle_option_ids,
+    CAST(o_orderkey % 5 AS INT) AS option_type,
+    'og' || CAST(o_orderkey % 5 AS VARCHAR) AS option_group,
+    'sb option ' || CAST(o_orderkey % 11 AS VARCHAR) AS option_name,
+    CAST(o_orderkey % 4 AS INT) AS option_status,
+    CAST(o_orderkey % 5 + 1 AS INT) AS option_quantity,
+    CAST((o_orderkey % 40) * 100 AS BIGINT) AS option_price,
+    CAST(o_orderdate AS DATE) AS register_dt
+  FROM orders WHERE o_orderkey % 4 = 0
+)
+"""
+
+_SBN_PM_SQL = f"""
+sbn_ex AS (
+  SELECT split_part(option_id, '-', 1) AS opt_product_id, option_type,
+    UNNEST(string_split(COALESCE(bundle_option_ids, option_id), ',')) AS element
+  FROM sbn_option
+), sbn_joined AS (
+  SELECT e.opt_product_id, c.item_id, c.item_seq, e.option_type,
+    COUNT(*) OVER (PARTITION BY e.opt_product_id) AS option_count,
+    CASE WHEN regexp_matches(split_part(e.element, ':', 2), '^[0-9]+$')
+         THEN CAST(split_part(e.element, ':', 2) AS INT) ELSE 1 END AS option_quantity,
+    e.element
+  FROM sbn_ex e LEFT JOIN core_pm c ON split_part(e.element, '-', 1) = c.product_id
+), sbn_primary AS (
+  SELECT opt_product_id AS product_id, item_id, item_seq, option_type,
+    option_count, option_quantity
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY opt_product_id
+      ORDER BY item_seq ASC NULLS LAST, option_quantity DESC, element ASC) AS rn
+    FROM sbn_joined
+  ) WHERE rn = 1
+), sbn_scale AS (
+  SELECT POWER(10, MAX(length(CAST(option_quantity AS VARCHAR)))) AS s
+  FROM sbn_primary
+), sbn_st(seq, code, label) AS (VALUES {_vals3(_p.SABANGNET_PRODUCT_STATUSES)}),
+sbn_ot(seq, code, label) AS (VALUES {_vals3(_p.SABANGNET_OPTION_TYPES)}),
+sbn_pm AS (
+  SELECT prd.product_id, prd.model_code, prd.model_id, prd.product_name,
+    prd.product_keyword, prd.brand_name,
+    itm.category_name1, itm.category_name2, itm.category_name3, itm.category_name4,
+    st.label AS product_status,
+    CASE WHEN main.product_id IS NOT NULL THEN '대표' ELSE ot.label END AS option_type,
+    opt.option_count, prd.manufacture_year, prd.sales_price, prd.org_price,
+    CASE WHEN prd.image_file IS NOT NULL
+         THEN 'https://pic.sabangnet.co.kr/product_image/mw115815/100/' || prd.image_file
+    END AS image_url,
+    prd.register_dt, prd.modify_dt,
+    CAST(
+      COALESCE(CAST(opt.item_seq AS DOUBLE),
+               CAST(COALESCE(brd.item_seq, 99000000) AS DOUBLE) + 999999)
+        * q.s * 10
+      + CAST(CASE WHEN main.product_id IS NOT NULL THEN 0
+                  ELSE COALESCE(opt.option_type, 9) END AS DOUBLE) * q.s
+      + CAST(opt.option_quantity AS DOUBLE)
+    AS BIGINT) AS sort_key
+  FROM sbn_product prd
+  LEFT JOIN sbn_primary opt ON prd.product_id = opt.product_id
+  LEFT JOIN item itm ON opt.item_id = itm.item_id
+  LEFT JOIN core_pm main ON prd.product_id = main.product_id
+  LEFT JOIN sbn_st st ON prd.product_status = st.code
+  LEFT JOIN sbn_ot ot ON opt.option_type = ot.code
+  LEFT JOIN core_bm brd ON prd.brand_name = brd.brand_name
+  CROSS JOIN sbn_scale q
+)
+"""
+
+ORACLES["sabangnet_product_master"] = f"""
+WITH {_CORE_ITEM_CTE.strip()}, {_CORE_PM_SUB.strip()}, {_CORE_BM_SUB.strip()},
+{_SBN_FEEDS_CTE.strip()},
+{_SBN_PM_SQL.strip()}
+SELECT * FROM sbn_pm
+"""
+
+ORACLES["sabangnet_option_master"] = f"""
+WITH {_CORE_ITEM_CTE.strip()}, {_CORE_PM_SUB.strip()}, {_CORE_BM_SUB.strip()},
+{_SBN_FEEDS_CTE.strip()},
+{_SBN_PM_SQL.strip()},
+opt_ex AS (
+  SELECT option_id,
+    UNNEST(string_split(COALESCE(bundle_option_ids, option_id), ',')) AS element
+  FROM sbn_option
+), opt_primary AS (
+  SELECT option_id AS p_opt, item_id AS p_item FROM (
+    SELECT e.option_id, c.item_id,
+      ROW_NUMBER() OVER (PARTITION BY e.option_id
+        ORDER BY c.item_seq ASC NULLS LAST, e.element ASC) AS rn
+    FROM opt_ex e LEFT JOIN core_pm c ON split_part(e.element, '-', 1) = c.product_id
+  ) WHERE rn = 1
+), opt_bex AS (
+  SELECT option_id,
+    UNNEST(string_split(bundle_option_ids, ',')) AS element,
+    UNNEST(range(1, len(string_split(bundle_option_ids, ',')) + 1)) AS pos
+  FROM sbn_option WHERE bundle_option_ids IS NOT NULL
+), bundle_names AS (
+  SELECT b.option_id AS b_opt,
+    string_agg(
+      COALESCE(c.product_name || ' x '
+               || COALESCE(NULLIF(split_part(b.element, ':', 2), ''), '1'),
+               '상품코드 불일치'),
+      chr(10) ORDER BY b.pos) AS bundle_option_names
+  FROM opt_bex b
+  LEFT JOIN core_pm c
+    ON split_part(split_part(b.element, ':', 1), '-', 1) = c.product_id
+  GROUP BY b.option_id
+), opt_st(seq, code, label) AS (VALUES {_vals3(_p.SABANGNET_OPTION_STATUSES)}),
+opt_ty(seq, code, label) AS (VALUES {_vals3(_p.SABANGNET_OPTION_TYPES)}),
+sbn_nines AS (
+  SELECT CAST(repeat('9', length(CAST(MAX(sort_key) AS VARCHAR))) AS BIGINT) AS n
+  FROM sbn_pm
+)
+SELECT split_part(opt.option_id, '-', 1) AS product_id,
+  opt.option_id, prd.model_code, prd.model_id, prd.product_name,
+  prd.product_keyword, opt.option_group, opt.option_name, prd.brand_name,
+  itm.category_name1, itm.category_name2, itm.category_name3, itm.category_name4,
+  opt.bundle_option_ids, bundle.bundle_option_names,
+  ost.label AS option_status,
+  CASE WHEN prd.option_type = '대표' THEN '대표' ELSE oty.label END AS option_type,
+  opt.option_quantity, opt.option_price, opt.register_dt,
+  COALESCE(prd.sort_key, sbn_nines.n) AS sort_key
+FROM sbn_option opt
+LEFT JOIN sbn_pm prd ON split_part(opt.option_id, '-', 1) = prd.product_id
+LEFT JOIN opt_primary main ON opt.option_id = main.p_opt
+LEFT JOIN item itm ON main.p_item = itm.item_id
+LEFT JOIN bundle_names bundle ON opt.option_id = bundle.b_opt
+LEFT JOIN opt_st ost ON opt.option_status = ost.code
+LEFT JOIN opt_ty oty ON opt.option_type = oty.code
+CROSS JOIN sbn_nines
+"""
+
+# --- report_daily family -------------------------------------------------
+import re as _re
+
+from linkmerce_spark import queries as _q
+from linkmerce_spark.marts import adreport as _ar
+
+_DATE_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
+def _sql_val(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str) and _DATE_RE.match(v):
+        return f"DATE '{v}'"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _sql_rows(rows) -> str:
+    return ", ".join("(" + ", ".join(_sql_val(v) for v in r) + ")" for r in rows)
+
+
+_RD_PROD_ATTRS = """
+    product.item_id,
+    COALESCE(product.item_seq, 99999999) AS item_seq,
+    COALESCE(product.team_name, '담당팀 없음') AS team_name,
+    COALESCE(product.brand_name, '브랜드 없음') AS brand_name,
+    COALESCE(product.category_name1, '-') AS category_name1,
+    COALESCE(product.category_name2, '-') AS category_name2,
+    COALESCE(product.category_name3, '-') AS category_name3,
+    COALESCE(product.category_name4, '-') AS category_name4,
+    COALESCE(product.color, '-') AS color,
+    COALESCE(product.product_name, '-') AS product_name
+"""
+
+_RD_SA_CTES = f"""
+sa_ins AS (
+  SELECT CAST(o_orderdate AS DATE) AS ymd,
+    'cmp' || CAST(o_orderkey % 12 AS VARCHAR) AS campaign_id,
+    'ad' || CAST(o_orderkey % 15 AS VARCHAR) AS ad_id,
+    '1' || CAST(o_orderkey % 80 AS VARCHAR) AS product_id,
+    CASE WHEN o_orderkey % 11 = 0 THEN 9 ELSE CAST(o_orderkey % 4 AS INT) END AS device_type,
+    CAST(o_orderkey % 500 AS BIGINT) AS impression_count,
+    CAST(o_orderkey % 50 AS BIGINT) AS click_count,
+    CAST((o_orderkey % 90) * 10 AS BIGINT) AS ad_cost,
+    CAST(o_orderkey % 200 AS BIGINT) AS ad_rank_sum,
+    CAST(o_orderkey % 5 AS BIGINT) AS conv_count,
+    CAST(o_orderkey % 3 AS BIGINT) AS direct_conv_count,
+    CAST((o_orderkey % 40) * 100 AS BIGINT) AS conv_amount,
+    CAST((o_orderkey % 20) * 100 AS BIGINT) AS direct_conv_amount
+  FROM orders WHERE o_orderkey % 2 = 0
+), sa_ct AS (
+  SELECT 'ct' || CAST(o_orderkey % 20 AS VARCHAR) AS contract_id,
+    'cg' || CAST(o_orderkey % 8 AS VARCHAR) AS adgroup_id,
+    '2' || CAST(o_orderkey % 60 AS VARCHAR) AS product_id,
+    CAST((o_orderkey % 70) * 100 AS BIGINT) AS ad_cost,
+    CAST(o_orderdate AS DATE) AS ymd
+  FROM orders WHERE o_orderkey % 9 = 0
+), sa_cmp(campaign_id, customer_id, account_name, account_type, campaign_name,
+          campaign_type, ad_type, is_enabled, is_deleted) AS (VALUES
+  {_sql_rows(_q.RD_SEARCHAD_CAMPAIGNS)}
+), sa_ad(ad_id, customer_id, account_name, account_type, campaign_name,
+         campaign_type, adgroup_id, adgroup_name, adgroup_type, title,
+         description, ad_type, is_enabled, is_deleted, mall_product_id) AS (VALUES
+  {_sql_rows(_q.RD_SEARCHAD_ADS)}
+), sa_ctm(contract_id, customer_id, account_name, account_type, campaign_id,
+          campaign_name, campaign_type, adgroup_name, adgroup_type,
+          contract_name, contract_type, cancel_date) AS (VALUES
+  {_sql_rows(_q.RD_SEARCHAD_CONTRACTS)}
+), sa_dev(seq, code, label) AS (VALUES {_vals3(_ar.SEARCHAD_DEVICE_TYPES)}),
+sa_rd AS (
+  SELECT
+    COALESCE(ad.customer_id, cmp.customer_id) AS customer_id,
+    COALESCE(ad.account_name, cmp.account_name) AS account_name,
+    COALESCE(ad.account_type, cmp.account_type) AS account_type,
+    i.campaign_id,
+    COALESCE(ad.campaign_name, cmp.campaign_name) AS campaign_name,
+    COALESCE(ad.campaign_type, cmp.campaign_type, '캠페인 없음') AS campaign_type,
+    ad.adgroup_id, ad.adgroup_name,
+    COALESCE(ad.adgroup_type, cmp.account_type || '-기타', '그룹 없음') AS adgroup_type,
+    i.ad_id, ad.title, ad.description,
+    COALESCE(ad.ad_type, cmp.ad_type, '유형 없음') AS ad_type,
+    COALESCE(ad.is_enabled, cmp.is_enabled) AS is_enabled,
+    COALESCE(ad.is_deleted, cmp.is_deleted) AS is_deleted,
+    ad.mall_product_id, i.product_id,
+    {_RD_PROD_ATTRS.strip()},
+    COALESCE(dev.label, '-') AS device_type,
+    i.impression_count, i.click_count, i.ad_cost, i.ad_rank_sum,
+    i.conv_count, i.direct_conv_count, i.conv_amount, i.direct_conv_amount,
+    i.ymd
+  FROM sa_ins i
+  LEFT JOIN sa_dev dev ON i.device_type = dev.code
+  LEFT JOIN sa_cmp cmp ON i.campaign_id = cmp.campaign_id
+  LEFT JOIN sa_ad ad ON i.ad_id = ad.ad_id
+  LEFT JOIN core_pm product ON i.product_id = product.product_id
+  WHERE i.ymd BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+  UNION ALL
+  SELECT
+    m.customer_id, m.account_name, m.account_type, m.campaign_id,
+    m.campaign_name, COALESCE(m.campaign_type, '캠페인 없음'),
+    c.adgroup_id, m.adgroup_name, COALESCE(m.adgroup_type, '그룹 없음'),
+    c.contract_id, m.contract_name, CAST(NULL AS VARCHAR),
+    COALESCE(m.contract_type, '유형 없음'),
+    m.cancel_date IS NULL, m.cancel_date IS NOT NULL,
+    CAST(NULL AS VARCHAR), c.product_id,
+    {_RD_PROD_ATTRS.strip()},
+    '계약', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), c.ad_cost,
+    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), c.ymd
+  FROM sa_ct c
+  LEFT JOIN sa_ctm m ON c.contract_id = m.contract_id
+  LEFT JOIN core_pm product ON c.product_id = product.product_id
+  WHERE c.ymd BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+)
+"""
+
+_RD_G_CTES = f"""
+g_ins AS (
+  SELECT CAST(o_orderdate AS DATE) AS ymd,
+    'ga' || CAST(o_orderkey % 20 AS VARCHAR) AS ad_id,
+    '1' || CAST(o_orderkey % 80 AS VARCHAR) AS product_id,
+    CAST(o_orderkey % 8 AS INT) AS device_type,
+    CAST(o_orderkey % 400 AS BIGINT) AS impression_count,
+    CAST(o_orderkey % 40 AS BIGINT) AS click_count,
+    CAST((o_orderkey % 80) * 10 AS BIGINT) AS ad_cost
+  FROM orders WHERE o_orderkey % 3 = 0
+), g_ad(ad_id, customer_id, account_name, campaign_id, campaign_name,
+        campaign_type, adgroup_id, adgroup_name, adgroup_type, ad_name,
+        ad_type, ad_status) AS (VALUES
+  {_sql_rows(_q.RD_GOOGLE_ADS)}
+), g_dev(seq, code, label) AS (VALUES {_vals3(_ar.GOOGLE_DEVICE_TYPES)}),
+g_rd AS (
+  SELECT master.customer_id, master.account_name, master.campaign_id,
+    master.campaign_name,
+    COALESCE(master.campaign_type, '캠페인 없음') AS campaign_type,
+    master.adgroup_id, master.adgroup_name,
+    COALESCE(master.adgroup_type, '그룹 없음') AS adgroup_type,
+    i.ad_id, master.ad_name,
+    COALESCE(master.ad_type, '유형 없음') AS ad_type,
+    COALESCE(master.ad_status, '알 수 없음') AS ad_status,
+    i.product_id,
+    {_RD_PROD_ATTRS.strip()},
+    COALESCE(dev.label, '-') AS device_type,
+    i.impression_count, i.click_count, i.ad_cost, i.ymd
+  FROM g_ins i
+  LEFT JOIN g_dev dev ON i.device_type = dev.code
+  LEFT JOIN g_ad master ON i.ad_id = master.ad_id
+  LEFT JOIN core_pm product ON i.product_id = product.product_id
+  WHERE i.ymd BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+)
+"""
+
+_RD_M_CTES = f"""
+m_ins AS (
+  SELECT CAST(o_orderdate AS DATE) AS ymd,
+    'mad' || CAST(o_orderkey % 15 AS VARCHAR) AS ad_id,
+    '1' || CAST(o_orderkey % 80 AS VARCHAR) AS product_id,
+    CAST(o_orderkey % 600 AS BIGINT) AS impression_count,
+    CAST(o_orderkey % 300 AS BIGINT) AS reach_count,
+    CAST(o_orderkey % 60 AS BIGINT) AS click_count,
+    CAST(o_orderkey % 30 AS BIGINT) AS link_click_count,
+    CAST((o_orderkey % 75) * 10 AS BIGINT) AS ad_cost
+  FROM orders WHERE o_orderkey % 4 = 0
+), m_ad(ad_id, account_id, account_name, campaign_id, campaign_name,
+        objective, adset_id, adset_name, ad_name, effective_status) AS (VALUES
+  {_sql_rows(_q.RD_META_ADS)}
+), m_rd AS (
+  SELECT master.account_id, master.account_name, master.campaign_id,
+    master.campaign_name,
+    COALESCE(master.objective, '-') AS objective,
+    master.adset_id, master.adset_name,
+    i.ad_id, master.ad_name,
+    COALESCE(master.effective_status, '-') AS effective_status,
+    i.product_id,
+    {_RD_PROD_ATTRS.strip()},
+    i.impression_count, i.reach_count, i.click_count, i.link_click_count,
+    i.ad_cost, i.ymd
+  FROM m_ins i
+  LEFT JOIN m_ad master ON i.ad_id = master.ad_id
+  LEFT JOIN core_pm product ON i.product_id = product.product_id
+  WHERE i.ymd BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+)
+"""
+
+_RD_C_CTES = f"""
+c_ins AS (
+  SELECT CAST(o_orderdate AS DATE) AS ymd,
+    'cc' || CAST(o_orderkey % 10 AS VARCHAR) AS campaign_id,
+    'co' || CAST(o_orderkey % 40 AS VARCHAR) AS option_id,
+    '2' || CAST(o_orderkey % 60 AS VARCHAR) AS product_id,
+    CAST(o_orderkey % 4 AS INT) AS placement_group,
+    CAST(o_orderkey % 350 AS BIGINT) AS impression_count,
+    CAST(o_orderkey % 35 AS BIGINT) AS click_count,
+    CAST((o_orderkey % 85) * 10 AS BIGINT) AS ad_cost,
+    CAST(o_orderkey % 6 AS BIGINT) AS conv_count,
+    CAST(o_orderkey % 4 AS BIGINT) AS direct_conv_count,
+    CAST((o_orderkey % 45) * 100 AS BIGINT) AS conv_amount,
+    CAST((o_orderkey % 25) * 100 AS BIGINT) AS direct_conv_amount
+  FROM orders WHERE o_orderkey % 5 = 0
+), c_cmp(campaign_id, vendor_id, vendor_name, vendor_alias, vendor_type,
+         campaign_name, campaign_type, goal_type, is_active, is_deleted) AS (VALUES
+  {_sql_rows(_q.RD_COUPANG_CAMPAIGNS)}
+), c_opt(option_id, product_name, option_name, category_name) AS (VALUES
+  {_sql_rows(_q.RD_COUPANG_OPTIONS)}
+), c_pl(seq, code, label) AS (VALUES {_vals3(_ar.COUPANG_PLACEMENT_GROUPS)}),
+c_rd AS (
+  SELECT master.vendor_id, master.vendor_name, master.vendor_alias,
+    master.vendor_type, i.campaign_id, master.campaign_name,
+    COALESCE(master.campaign_type, '캠페인 없음') AS campaign_type,
+    COALESCE(master.goal_type, '-') AS goal_type,
+    master.is_active, master.is_deleted,
+    i.product_id,
+    {_RD_PROD_ATTRS.strip()},
+    i.option_id,
+    CASE WHEN copt.option_name IS NOT NULL
+         THEN copt.product_name || ' / ' || copt.option_name
+         ELSE copt.product_name END AS option_name,
+    copt.category_name AS category_name_cpg,
+    COALESCE(pl.label, '-') AS placement_group,
+    i.impression_count, i.click_count, i.ad_cost, i.conv_count,
+    i.direct_conv_count, i.conv_amount, i.direct_conv_amount, i.ymd
+  FROM c_ins i
+  LEFT JOIN c_pl pl ON i.placement_group = pl.code
+  LEFT JOIN c_cmp master ON i.campaign_id = master.campaign_id
+  LEFT JOIN core_pm product ON i.product_id = product.product_id
+  LEFT JOIN c_opt copt ON i.option_id = copt.option_id
+  WHERE i.ymd BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+)
+"""
+
+_RD_BASE = f"WITH {_CORE_ITEM_CTE.strip()}, {_CORE_PM_SUB.strip()}"
+
+ORACLES["searchad_report_daily"] = f"""
+{_RD_BASE}, {_RD_SA_CTES.strip()}
+SELECT * FROM sa_rd
+"""
+
+ORACLES["google_report_daily"] = f"""
+{_RD_BASE}, {_RD_G_CTES.strip()}
+SELECT * FROM g_rd
+"""
+
+ORACLES["meta_report_daily"] = f"""
+{_RD_BASE}, {_RD_M_CTES.strip()}
+SELECT * FROM m_rd
+"""
+
+ORACLES["coupang_report_daily"] = f"""
+{_RD_BASE}, {_RD_C_CTES.strip()}
+SELECT * FROM c_rd
+"""
+
+ORACLES["adreport_daily"] = f"""
+{_RD_BASE}, {_RD_SA_CTES.strip()}, {_RD_G_CTES.strip()}, {_RD_M_CTES.strip()},
+{_RD_C_CTES.strip()},
+dbl AS (
+  SELECT 'dc' || CAST(o_orderkey % 8 AS VARCHAR) AS campaign_id,
+    '1' || CAST(o_orderkey % 80 AS VARCHAR) AS product_id,
+    CAST((o_orderkey % 65) * 10 AS BIGINT) AS ad_cost,
+    CAST(o_orderdate AS DATE) AS ymd
+  FROM orders WHERE o_orderkey % 6 = 0
+), dbl_cmp(campaign_id, campaign_name) AS (VALUES
+  {_sql_rows(_q.RD_DABLE_CAMPAIGNS)}
+), xads AS (
+  SELECT 'adop000' || CAST(o_orderkey % 4 AS VARCHAR) AS shop_id,
+    '2' || CAST(o_orderkey % 60 AS VARCHAR) AS brand_id,
+    CAST((o_orderkey % 55) * 100 AS BIGINT) AS ad_cost,
+    CAST(o_orderdate AS DATE) AS ymd
+  FROM orders WHERE o_orderkey % 7 = 0
+), xshop(shop_id, shop_alias) AS (VALUES
+  {_sql_rows(_q.RD_EXTRA_SHOPS)}
+)
+SELECT '네이버' AS platform_name, account_name, campaign_name, adgroup_name,
+  title AS ad_name, ad_type, ad_cost, conv_amount, product_id, team_name,
+  brand_name, category_name1, category_name2, category_name3, category_name4,
+  color, product_name, ymd
+FROM sa_rd
+UNION ALL
+SELECT '쿠팡', vendor_name, campaign_name, '-', option_name, goal_type,
+  ad_cost, conv_amount, product_id, team_name, brand_name, category_name1,
+  category_name2, category_name3, category_name4, color, product_name, ymd
+FROM c_rd
+UNION ALL
+SELECT '구글', account_name, campaign_name, adgroup_name, ad_name, ad_type,
+  ad_cost, CAST(NULL AS BIGINT), product_id, team_name, brand_name,
+  category_name1, category_name2, category_name3, category_name4, color,
+  product_name, ymd
+FROM g_rd
+UNION ALL
+SELECT '메타', account_name, campaign_name, adset_name, ad_name, objective,
+  ad_cost, CAST(NULL AS BIGINT), product_id, team_name, brand_name,
+  category_name1, category_name2, category_name3, category_name4, color,
+  product_name, ymd
+FROM m_rd
+UNION ALL
+SELECT '데이블', '-', COALESCE(cmp.campaign_name, '-'), '-', '-', '-',
+  report.ad_cost, CAST(NULL AS BIGINT), report.product_id,
+  COALESCE(product.team_name, '담당팀 없음'),
+  COALESCE(product.brand_name, '브랜드 없음'),
+  COALESCE(product.category_name1, '-'), COALESCE(product.category_name2, '-'),
+  COALESCE(product.category_name3, '-'), COALESCE(product.category_name4, '-'),
+  COALESCE(product.color, '-'), COALESCE(product.product_name, '-'),
+  report.ymd
+FROM dbl report
+LEFT JOIN dbl_cmp cmp ON report.campaign_id = cmp.campaign_id
+LEFT JOIN core_pm product ON report.product_id = product.product_id
+WHERE report.ymd BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+UNION ALL
+SELECT replace(shop.shop_alias, '(광고)', ''), '-', '-', '-', '-', '-',
+  ads.ad_cost, CAST(NULL AS BIGINT), ads.brand_id,
+  COALESCE(product.team_name, '담당팀 없음'),
+  COALESCE(product.brand_name, '브랜드 없음'),
+  COALESCE(product.category_name1, '-'), COALESCE(product.category_name2, '-'),
+  COALESCE(product.category_name3, '-'), COALESCE(product.category_name4, '-'),
+  COALESCE(product.color, '-'), COALESCE(product.product_name, '-'),
+  ads.ymd
+FROM xads ads
+LEFT JOIN xshop shop ON ads.shop_id = shop.shop_id
+LEFT JOIN core_pm product ON ads.brand_id = product.product_id
+WHERE ads.ymd BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+"""
+
+# --- sales target pivot --------------------------------------------------
+# analytics__sales_target.sql:10-100, pivot date 1995-06-21 -> window
+# 1995-05-01..1995-06-21, current month 1995-06, eomonth 1995-06-30.
+ORACLES["sales_target"] = f"""
+WITH {_PROFIT_FACT_CTE.strip()},
+pb_all AS (
+  SELECT * FROM pb
+  WHERE order_date BETWEEN DATE '1995-05-01' AND DATE '1995-06-21'
+  UNION ALL
+  SELECT * FROM extra
+  WHERE order_date BETWEEN DATE '1995-05-01' AND DATE '1995-06-21'
+), st_pm(product_id, brand_name) AS (VALUES
+  {_sql_rows(_q.ST_PRODUCT_BRANDS)}
+), st_bm(brand_id, brand_name, team_name) AS (VALUES
+  {_sql_rows(_q.ST_BRANDS)}
+), st_tgt(brand_id, shop_id, monthly_amount) AS (VALUES
+  {_sql_rows(_q.ST_TARGETS)}
+), st_shop(shop_id, shop_group, shop_alias) AS (VALUES
+  {_sql_rows(_q.ST_SHOPS)}
+), rel AS (
+  SELECT p.product_id, b.brand_id
+  FROM st_pm p LEFT JOIN st_bm b ON p.brand_name = b.brand_name
+), pivot_base AS (
+  SELECT COALESCE(rel.brand_id, '200000') AS brand_id,
+    fact.shop_id,
+    CASE WHEN CAST(date_trunc('month', fact.order_date) AS DATE) = DATE '1995-06-01'
+         THEN 1 ELSE 0 END AS group_id,
+    fact.payment_amount, fact.order_date
+  FROM pb_all fact
+  LEFT JOIN rel ON fact.product_id = rel.product_id
+  WHERE fact.order_status = 0
+), pivot_period AS (
+  SELECT
+    MIN(CASE WHEN group_id = 0 THEN order_date END) AS previous_start_date,
+    MAX(CASE WHEN group_id = 0 THEN order_date END) AS previous_end_date,
+    MIN(CASE WHEN group_id = 1 THEN order_date END) AS current_start_date,
+    MAX(CASE WHEN group_id = 1 THEN order_date END) AS current_end_date
+  FROM pivot_base
+), brand_sales AS (
+  SELECT brand_id, shop_id,
+    CAST(SUM(CASE WHEN group_id = 0 THEN payment_amount ELSE 0 END) AS BIGINT) AS previous_sales,
+    CAST(SUM(CASE WHEN group_id = 1 THEN payment_amount ELSE 0 END) AS BIGINT) AS current_sales
+  FROM pivot_base WHERE payment_amount != 0
+  GROUP BY brand_id, shop_id
+)
+SELECT COALESCE(fact.brand_id, tgt.brand_id) AS brand_id,
+  brand.brand_name,
+  COALESCE(fact.shop_id, tgt.shop_id) AS shop_id,
+  shop.shop_group, shop.shop_alias AS shop_name, brand.team_name,
+  COALESCE(fact.previous_sales, 0) AS previous_sales,
+  COALESCE(fact.current_sales, 0) AS current_sales,
+  NULLIF(tgt.monthly_amount, 0) AS target_sales,
+  dt.previous_start_date, dt.previous_end_date,
+  dt.current_start_date, dt.current_end_date,
+  DATE '1995-06-30' AS current_eomonth
+FROM brand_sales fact
+FULL OUTER JOIN st_tgt tgt
+  ON fact.brand_id = tgt.brand_id AND fact.shop_id = tgt.shop_id
+LEFT JOIN st_bm brand ON COALESCE(fact.brand_id, tgt.brand_id) = brand.brand_id
+LEFT JOIN st_shop shop ON COALESCE(fact.shop_id, tgt.shop_id) = shop.shop_id
+CROSS JOIN pivot_period dt
+"""
+
+# --- coupang_rfm pair + ds wrappers --------------------------------------
+ORACLES["rfm_stock_qty_batch"] = f"""
+WITH inv AS (
+  SELECT 'co' || CAST(o_orderkey % 50 AS VARCHAR) AS option_id,
+    CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)
+      + to_seconds(CAST(o_orderkey % 86400 AS BIGINT)) AS updated_at,
+    CAST(o_orderkey % 40 AS BIGINT) AS stock_quantity
+  FROM orders
+), exp(option_id, expiration_date, start_time, end_time) AS (VALUES
+  {_sql_rows([(o, d, f"TS::{s}", f"TS::{e}") for o, d, s, e in _q.RFM_INV_EXP]).replace("'TS::", "TIMESTAMP '")}
+), rel(option_id, bundle_product_ids) AS (VALUES
+  {_sql_rows(_q.RFM_STOCK_REL)}
+), j AS (
+  SELECT i.updated_at, i.stock_quantity, e.expiration_date,
+    r.bundle_product_ids
+  FROM inv i
+  LEFT JOIN exp e ON i.option_id = e.option_id
+    AND i.updated_at BETWEEN e.start_time AND e.end_time
+  LEFT JOIN rel r ON e.option_id = r.option_id
+  WHERE i.updated_at >= TIMESTAMP '1996-01-01 00:00:00'
+    AND i.updated_at < TIMESTAMP '1996-04-01 00:00:00'
+), exploded AS (
+  SELECT updated_at, stock_quantity, expiration_date,
+    UNNEST(string_split(bundle_product_ids, ',')) AS product
+  FROM j WHERE bundle_product_ids IS NOT NULL
+  UNION ALL
+  SELECT updated_at, stock_quantity, expiration_date, NULL
+  FROM j WHERE bundle_product_ids IS NULL
+), rows_ AS (
+  SELECT CAST(updated_at AS DATE) AS ymd,
+    CASE WHEN strftime(updated_at, '%H:%M:%S') < '17:00:00' THEN 10 ELSE 20 END AS batch,
+    COALESCE(NULLIF(split_part(product, ':', 1), ''), '200000') AS product_id,
+    COALESCE(expiration_date, DATE '2999-12-31') AS expiration_date,
+    (CASE WHEN regexp_matches(split_part(product, ':', 2), '^[0-9]+$')
+          THEN CAST(split_part(product, ':', 2) AS INT) ELSE 1 END)
+      * stock_quantity AS stock_quantity
+  FROM exploded
+)
+SELECT ymd, batch, product_id, expiration_date,
+  CAST(SUM(stock_quantity) AS BIGINT) AS stock_quantity
+FROM rows_ GROUP BY 1, 2, 3, 4
+"""
+
+ORACLES["rfm_order_count"] = f"""
+WITH sales AS (
+  SELECT o_orderkey - o_orderkey % 7 AS order_id,
+    'co' || CAST((o_orderkey - o_orderkey % 7) % 30 AS VARCHAR) AS option_id,
+    'v' || CAST((o_orderkey - o_orderkey % 7) % 3 AS VARCHAR) AS vendor_id,
+    CASE WHEN (o_orderkey - o_orderkey % 7) % 5 = 0 THEN 0
+         ELSE CAST(o_orderkey % 6 AS INT) END AS settlement_type,
+    o_orderkey % 4 AS order_quantity,
+    CAST(o_orderdate AS DATE) AS sales_date
+  FROM orders WHERE o_orderkey % 2 = 0
+), rel(option_id, bundle_product_ids) AS (VALUES
+  {_sql_rows(_q.RFM_OC_REL)}
+), vendor(vendor_id, bundle_brand_ids) AS (VALUES
+  {_sql_rows(_q.RFM_OC_VENDORS)}
+), rocket AS (
+  SELECT order_id, option_id, vendor_id,
+    MAX(settlement_type) AS order_status,
+    SUM(order_quantity) AS order_quantity,
+    MAX(sales_date) AS sales_date
+  FROM sales
+  WHERE sales_date BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+  GROUP BY 1, 2, 3
+), bundled AS (
+  SELECT o.order_id,
+    COALESCE(r.bundle_product_ids, v.bundle_brand_ids, '200000') AS bundle_product_ids,
+    o.order_status, o.order_quantity, o.sales_date AS order_date
+  FROM rocket o
+  LEFT JOIN rel r ON o.option_id = r.option_id
+  LEFT JOIN vendor v ON o.vendor_id = v.vendor_id
+  WHERE o.sales_date BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+    AND o.order_quantity != 0
+), exploded AS (
+  SELECT order_id, order_status, order_quantity, order_date,
+    UNNEST(string_split(bundle_product_ids, ',')) AS bundle_product
+  FROM bundled
+)
+SELECT order_id, order_date,
+  split_part(bundle_product, ':', 1) AS product_id,
+  CASE WHEN order_status = 0 AND left(bundle_product, 1) = '9' THEN 6
+       ELSE LEAST(order_status, 3) END AS order_status,
+  CAST(SUM(order_quantity) AS BIGINT) AS order_quantity
+FROM exploded
+GROUP BY order_id, order_date, 3, 4
+"""
+
+_TIME_DS_SHAPE = """
+  SELECT ymd AS report_date, batch AS report_batch,
+    ymd - 30 AS order_start_date, ymd - 1 AS order_end_date,
+    max_updated_at, ecount__max_updated_at,
+    cj_eflexs__max_updated_at, coupang_rfm__max_updated_at
+"""
+
+ORACLES["stock_time_ds"] = f"""
+WITH tb AS ({ORACLES["stock_time_batch"].strip()}),
+pri AS (
+  {_TIME_DS_SHAPE.strip()}
+  FROM tb WHERE ymd = DATE '1996-04-01'
+    AND batch = (SELECT MAX(batch) FROM tb WHERE ymd = DATE '1996-04-01')
+), fb AS (
+  {_TIME_DS_SHAPE.strip()}
+  FROM tb WHERE ymd = DATE '1996-03-31'
+    AND batch = (SELECT MAX(batch) FROM tb WHERE ymd = DATE '1996-03-31')
+)
+SELECT * FROM pri
+UNION ALL
+SELECT * FROM fb WHERE NOT EXISTS (SELECT 1 FROM pri)
+"""
+
+ORACLES["stock_report_ds"] = f"""
+WITH pri AS ({ORACLES["stock_report"].replace("2001-06-01", "2002-03-04").strip()}),
+fb AS ({ORACLES["stock_report"].replace("2001-06-01", "2002-03-03").strip()})
+SELECT * FROM pri
+UNION ALL
+SELECT * FROM fb WHERE NOT EXISTS (SELECT 1 FROM pri)
+"""

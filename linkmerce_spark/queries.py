@@ -4204,6 +4204,758 @@ def q_google_campaign_master(spark: SparkSession, sf_dir: str) -> DataFrame:
     return google_campaign_master(campaign, _google_account(spark))
 
 
+# ----------------------------------------- product-family masters
+def _smt_channel_dim(spark: SparkSession) -> DataFrame:
+    i = F.col("id")
+    return spark.range(0, 6, 1, 1).select(
+        i.cast("int").alias("channel_seq"),
+        F.concat(F.lit("team"), (i % 3).cast("string")).alias("team_name"),
+        F.concat(F.lit("brand"), i.cast("string")).alias("brand_name"),
+        F.when(i % 5 == 4, F.lit(None).cast("int"))
+        .otherwise((i + 1).cast("int"))
+        .alias("brand_seq"),
+    )
+
+
+def _smt_product_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkmerce_spark.marts.product import (
+        SMARTSTORE_DISPLAY_TYPES,
+        SMARTSTORE_PRODUCT_STATUSES,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    st = F.array(*[F.lit(c) for _, c, _ in SMARTSTORE_PRODUCT_STATUSES])
+    dp = F.array(*[F.lit(c) for _, c, _ in SMARTSTORE_DISPLAY_TYPES])
+    return orders.filter(k % 3 == 0).select(
+        F.concat(F.lit("sp"), k.cast("string")).alias("product_id"),
+        (k % 100000).cast("long").alias("product_no"),
+        F.when(k % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("cat"), (k % 300).cast("string")))
+        .alias("catalog_id"),
+        (k % 6).cast("int").alias("channel_seq"),
+        F.concat(F.lit("ss product "), (k % 35).cast("string")).alias(
+            "product_name"
+        ),
+        F.element_at(st, (k % 9 + 1).cast("int")).alias("status_type"),
+        F.element_at(dp, (k % 3 + 1).cast("int")).alias("display_type"),
+        (k % 13).cast("int").alias("delivery_type"),
+        F.concat(F.lit("c"), (k % 40).cast("string")).alias("category_id"),
+        F.concat(F.lit("tag"), (k % 7).cast("string")).alias("tags"),
+        ((k % 500) * 100).cast("long").alias("price"),
+        ((k % 450) * 100).cast("long").alias("sales_price"),
+        ((k % 4) * 2500).cast("long").alias("delivery_fee"),
+        d.alias("register_dt"),
+        F.date_add(d, 1).alias("modify_dt"),
+    )
+
+
+def _smt_category_dim(spark: SparkSession) -> DataFrame:
+    i = F.col("id")
+    return spark.range(0, 40, 1, 1).select(
+        F.concat(F.lit("c"), i.cast("string")).alias("category_id"),
+        F.concat(F.lit("k1-"), (i % 3).cast("string")).alias("category_name1"),
+        F.concat(F.lit("k2-"), (i % 4).cast("string")).alias("category_name2"),
+        F.concat(F.lit("k3-"), (i % 5).cast("string")).alias("category_name3"),
+        F.concat(F.lit("k4-"), (i % 6).cast("string")).alias("category_name4"),
+    )
+
+
+def q_smartstore_product_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """smartstore__product_master (marts/product): channel + category
+    joins, three label maps, (brand_seq, delivery_type, status) key
+    (dbt smartstore__product_master.sql:10-64)."""
+    from linkmerce_spark.marts.product import smartstore_product_master
+
+    return smartstore_product_master(
+        _smt_product_feed(spark, sf_dir),
+        _smt_channel_dim(spark),
+        _smt_category_dim(spark),
+    )
+
+
+def q_smartstore_option_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """smartstore__option_master (marts/product): order options through
+    the product master, all-9s sort fallback at max-key width
+    (dbt smartstore__option_master.sql:10-45)."""
+    from linkmerce_spark.marts.product import (
+        smartstore_option_master,
+        smartstore_product_master,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    opts = orders.filter(k % 4 == 0).select(
+        F.concat(F.lit("sp"), (k % 1000).cast("string")).alias("product_id"),
+        F.concat(F.lit("so"), k.cast("string")).alias("option_id"),
+        (k % 6).cast("int").alias("channel_seq"),
+        F.concat(F.lit("ss product "), (k % 35).cast("string")).alias(
+            "product_name"
+        ),
+        F.concat(F.lit("option "), (k % 12).cast("string")).alias("option_name"),
+        (k % 4).cast("int").alias("product_type"),
+        F.concat(F.lit("SPC"), (k % 30).cast("string")).alias(
+            "seller_product_code"
+        ),
+        F.when(k % 6 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("SOC"), (k % 25).cast("string")))
+        .alias("seller_option_code"),
+        ((k % 450) * 100).cast("long").alias("sales_price"),
+        ((k % 20) * 50).cast("long").alias("option_price"),
+        d.alias("first_payment_dt"),
+        F.date_add(d, 30).alias("last_payment_dt"),
+    )
+    pm = smartstore_product_master(
+        _smt_product_feed(spark, sf_dir),
+        _smt_channel_dim(spark),
+        _smt_category_dim(spark),
+    )
+    return smartstore_option_master(opts, _smt_channel_dim(spark), pm)
+
+
+def q_coupang_option_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coupang__option_master (marts/product): vendor + relation +
+    core-item attach over LEFT(bundle,6), inline status CASE
+    (dbt coupang__option_master.sql:10-40)."""
+    from linkmerce_spark.marts.core_masters import product_master
+    from linkmerce_spark.marts.product import coupang_option_master
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    option = orders.filter(k % 5 == 0).select(
+        (k % 3000).cast("long").alias("product_id"),
+        F.concat(F.lit("co"), k.cast("string")).alias("option_id"),
+        F.when(k % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("ob"), (k % 6).cast("string")))
+        .alias("brand_name"),
+        F.concat(F.lit("cp product "), (k % 25).cast("string")).alias(
+            "product_name"
+        ),
+        F.concat(F.lit("cp option "), (k % 9).cast("string")).alias("option_name"),
+        (k % 4).cast("int").alias("product_status"),
+        (k % 10 == 0).alias("is_deleted"),
+        F.concat(F.lit("ccat"), (k % 8).cast("string")).alias("category_name"),
+        F.concat(F.lit("v"), (k % 4).cast("string")).alias("vendor_id"),
+        ((k % 300) * 100).cast("long").alias("sales_price"),
+        d.alias("register_dt"),
+        F.date_add(d, 5).alias("modify_dt"),
+    )
+    vendor = values_df(
+        spark,
+        [("v0", "vendor-0", 1), ("v1", "vendor-1", 2), ("v2", "vendor-2", None)],
+        "vendor_id string, vendor_name string, vendor_seq int",
+    )
+    rel_rows = []
+    for i in range(0, 3000, 15):
+        b = "2" + str(i % 60)
+        rel_rows.append(("co" + str(i), b if i % 2 == 0 else b + ",77"))
+    relation = values_df(
+        spark, rel_rows, "option_id string, bundle_product_ids string"
+    )
+    cpm = product_master(_core_item_feed(spark, sf_dir))
+    return coupang_option_master(option, vendor, relation, cpm)
+
+
+def _sbn_product_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    feed = orders.filter(k % 6 == 0).select(
+        k.alias("__k"),
+        F.when(k % 5 == 0, F.concat(F.lit("2"), (k % 60).cast("string")))
+        .otherwise(F.concat(F.lit("sb"), k.cast("string")))
+        .alias("product_id"),
+        F.concat(F.lit("MC"), (k % 50).cast("string")).alias("model_code"),
+        (k % 500).cast("long").alias("model_id"),
+        F.concat(F.lit("sb name "), (k % 30).cast("string")).alias("product_name"),
+        F.when(k % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("kw"), (k % 10).cast("string")))
+        .alias("product_keyword"),
+        F.concat(F.lit("brand"), (k % 9).cast("string")).alias("brand_name"),
+        (k % 9).cast("int").alias("product_status"),
+        (1990 + k % 30).cast("int").alias("manufacture_year"),
+        ((k % 400) * 100).cast("long").alias("sales_price"),
+        ((k % 350) * 100).cast("long").alias("org_price"),
+        F.when(k % 3 == 0, F.concat(F.lit("img"), k.cast("string"), F.lit(".jpg")))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("image_file"),
+        d.alias("register_dt"),
+        F.date_add(d, 2).alias("modify_dt"),
+    )
+    # Catalog ids must be unique (the source is a product catalog) —
+    # the '2x' branch maps many orderkeys onto 60 core ids; keep the
+    # lowest-orderkey row per id.
+    w = _W.partitionBy("product_id").orderBy("__k")
+    return (
+        feed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__k")
+    )
+
+
+def _sbn_option_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    j = F.col("o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    base = F.when(j % 5 == 0, F.concat(F.lit("2"), (j % 60).cast("string"))).otherwise(
+        F.concat(F.lit("sb"), j.cast("string"))
+    )
+    bundle = (
+        F.when(
+            j % 3 == 0,
+            F.concat(
+                F.lit("1"), (j % 80).cast("string"), F.lit("-0001:2,2"),
+                (j % 60).cast("string"), F.lit("-0002"),
+            ),
+        )
+        .when(j % 3 == 1, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("9"), (j % 100).cast("string"), F.lit(":x")))
+    )
+    return orders.filter(j % 4 == 0).select(
+        F.concat(base, F.lit("-"), (j % 10000).cast("string")).alias("option_id"),
+        bundle.alias("bundle_option_ids"),
+        (j % 5).cast("int").alias("option_type"),
+        F.concat(F.lit("og"), (j % 5).cast("string")).alias("option_group"),
+        F.concat(F.lit("sb option "), (j % 11).cast("string")).alias("option_name"),
+        (j % 4).cast("int").alias("option_status"),
+        (j % 5 + 1).cast("int").alias("option_quantity"),
+        ((j % 40) * 100).cast("long").alias("option_price"),
+        d.alias("register_dt"),
+    )
+
+
+def q_sabangnet_product_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sabangnet__product_master (marts/product): primary-option
+    DISTINCT ON over the bundle explode, POWER(10)-scaled composed
+    sort key, '대표' promotion, brand-master seq fallback — REUSES
+    the core product/brand masters (dbt sabangnet__product_master.sql:
+    10-108)."""
+    from linkmerce_spark.marts.core_masters import brand_master, product_master
+    from linkmerce_spark.marts.product import sabangnet_product_master
+
+    item = _core_item_feed(spark, sf_dir)
+    return sabangnet_product_master(
+        _sbn_product_feed(spark, sf_dir),
+        _sbn_option_feed(spark, sf_dir),
+        item,
+        product_master(item),
+        brand_master(item),
+    )
+
+
+def q_sabangnet_option_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sabangnet__option_master (marts/product): per-option primary
+    item, ordinality-ordered bundle-name string_agg with the mismatch
+    fallback, '대표' passthrough, all-9s sort fallback
+    (dbt sabangnet__option_master.sql:10-100)."""
+    from linkmerce_spark.marts.core_masters import brand_master, product_master
+    from linkmerce_spark.marts.product import (
+        sabangnet_option_master,
+        sabangnet_product_master,
+    )
+
+    item = _core_item_feed(spark, sf_dir)
+    cpm = product_master(item)
+    pm = sabangnet_product_master(
+        _sbn_product_feed(spark, sf_dir),
+        _sbn_option_feed(spark, sf_dir),
+        item,
+        cpm,
+        brand_master(item),
+    )
+    return sabangnet_option_master(_sbn_option_feed(spark, sf_dir), pm, item, cpm)
+
+
+# ----------------------------------------- report_daily family
+# Master-shaped dimension rows, shared verbatim with oracles.py (the
+# dbt report_daily models consume the BUILT masters as relations; the
+# masters themselves are verified by their own queries above).
+RD_SEARCHAD_CAMPAIGNS = [
+    (
+        "cmp" + str(i), i % 4, "acct-" + str(i % 4),
+        "agency" if i % 3 == 0 else "direct", "campaign " + str(i),
+        None if i % 4 == 0 else "ctype-" + str(i % 3),
+        None if i % 6 == 0 else "catype-" + str(i % 2),
+        i % 2 == 0, i % 3 == 0,
+    )
+    for i in range(12) if i != 11
+]
+RD_SEARCHAD_ADS = [
+    (
+        "ad" + str(i), i % 4, "acct-" + str(i % 4),
+        "agency" if i % 2 == 0 else "direct", "campaign " + str(i % 12),
+        None if i % 5 == 0 else "ctype-" + str(i % 3),
+        "cg" + str(i % 8), "adgroup " + str(i % 8),
+        None if i % 6 == 0 else "gtype-" + str(i % 3),
+        "title " + str(i), None if i % 3 == 0 else "desc " + str(i),
+        None if i % 7 == 0 else "atype-" + str(i % 3),
+        i % 2 == 0, i % 5 == 0,
+        None if i % 2 == 0 else "mp" + str(i),
+    )
+    for i in range(15) if i % 4 != 3
+]
+RD_SEARCHAD_CONTRACTS = [
+    (
+        "ct" + str(i), i % 4, "acct-" + str(i % 4), "direct",
+        "cc" + str(i % 5), "c name " + str(i % 5),
+        None if i % 6 == 0 else "cttype-" + str(i % 2),
+        "cg name " + str(i % 8),
+        None if i % 4 == 0 else "cgtype-" + str(i % 2),
+        "contract " + str(i),
+        None if i % 5 == 0 else "ctype2-" + str(i % 3),
+        "1996-03-15" if i % 3 == 0 else None,
+    )
+    for i in range(20) if i % 9 != 8
+]
+RD_GOOGLE_ADS = [
+    (
+        "ga" + str(i), i % 3, "google-" + str(i % 3), "gc" + str(i % 6),
+        "g campaign " + str(i % 6),
+        None if i % 5 == 0 else "gct-" + str(i % 4),
+        "gg" + str(i % 10), "g adgroup " + str(i % 10),
+        None if i % 6 == 0 else "ggt-" + str(i % 3),
+        "g ad " + str(i),
+        None if i % 7 == 0 else "gat-" + str(i % 3),
+        None if i % 4 == 0 else "gst-" + str(i % 2),
+    )
+    for i in range(20) if i % 5 != 4
+]
+RD_META_ADS = [
+    (
+        "mad" + str(i), "act" + str(i % 3), "meta-" + str(i % 3),
+        "mc" + str(i % 5), "m campaign " + str(i % 5),
+        None if i % 4 == 0 else "obj-" + str(i % 3),
+        "as" + str(i % 7), "adset " + str(i % 7), "m ad " + str(i),
+        None if i % 5 == 0 else "est-" + str(i % 2),
+    )
+    for i in range(15) if i % 6 != 5
+]
+RD_COUPANG_CAMPAIGNS = [
+    (
+        "cc" + str(i), "v" + str(i % 3), "vendor-" + str(i % 3),
+        "V" + str(i % 3), None if i % 5 == 0 else "vt-" + str(i % 2),
+        "c campaign " + str(i),
+        None if i % 4 == 0 else "cct-" + str(i % 2),
+        None if i % 6 == 0 else "goal-" + str(i % 3),
+        i % 2 == 0, i % 5 == 0,
+    )
+    for i in range(10) if i != 9
+]
+RD_COUPANG_OPTIONS = [
+    (
+        "co" + str(i), "op product " + str(i % 8),
+        None if i % 3 == 0 else "op option " + str(i % 6),
+        "opcat" + str(i % 4),
+    )
+    for i in range(40) if i % 7 != 6
+]
+RD_DABLE_CAMPAIGNS = [
+    ("dc" + str(i), None if i % 4 == 0 else "d campaign " + str(i))
+    for i in range(8) if i != 7
+]
+RD_EXTRA_SHOPS = [
+    ("adop000" + str(i), "플랫폼" + str(i) + "(광고)" if i % 2 == 0 else "수동" + str(i))
+    for i in range(4)
+]
+
+_RD_WINDOW = ("1996-01-01", "1996-06-30")
+
+
+def _rd_product_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkmerce_spark.marts.core_masters import product_master
+
+    return product_master(_core_item_feed(spark, sf_dir))
+
+
+def _rd_searchad_inputs(spark: SparkSession, sf_dir: str):
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    insight = orders.filter(k % 2 == 0).select(
+        d.alias("ymd"),
+        F.concat(F.lit("cmp"), (k % 12).cast("string")).alias("campaign_id"),
+        F.concat(F.lit("ad"), (k % 15).cast("string")).alias("ad_id"),
+        F.concat(F.lit("1"), (k % 80).cast("string")).alias("product_id"),
+        F.when(k % 11 == 0, F.lit(9)).otherwise((k % 4).cast("int")).alias(
+            "device_type"
+        ),
+        (k % 500).cast("long").alias("impression_count"),
+        (k % 50).cast("long").alias("click_count"),
+        ((k % 90) * 10).cast("long").alias("ad_cost"),
+        (k % 200).cast("long").alias("ad_rank_sum"),
+        (k % 5).cast("long").alias("conv_count"),
+        (k % 3).cast("long").alias("direct_conv_count"),
+        ((k % 40) * 100).cast("long").alias("conv_amount"),
+        ((k % 20) * 100).cast("long").alias("direct_conv_amount"),
+    )
+    contract = orders.filter(k % 9 == 0).select(
+        F.concat(F.lit("ct"), (k % 20).cast("string")).alias("contract_id"),
+        F.concat(F.lit("cg"), (k % 8).cast("string")).alias("adgroup_id"),
+        F.concat(F.lit("2"), (k % 60).cast("string")).alias("product_id"),
+        ((k % 70) * 100).cast("long").alias("ad_cost"),
+        d.alias("ymd"),
+    )
+    cmp_master = values_df(
+        spark,
+        RD_SEARCHAD_CAMPAIGNS,
+        "campaign_id string, customer_id int, account_name string, "
+        "account_type string, campaign_name string, campaign_type string, "
+        "ad_type string, is_enabled boolean, is_deleted boolean",
+    )
+    ad_master = values_df(
+        spark,
+        RD_SEARCHAD_ADS,
+        "ad_id string, customer_id int, account_name string, account_type string, "
+        "campaign_name string, campaign_type string, adgroup_id string, "
+        "adgroup_name string, adgroup_type string, title string, "
+        "description string, ad_type string, is_enabled boolean, "
+        "is_deleted boolean, mall_product_id string",
+    )
+    ct_master = values_df(
+        spark,
+        RD_SEARCHAD_CONTRACTS,
+        "contract_id string, customer_id int, account_name string, "
+        "account_type string, campaign_id string, campaign_name string, "
+        "campaign_type string, adgroup_name string, adgroup_type string, "
+        "contract_name string, contract_type string, cancel_date date",
+    )
+    return insight, contract, cmp_master, ad_master, ct_master
+
+
+def q_searchad_report_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """searchad__report_daily (marts/adreport): insight branch with the
+    ad>campaign COALESCE ladder + the contract branch ('계약' device,
+    typed-NULL pads, cancel_date flags)
+    (dbt searchad__report_daily.sql:17-135)."""
+    from linkmerce_spark.marts.adreport import searchad_report_daily
+
+    insight, contract, cmp_m, ad_m, ct_m = _rd_searchad_inputs(spark, sf_dir)
+    return searchad_report_daily(
+        insight, cmp_m, ad_m, _rd_product_master(spark, sf_dir),
+        contract, ct_m, *_RD_WINDOW,
+    )
+
+
+def q_google_report_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """google_ads__report_daily (marts/adreport): insight through the
+    ad master + device labels (dbt google_ads__report_daily.sql:17-62)."""
+    from linkmerce_spark.marts.adreport import google_report_daily
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    insight = orders.filter(k % 3 == 0).select(
+        F.col("o_orderdate").cast("date").alias("ymd"),
+        F.concat(F.lit("ga"), (k % 20).cast("string")).alias("ad_id"),
+        F.concat(F.lit("1"), (k % 80).cast("string")).alias("product_id"),
+        (k % 8).cast("int").alias("device_type"),
+        (k % 400).cast("long").alias("impression_count"),
+        (k % 40).cast("long").alias("click_count"),
+        ((k % 80) * 10).cast("long").alias("ad_cost"),
+    )
+    ad_master = values_df(
+        spark,
+        RD_GOOGLE_ADS,
+        "ad_id string, customer_id int, account_name string, campaign_id string, "
+        "campaign_name string, campaign_type string, adgroup_id string, "
+        "adgroup_name string, adgroup_type string, ad_name string, "
+        "ad_type string, ad_status string",
+    )
+    return google_report_daily(
+        insight, ad_master, _rd_product_master(spark, sf_dir), *_RD_WINDOW
+    )
+
+
+def q_meta_report_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """meta_ads__report_daily (marts/adreport): insight through the ad
+    master with reach/link-click metrics
+    (dbt meta_ads__report_daily.sql:16-55)."""
+    from linkmerce_spark.marts.adreport import meta_report_daily
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    insight = orders.filter(k % 4 == 0).select(
+        F.col("o_orderdate").cast("date").alias("ymd"),
+        F.concat(F.lit("mad"), (k % 15).cast("string")).alias("ad_id"),
+        F.concat(F.lit("1"), (k % 80).cast("string")).alias("product_id"),
+        (k % 600).cast("long").alias("impression_count"),
+        (k % 300).cast("long").alias("reach_count"),
+        (k % 60).cast("long").alias("click_count"),
+        (k % 30).cast("long").alias("link_click_count"),
+        ((k % 75) * 10).cast("long").alias("ad_cost"),
+    )
+    ad_master = values_df(
+        spark,
+        RD_META_ADS,
+        "ad_id string, account_id string, account_name string, "
+        "campaign_id string, campaign_name string, objective string, "
+        "adset_id string, adset_name string, ad_name string, "
+        "effective_status string",
+    )
+    return meta_report_daily(
+        insight, ad_master, _rd_product_master(spark, sf_dir), *_RD_WINDOW
+    )
+
+
+def q_coupang_report_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coupang_ads__report_daily (marts/adreport): campaign master,
+    option-name concat, placement labels
+    (dbt coupang_ads__report_daily.sql:17-70)."""
+    from linkmerce_spark.marts.adreport import coupang_report_daily
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    insight = orders.filter(k % 5 == 0).select(
+        F.col("o_orderdate").cast("date").alias("ymd"),
+        F.concat(F.lit("cc"), (k % 10).cast("string")).alias("campaign_id"),
+        F.concat(F.lit("co"), (k % 40).cast("string")).alias("option_id"),
+        F.concat(F.lit("2"), (k % 60).cast("string")).alias("product_id"),
+        (k % 4).cast("int").alias("placement_group"),
+        (k % 350).cast("long").alias("impression_count"),
+        (k % 35).cast("long").alias("click_count"),
+        ((k % 85) * 10).cast("long").alias("ad_cost"),
+        (k % 6).cast("long").alias("conv_count"),
+        (k % 4).cast("long").alias("direct_conv_count"),
+        ((k % 45) * 100).cast("long").alias("conv_amount"),
+        ((k % 25) * 100).cast("long").alias("direct_conv_amount"),
+    )
+    cmp_master = values_df(
+        spark,
+        RD_COUPANG_CAMPAIGNS,
+        "campaign_id string, vendor_id string, vendor_name string, "
+        "vendor_alias string, vendor_type string, campaign_name string, "
+        "campaign_type string, goal_type string, is_active boolean, "
+        "is_deleted boolean",
+    )
+    option = values_df(
+        spark,
+        RD_COUPANG_OPTIONS,
+        "option_id string, product_name string, option_name string, "
+        "category_name string",
+    )
+    return coupang_report_daily(
+        insight, cmp_master, _rd_product_master(spark, sf_dir), option, *_RD_WINDOW
+    )
+
+
+def q_adreport_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analytics__adreport_daily (marts/adreport): the six-branch
+    harmonized union over the platform report dailies, the dable
+    enrichment branch, and the extra-ads branch with the '(광고)'
+    alias strip (dbt analytics__adreport_daily.sql:15-160)."""
+    from linkmerce_spark.marts.adreport import adreport_daily
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    dable_report = orders.filter(k % 6 == 0).select(
+        F.concat(F.lit("dc"), (k % 8).cast("string")).alias("campaign_id"),
+        F.concat(F.lit("1"), (k % 80).cast("string")).alias("product_id"),
+        ((k % 65) * 10).cast("long").alias("ad_cost"),
+        d.alias("ymd"),
+    )
+    dable_campaign = values_df(
+        spark, RD_DABLE_CAMPAIGNS, "campaign_id string, campaign_name string"
+    )
+    extra_ads = orders.filter(k % 7 == 0).select(
+        F.concat(F.lit("adop000"), (k % 4).cast("string")).alias("shop_id"),
+        F.concat(F.lit("2"), (k % 60).cast("string")).alias("brand_id"),
+        ((k % 55) * 100).cast("long").alias("ad_cost"),
+        d.alias("ymd"),
+    )
+    shop = values_df(spark, RD_EXTRA_SHOPS, "shop_id string, shop_alias string")
+    return adreport_daily(
+        q_searchad_report_daily(spark, sf_dir),
+        q_coupang_report_daily(spark, sf_dir),
+        q_google_report_daily(spark, sf_dir),
+        q_meta_report_daily(spark, sf_dir),
+        dable_report,
+        dable_campaign,
+        extra_ads,
+        shop,
+        _rd_product_master(spark, sf_dir),
+        *_RD_WINDOW,
+    )
+
+
+# ----------------------------------------- sales target pivot
+ST_PRODUCT_BRANDS = [
+    ("p" + str(i), None if i % 7 == 0 else "brand" + str(i % 5)) for i in range(40)
+]
+ST_BRANDS = [
+    ("2" + str(100 + i), "brand" + str(i), "team" + str(i % 3))
+    for i in range(5)
+    if i != 4  # brand4 unmapped -> the 200000 catch-all
+]
+ST_TARGETS = [
+    ("2100", "shop0055", 5000000),
+    ("2101", "shop0075", 0),  # NULLIF target
+    ("2102", "shop9999", 300000),  # target-only combo
+    ("200000", "shop0055", 100000),
+    ("2103", "adop0001", 250000),
+]
+ST_SHOPS = [
+    ("shop0055", "smartstore", "SS-A"),
+    ("shop0075", "coupang", "CP-A"),
+    ("adop0001", "adops", "Google"),
+    ("adop0002", "adops", "Meta"),
+    ("adop0006", "adops", "Dable"),
+    ("adop0003", "extra", "Adjust"),
+    ("adop9000", "extra", "Manual"),
+    ("shop1234", "etc", "ETC"),
+    ("shop9999", "etc", "Target-only"),
+]
+
+
+def q_sales_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analytics__sales_target (marts/sales_target): month-boundary
+    pivot over profit_base, brand catch-all mapping, non-zero-payment
+    brand x shop sums, FULL OUTER target merge with NULLIF and the
+    observed-period cross join (dbt analytics__sales_target.sql:
+    10-100; pivot date parameterized for determinism)."""
+    from linkmerce_spark.marts.profit import profit_base
+    from linkmerce_spark.marts.sales_target import sales_target
+
+    fact, extra = _profit_inputs(spark, sf_dir)
+    pm = values_df(
+        spark, ST_PRODUCT_BRANDS, "product_id string, brand_name string"
+    )
+    bm = values_df(
+        spark, ST_BRANDS, "brand_id string, brand_name string, team_name string"
+    )
+    tgt = values_df(
+        spark, ST_TARGETS, "brand_id string, shop_id string, monthly_amount long"
+    )
+    shop = values_df(
+        spark, ST_SHOPS, "shop_id string, shop_group string, shop_alias string"
+    )
+    return sales_target(
+        lambda s, e: profit_base(fact, extra, s, e),
+        pm, bm, tgt, shop, "1995-06-21",
+    )
+
+
+# ----------------------------------------- coupang_rfm pair + ds wrappers
+RFM_INV_EXP = [
+    ("co" + str(i), "1997-%02d-01" % (i % 12 + 1),
+     "1996-01-01 00:00:00", "1996-02-14 23:59:59")
+    for i in range(0, 50, 2)
+] + [
+    ("co" + str(i), "1997-%02d-15" % (i % 12 + 1),
+     "1996-02-15 00:00:00", "2999-12-31 00:00:00")
+    for i in range(0, 50, 2)
+]
+RFM_STOCK_REL = [
+    ("co" + str(i), "901:2,123" if i % 8 == 0 else "456:" + str(i % 3 + 1))
+    for i in range(0, 50, 4)
+]
+RFM_OC_REL = [
+    ("co" + str(i), "901:2,P3" if i % 9 == 0 else "P" + str(i % 7) + ":" + str(i % 3 + 1))
+    for i in range(0, 30, 3)
+]
+RFM_OC_VENDORS = [("v0", "B1"), ("v1", "B2,903")]
+
+
+def q_rfm_stock_qty_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coupang_rfm__stock_qty_batch (marts/stock): effective-dated
+    expiration attach (J5), relation explode with ':N' multipliers,
+    17:00 batch split, 4-key rollup
+    (dbt coupang_rfm__stock_qty_batch.sql:15-41)."""
+    from linkmerce_spark.marts.stock import rfm_stock_qty_batch
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    inventory = orders.select(
+        F.concat(F.lit("co"), (k % 50).cast("string")).alias("option_id"),
+        (
+            F.col("o_orderdate").cast("date").cast("timestamp")
+            + F.make_interval(secs=(k % 86400).cast("int"))
+        ).alias("updated_at"),
+        (k % 40).cast("long").alias("stock_quantity"),
+    )
+    inventory_exp = values_df(
+        spark,
+        RFM_INV_EXP,
+        "option_id string, expiration_date date, start_time timestamp, "
+        "end_time timestamp",
+    )
+    relation = values_df(
+        spark, RFM_STOCK_REL, "option_id string, bundle_product_ids string"
+    )
+    return rfm_stock_qty_batch(
+        inventory, inventory_exp, relation, "1996-01-01", "1996-03-31"
+    )
+
+
+def q_rfm_order_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coupang_rfm__order_count (marts/total_order): rocket pre-agg,
+    bundle COALESCE with the 200000 catch-all, 9-prefix promotion +
+    LEAST(status,3), order-count rollup
+    (dbt coupang_rfm__order_count.sql:17-79)."""
+    from linkmerce_spark.marts.total_order import rfm_order_count
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    grp = k - k % 7
+    sales = orders.filter(k % 2 == 0).select(
+        grp.alias("order_id"),
+        F.concat(F.lit("co"), (grp % 30).cast("string")).alias("option_id"),
+        F.concat(F.lit("v"), (grp % 3).cast("string")).alias("vendor_id"),
+        F.when(grp % 5 == 0, F.lit(0)).otherwise((k % 6).cast("int")).alias(
+            "settlement_type"
+        ),
+        (k % 4).alias("order_quantity"),
+        F.col("o_orderdate").cast("date").alias("sales_date"),
+    )
+    rel = values_df(spark, RFM_OC_REL, "option_id string, bundle_product_ids string")
+    vendor = values_df(
+        spark, RFM_OC_VENDORS, "vendor_id string, bundle_brand_ids string"
+    )
+    return rfm_order_count(sales, rel, vendor, "1996-01-01", "1996-06-30")
+
+
+def q_stock_time_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analytics__stock_time_ds (marts/stock): latest-batch mode with
+    the previous-day fallback gated by NOT EXISTS(primary) — 'today'
+    1996-04-01 has no batch rows, so the fallback day surfaces
+    (dbt analytics__stock_time_ds.sql:16-83)."""
+    from linkmerce_spark.marts.stock import stock_time_batch, stock_time_ds
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+
+    def _feed(mod: int) -> DataFrame:
+        secs = (ok % 86400).cast("int")
+        return orders.filter(ok % 3 == mod).select(
+            (
+                F.col("o_orderdate").cast("date").cast("timestamp")
+                + F.make_interval(secs=secs)
+            ).alias("updated_at"),
+        )
+
+    tb = stock_time_batch(_feed(0), _feed(1), _feed(2), "1996-01-01", "1996-03-31")
+    return stock_time_ds(tb, "1996-02-15", 99, today="1996-04-01")
+
+
+def q_stock_report_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analytics__stock_report_ds (marts/stock): latest mode where
+    'today' (2002-03-04) sits just past the data horizon, so the
+    primary report is empty and the previous-day fallback fires
+    (dbt analytics__stock_report_ds.sql:15-48)."""
+    from linkmerce_spark.marts.stock import stock_report, stock_report_ds
+
+    return stock_report_ds(
+        lambda d: stock_report(spark, sf_dir, d),
+        "1996-03-31",
+        99,
+        today="2002-03-04",
+    )
+
+
 # Dict order is deliberate: the driver's correctness gate checks the
 # FIRST 50 entries only (CORRECTNESS_r01/r02 evidence), so the window
 # rotates each round to cover queries without a driver row yet. The
@@ -4283,6 +5035,21 @@ QUERIES = {
     "coupang_adgroup_master": q_coupang_adgroup_master,
     "google_adgroup_master": q_google_adgroup_master,
     "google_campaign_master": q_google_campaign_master,
+    "smartstore_product_master": q_smartstore_product_master,
+    "smartstore_option_master": q_smartstore_option_master,
+    "coupang_option_master": q_coupang_option_master,
+    "sabangnet_product_master": q_sabangnet_product_master,
+    "sabangnet_option_master": q_sabangnet_option_master,
+    "searchad_report_daily": q_searchad_report_daily,
+    "google_report_daily": q_google_report_daily,
+    "meta_report_daily": q_meta_report_daily,
+    "coupang_report_daily": q_coupang_report_daily,
+    "adreport_daily": q_adreport_daily,
+    "sales_target": q_sales_target,
+    "rfm_stock_qty_batch": q_rfm_stock_qty_batch,
+    "rfm_order_count": q_rfm_order_count,
+    "stock_time_ds": q_stock_time_ds,
+    "stock_report_ds": q_stock_report_ds,
     # -- round-1 sentinels displaced by the round-4 additions (next
     # rotation's first candidates alongside the rotated-out greens)
     "distinct_segments": q_distinct_segments,
