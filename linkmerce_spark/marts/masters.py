@@ -1068,3 +1068,73 @@ def google_campaign_master(campaign: DataFrame, account: DataFrame) -> DataFrame
         "cmp.created_at",
         sort_key.alias("sort_key"),
     )
+
+
+# macros/mapping/searchad.sql: searchad__contract_type_mapping()
+SEARCHAD_CONTRACT_TYPES = [(0, 0, "브랜드검색-신제품검색형 소재"), (1, 1, "브랜드검색-일반형 소재")]
+
+
+def searchad_contract_master(
+    contract: DataFrame, adgroup: DataFrame, campaign: DataFrame, account: DataFrame
+) -> DataFrame:
+    """searchad__contract_master.sql:19-70: contract -> adgroup ->
+    campaign -> account chain, three label maps, the cancel-date sort
+    penalty (active=1 beats cancelled=2)."""
+    spark = contract.sparkSession
+    ctype = _mapping(SEARCHAD_CAMPAIGN_TYPES, spark, _MAP_SCHEMA_INT)
+    gtype = _mapping(SEARCHAD_ADGROUP_TYPES, spark, _MAP_SCHEMA_INT)
+    ttype = _mapping(SEARCHAD_CONTRACT_TYPES, spark, _MAP_SCHEMA_INT)
+    out = (
+        contract.alias("sad")
+        .join(broadcast(account.alias("acc")), "customer_id", "left")
+        .join(broadcast(adgroup.alias("grp")), "adgroup_id", "left")
+        .join(
+            broadcast(campaign.alias("cmp")),
+            F.col("grp.campaign_id") == F.col("cmp.campaign_id"),
+            "left",
+        )
+        .join(
+            broadcast(ctype.alias("ct")),
+            F.col("cmp.campaign_type") == F.col("ct.code"),
+            "left",
+        )
+        .join(
+            broadcast(gtype.alias("gt")),
+            F.col("grp.adgroup_type") == F.col("gt.code"),
+            "left",
+        )
+        .join(
+            broadcast(ttype.alias("tt")),
+            F.col("sad.contract_type") == F.col("tt.code"),
+            "left",
+        )
+    )
+    sort_key = (
+        F.when(F.col("sad.cancel_date").isNull(), F.lit(1)).otherwise(F.lit(2))
+        * 10000000
+        + _seq99("acc.account_seq") * 100000
+        + _seq99("ct.seq") * 1000
+        + _seq99("gt.seq") * 10
+        + F.coalesce(F.col("tt.seq"), F.lit(9))
+    )
+    return out.select(
+        "customer_id",
+        "acc.account_name",
+        "acc.account_type",
+        F.col("grp.campaign_id").alias("campaign_id"),
+        "cmp.campaign_name",
+        F.col("ct.label").alias("campaign_type"),
+        "adgroup_id",
+        "grp.adgroup_name",
+        F.col("gt.label").alias("adgroup_type"),
+        "sad.contract_id",
+        "sad.contract_name",
+        F.col("tt.label").alias("contract_type"),
+        "sad.contract_amount",
+        "sad.contract_start_date",
+        "sad.contract_end_date",
+        "sad.exposure_start_date",
+        "sad.exposure_end_date",
+        "sad.cancel_date",
+        sort_key.alias("sort_key"),
+    )

@@ -5123,3 +5123,50 @@ SELECT * FROM pri
 UNION ALL
 SELECT * FROM fb WHERE NOT EXISTS (SELECT 1 FROM pri)
 """
+
+ORACLES["searchad_contract_master"] = f"""
+WITH contract AS (
+  SELECT CAST(o_orderkey % 4 AS INT) AS customer_id,
+    'grp' || CAST(o_orderkey % 30 AS VARCHAR) AS adgroup_id,
+    'sct' || CAST(o_orderkey AS VARCHAR) AS contract_id,
+    'contract ' || CAST(o_orderkey % 18 AS VARCHAR) AS contract_name,
+    CAST(o_orderkey % 3 AS INT) AS contract_type,
+    CAST((o_orderkey % 50) * 10000 AS BIGINT) AS contract_amount,
+    CAST(o_orderdate AS DATE) AS contract_start_date,
+    CAST(o_orderdate AS DATE) + 90 AS contract_end_date,
+    CAST(o_orderdate AS DATE) + 7 AS exposure_start_date,
+    CAST(o_orderdate AS DATE) + 83 AS exposure_end_date,
+    CASE WHEN o_orderkey % 5 = 0 THEN CAST(o_orderdate AS DATE) + 10 END AS cancel_date
+  FROM orders WHERE o_orderkey % 8 = 0
+), adgroup AS (
+  SELECT 'grp' || CAST(i AS VARCHAR) AS adgroup_id,
+    'adgroup ' || CAST(i AS VARCHAR) AS adgroup_name,
+    'cmp' || CAST(i % 12 AS VARCHAR) AS campaign_id,
+    CAST(i % 12 AS INT) AS adgroup_type
+  FROM range(30) t(i)
+), campaign AS (
+  SELECT 'cmp' || CAST(i AS VARCHAR) AS campaign_id,
+    'campaign ' || CAST(i AS VARCHAR) AS campaign_name,
+    CAST(i % 15 AS INT) AS campaign_type
+  FROM range(12) t(i)
+), {_SEARCHAD_ACC.strip()},
+ctype(seq, code, label) AS (VALUES {_vals3(_m.SEARCHAD_CAMPAIGN_TYPES)}),
+gtype(seq, code, label) AS (VALUES {_vals3(_m.SEARCHAD_ADGROUP_TYPES)}),
+ttype(seq, code, label) AS (VALUES {_vals3(_m.SEARCHAD_CONTRACT_TYPES)})
+SELECT sad.customer_id, acc.account_name, acc.account_type,
+  grp.campaign_id, cmp.campaign_name, ct.label AS campaign_type,
+  sad.adgroup_id, grp.adgroup_name, gt.label AS adgroup_type,
+  sad.contract_id, sad.contract_name, tt.label AS contract_type,
+  sad.contract_amount, sad.contract_start_date, sad.contract_end_date,
+  sad.exposure_start_date, sad.exposure_end_date, sad.cancel_date,
+  (CASE WHEN sad.cancel_date IS NULL THEN 1 ELSE 2 END) * 10000000
+    + COALESCE(acc.account_seq, 99) * 100000 + COALESCE(ct.seq, 99) * 1000
+    + COALESCE(gt.seq, 99) * 10 + COALESCE(tt.seq, 9) AS sort_key
+FROM contract sad
+LEFT JOIN account acc ON sad.customer_id = acc.customer_id
+LEFT JOIN adgroup grp ON sad.adgroup_id = grp.adgroup_id
+LEFT JOIN campaign cmp ON grp.campaign_id = cmp.campaign_id
+LEFT JOIN ctype ct ON cmp.campaign_type = ct.code
+LEFT JOIN gtype gt ON grp.adgroup_type = gt.code
+LEFT JOIN ttype tt ON sad.contract_type = tt.code
+"""

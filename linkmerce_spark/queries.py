@@ -4204,6 +4204,54 @@ def q_google_campaign_master(spark: SparkSession, sf_dir: str) -> DataFrame:
     return google_campaign_master(campaign, _google_account(spark))
 
 
+def q_searchad_contract_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """searchad__contract_master (marts/masters): contract -> adgroup
+    -> campaign -> account chain, three label maps, cancel-date sort
+    penalty (dbt searchad__contract_master.sql:19-70)."""
+    from linkmerce_spark.marts.masters import searchad_contract_master
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    contract = orders.filter(ok % 8 == 0).select(
+        (ok % 4).cast("int").alias("customer_id"),
+        F.concat(F.lit("grp"), (ok % 30).cast("string")).alias("adgroup_id"),
+        F.concat(F.lit("sct"), ok.cast("string")).alias("contract_id"),
+        F.concat(F.lit("contract "), (ok % 18).cast("string")).alias(
+            "contract_name"
+        ),
+        (ok % 3).cast("int").alias("contract_type"),
+        ((ok % 50) * 10000).cast("long").alias("contract_amount"),
+        d.alias("contract_start_date"),
+        F.date_add(d, 90).alias("contract_end_date"),
+        F.date_add(d, 7).alias("exposure_start_date"),
+        F.date_add(d, 83).alias("exposure_end_date"),
+        F.when(ok % 5 == 0, F.date_add(d, 10))
+        .otherwise(F.lit(None).cast("date"))
+        .alias("cancel_date"),
+    )
+    adgroup = spark.range(0, 30, 1, 1).select(
+        F.concat(F.lit("grp"), F.col("id").cast("string")).alias("adgroup_id"),
+        F.concat(F.lit("adgroup "), F.col("id").cast("string")).alias(
+            "adgroup_name"
+        ),
+        F.concat(F.lit("cmp"), (F.col("id") % 12).cast("string")).alias(
+            "campaign_id"
+        ),
+        (F.col("id") % 12).cast("int").alias("adgroup_type"),
+    )
+    campaign = spark.range(0, 12, 1, 1).select(
+        F.concat(F.lit("cmp"), F.col("id").cast("string")).alias("campaign_id"),
+        F.concat(F.lit("campaign "), F.col("id").cast("string")).alias(
+            "campaign_name"
+        ),
+        (F.col("id") % 15).cast("int").alias("campaign_type"),
+    )
+    return searchad_contract_master(
+        contract, adgroup, campaign, _searchad_account(spark)
+    )
+
+
 # ----------------------------------------- product-family masters
 def _smt_channel_dim(spark: SparkSession) -> DataFrame:
     i = F.col("id")
@@ -5050,6 +5098,7 @@ QUERIES = {
     "rfm_order_count": q_rfm_order_count,
     "stock_time_ds": q_stock_time_ds,
     "stock_report_ds": q_stock_report_ds,
+    "searchad_contract_master": q_searchad_contract_master,
     # -- round-1 sentinels displaced by the round-4 additions (next
     # rotation's first candidates alongside the rotated-out greens)
     "distinct_segments": q_distinct_segments,
