@@ -37,7 +37,12 @@ from pyspark.sql.functions import broadcast
 
 from linkmerce_spark.operators.rangejoin import effective_dated_join
 
-__all__ = ["ranged_bundle_relation", "insight_daily", "FALLBACK_BUNDLE"]
+__all__ = [
+    "ranged_bundle_relation",
+    "insight_daily",
+    "dable_report_daily",
+    "FALLBACK_BUNDLE",
+]
 
 FALLBACK_BUNDLE = "200000"  # searchad__insight_daily.sql:76 catch-all bucket
 
@@ -234,5 +239,82 @@ def insight_daily(
         "device_type",
         F.col("final_product_id").alias("product_id"),
         *[_alloc(m) for m in _MEASURES],
+        "ymd",
+    )
+
+
+_DABLE_MEASURES = [
+    "expose_count",
+    "impression_count",
+    "click_count",
+    "ad_cost",
+    "conv_count",
+]
+
+
+def dable_report_daily(
+    report: DataFrame,
+    ranged_rel: DataFrame,
+    renewal: DataFrame,
+    start_date: str,
+    end_date: str,
+) -> DataFrame:
+    """dable__report_daily (dbt_postgres/models/intermediate/ads/
+    dable__report_daily.sql:14-93): effective-dated campaign-level
+    bundle attach (platform pre-filtered by the caller), ANY_VALUE
+    pre-rollup at (ymd, campaign), ordinality explode with the renewal
+    remap, and the DIV/MOD equal split with the offset-0 remainder.
+
+    Scale notes: the relation/renewal dims broadcast (interval join on
+    a broadcast frame, no range shuffle); one rollup shuffle at
+    (ymd, campaign); the allocation is pure integer arithmetic.
+    """
+    rel = ranged_rel.select(
+        F.col("ad_id").alias("campaign_id"),
+        "bundle_product_ids",
+        "start_date",
+        "end_date",
+    )
+    fact = report.filter(
+        F.col("ymd").between(
+            F.lit(start_date).cast("date"), F.lit(end_date).cast("date")
+        )
+    )
+    fact = effective_dated_join(
+        fact,
+        rel.withColumnRenamed("bundle_product_ids", "__bundle"),
+        ["campaign_id"],
+        "ymd",
+    )
+    grain = (
+        fact.withColumn(
+            "__b", F.coalesce("__bundle", F.lit(FALLBACK_BUNDLE))
+        )
+        .groupBy("ymd", "campaign_id")
+        .agg(
+            F.min("__b").alias("bundle_product_ids"),  # ANY_VALUE, pinned
+            *[F.sum(m).alias(m) for m in _DABLE_MEASURES],
+        )
+    )
+    exploded = grain.select(
+        "*",
+        F.posexplode(F.split("bundle_product_ids", ",")).alias(
+            "bundle_product_offset", "bundle_product_id"
+        ),
+    ).withColumn(
+        "bundle_product_count", F.size(F.split("bundle_product_ids", ","))
+    )
+    remapped = exploded.join(
+        broadcast(renewal),
+        (F.col("bundle_product_id") == F.col("product_id_new"))
+        & (F.col("ymd") < F.col("renewal_date")),
+        "left",
+    ).withColumn(
+        "final_product_id", F.coalesce("product_id_old", "bundle_product_id")
+    )
+    return remapped.select(
+        "campaign_id",
+        F.col("final_product_id").alias("product_id"),
+        *[_alloc(m) for m in _DABLE_MEASURES],
         "ymd",
     )

@@ -45,9 +45,15 @@ __all__ = [
     "max_delivery_fee",
     "sku_quantity",
     "opt_to_sbn_relation",
+    "smartstore_sales_daily",
 ]
 
 OPEN_TIER_MAX = 9999  # smartstore__sales_daily.sql:23
+
+
+def _first_token(col: Column | str, sep: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.try_element_at(F.split(c, sep), F.lit(1))
 
 
 def delivery_tiers(dlv: DataFrame) -> DataFrame:
@@ -353,3 +359,221 @@ def opt_to_sbn_relation(
         )
     )
     return existing_rel.select("option_id", "bundle_product_ids").unionByName(best)
+
+
+def smartstore_sales_daily(
+    order_detail: DataFrame,
+    order_delivery: DataFrame,
+    order_status_smt: DataFrame,
+    order_status_cor: DataFrame,
+    opt_rel: DataFrame,
+    channel: DataFrame,
+    ecount: DataFrame,
+    item: DataFrame,
+    cj_inv: DataFrame,
+    cj_ord: DataFrame,
+    unit: DataFrame,
+    tiers: DataFrame,
+    start_date: str,
+    end_date: str,
+) -> DataFrame:
+    """smartstore__sales_daily end-to-end (dbt_postgres/models/
+    intermediate/sales/smartstore/smartstore__sales_daily.sql:49-396):
+
+    1. order prep: ANY_VALUE invoice per product order, MAX smartstore
+       status, MAX core status (numeric ids, '스마트스토어' only) over
+       the half-open timestamp window;
+    2. bundle rows: relation > channel-brand > 200000 COALESCE, the
+       delivery_type 7 passthrough, the status precedence CASE
+       (core > smartstore remap 7->1 / 5->2 / {6,8}->3 > 0), payment =
+       (unit+option)*qty - seller discount;
+    3. explode + cost attach with the 9-prefix status-6 promotion and
+       the status-6 zero cost_amount;
+    4. payment/supply cost-weight split per product order
+       (``split_by_cost_weight``);
+    5. CJ delivery COALESCE chain (invoice > order > own > 0) +
+       delivery quantity (``with_cj_delivery`` from marts/total_order —
+       the sabangnet step is the same SQL);
+    6. per-(order, invoice) max-ABS tier fee (``max_delivery_fee`` —
+       delivery_type 7 exercises the N-arrival schedule here);
+    7. fee cost-weight split per (order, invoice);
+    8. (order_date, product, delivery_type, status) daily rollup.
+
+    ``cj_inv``/``cj_ord`` are the cj__invoice / cj__invoice_order TVF
+    outputs — callers widen their window by ±7 days (reference
+    :249-258).
+
+    Scale notes: dims broadcast; the explode fans by bundle size; the
+    allocation windows partition on order-grain keys; the only other
+    shuffles are the three order-prep groupBys and the final rollup.
+    """
+    from linkmerce_spark.marts.total_order import with_cj_delivery
+
+    lo = F.lit(start_date).cast("date").cast("timestamp")
+    hi = F.date_add(F.lit(end_date).cast("date"), 1).cast("timestamp")
+    in_ts = lambda c: (F.col(c) >= lo) & (F.col(c) < hi)  # noqa: E731
+
+    dlv = (
+        order_delivery.filter(in_ts("payment_dt"))
+        .groupBy("product_order_id")
+        .agg(F.any_value("invoice_no").alias("__d_inv"))
+        .withColumnRenamed("product_order_id", "__d_poid")
+    )
+    st_smt = (
+        order_status_smt.filter(in_ts("payment_dt"))
+        .groupBy("product_order_id")
+        .agg(F.max("order_status").alias("__s_smt"))
+        .withColumnRenamed("product_order_id", "__s_poid")
+    )
+    st_cor = (
+        order_status_cor.filter(
+            F.col("order_date").between(
+                F.lit(start_date).cast("date"), F.lit(end_date).cast("date")
+            )
+            & (F.col("shop_name") == "스마트스토어")
+            & F.col("order_id").rlike("^[0-9]+$")
+        )
+        .groupBy(F.col("order_id").cast("bigint").alias("__c_oid"))
+        .agg(F.max("order_status").alias("__s_cor"))
+    )
+    rel = broadcast(
+        opt_rel.select(
+            F.col("option_id").alias("__r_opt"),
+            F.col("bundle_product_ids").alias("__r_bundle"),
+        )
+    )
+    chl = broadcast(
+        channel.select(
+            F.col("channel_seq").alias("__ch_seq"),
+            F.col("brand_id").alias("__ch_brand"),
+        )
+    )
+    status = (
+        F.when(F.col("__s_cor").isNotNull(), F.col("__s_cor"))
+        .when(F.col("__s_smt") == 7, F.lit(1))
+        .when(F.col("__s_smt") == 5, F.lit(2))
+        .when(F.col("__s_smt").isin(6, 8), F.lit(3))
+        .otherwise(F.lit(0))
+    )
+    bundle = (
+        order_detail.filter(in_ts("payment_dt"))
+        .join(broadcast(dlv), F.col("product_order_id") == F.col("__d_poid"), "left")
+        .join(rel, F.col("option_id") == F.col("__r_opt"), "left")
+        .join(chl, F.col("channel_seq") == F.col("__ch_seq"), "left")
+        .join(
+            broadcast(st_smt),
+            F.col("product_order_id") == F.col("__s_poid"),
+            "left",
+        )
+        .join(broadcast(st_cor), F.col("order_id") == F.col("__c_oid"), "left")
+        .select(
+            "order_id",
+            "product_order_id",
+            F.coalesce("__d_inv", F.lit("-")).alias("invoice_no"),
+            F.coalesce("__r_bundle", "__ch_brand", F.lit("200000")).alias(
+                "bundle_product_ids"
+            ),
+            F.when(F.col("delivery_type") == 7, F.lit(7))
+            .otherwise(F.lit(0))
+            .alias("delivery_type"),
+            status.alias("order_status"),
+            F.coalesce("order_quantity", F.lit(0)).alias("order_quantity"),
+            (
+                (
+                    F.coalesce("unit_price", F.lit(0))
+                    + F.coalesce("option_price", F.lit(0))
+                )
+                * F.coalesce("order_quantity", F.lit(0))
+                - F.coalesce("seller_discount_amount", F.lit(0))
+            ).alias("payment_amount"),
+            F.coalesce("supply_amount", F.lit(0)).alias("supply_amount"),
+            F.col("payment_dt").cast("date").alias("order_date"),
+        )
+    )
+    prd = broadcast(
+        ecount.select(
+            F.col("product_id").alias("__ec_pid"),
+            F.col("org_price").alias("__ec_price"),
+        )
+    )
+    itm = broadcast(
+        item.select(
+            F.col("product_id").alias("__it_pid"),
+            F.col("org_price").alias("__it_price"),
+            F.col("extra_cost").alias("__it_extra"),
+            F.col("delivery_group").alias("__it_group"),
+            F.col("delivery_fee").alias("__it_fee"),
+        )
+    )
+    pid = _first_token(F.col("bundle_product"), ":")
+    exploded = (
+        bundle.select(
+            "*",
+            F.explode(F.split("bundle_product_ids", ",")).alias("bundle_product"),
+        )
+        .join(prd, pid == F.col("__ec_pid"), "left")
+        .join(itm, pid == F.col("__it_pid"), "left")
+        .select(
+            "order_id",
+            "product_order_id",
+            "invoice_no",
+            pid.alias("product_id"),
+            "delivery_type",
+            F.when(
+                (F.col("order_status") == 0)
+                & (F.substring("bundle_product", 1, 1) == "9"),
+                F.lit(6),
+            )
+            .otherwise(F.col("order_status"))
+            .alias("order_status"),
+            (sku_quantity("bundle_product", "order_quantity")),
+            "payment_amount",
+            "supply_amount",
+            (
+                F.coalesce("__ec_price", "__it_price", F.lit(0))
+                + F.coalesce("__it_extra", F.lit(0))
+            ).alias("org_price"),
+            F.coalesce("__it_group", F.lit("-")).alias("delivery_group"),
+            F.coalesce("__it_fee", F.lit(0)).alias("delivery_fee"),
+            "order_date",
+        )
+        .withColumn(
+            "cost_amount",
+            F.when(F.col("order_status") == 6, F.lit(0)).otherwise(
+                F.col("org_price") * F.col("sku_quantity")
+            ),
+        )
+    )
+    split = split_by_cost_weight(
+        exploded, ["product_order_id"], ["payment_amount", "supply_amount"]
+    )
+    dlv2 = with_cj_delivery(split, cj_inv, cj_ord, unit)
+    fee = max_delivery_fee(dlv2, tiers)
+    fee_map = fee.select(
+        F.col("order_id").alias("__f_oid"),
+        F.col("invoice_no").alias("__f_inv"),
+        F.col("delivery_fee").alias("__f_fee"),
+    )
+    attached = (
+        dlv2.drop("delivery_fee")
+        .join(
+            broadcast(fee_map),
+            (F.col("order_id") == F.col("__f_oid"))
+            & (F.col("invoice_no") == F.col("__f_inv")),
+            "left",
+        )
+        .withColumn("delivery_fee", F.col("__f_fee"))
+        .drop("__f_oid", "__f_inv", "__f_fee")
+    )
+    final = split_by_cost_weight(
+        attached, ["order_id", "invoice_no"], ["delivery_fee"]
+    )
+    return final.groupBy(
+        "order_date", "product_id", "delivery_type", "order_status"
+    ).agg(
+        F.sum("sku_quantity").alias("sku_quantity"),
+        F.sum("payment_amount").alias("payment_amount"),
+        F.sum("supply_amount").alias("supply_amount"),
+        F.sum("supply_cost").alias("supply_cost"),
+        F.sum("delivery_fee").alias("delivery_fee"),
+    )

@@ -55,6 +55,8 @@ __all__ = [
     "stock_time_ds",
     "stock_report_ds",
     "rfm_stock_qty_batch",
+    "ecount_stock_qty_batch",
+    "cj_eflexs_stock_qty_batch",
 ]
 
 
@@ -688,4 +690,74 @@ def rfm_stock_qty_batch(
     )
     return rows.groupBy("ymd", "batch", "product_id", "expiration_date").agg(
         F.sum("stock_quantity").alias("stock_quantity")
+    )
+
+
+def ecount_stock_qty_batch(
+    inventory: DataFrame, start_date: str, end_date: str
+) -> DataFrame:
+    """ecount__stock_qty_batch (dbt_postgres/models/intermediate/stock/
+    sources/ecount__stock_qty_batch.sql:14-29): 17:00 batch split over
+    the half-open timestamp window, (ymd, batch, product_code) rollup."""
+    u = F.col("updated_at")
+    lo = F.lit(start_date).cast("date").cast("timestamp")
+    hi = F.date_add(F.lit(end_date).cast("date"), 1).cast("timestamp")
+    return (
+        inventory.filter((u >= lo) & (u < hi))
+        .select(
+            u.cast("date").alias("ymd"),
+            F.when(F.date_format(u, "HH:mm:ss") < "17:00:00", F.lit(10))
+            .otherwise(F.lit(20))
+            .alias("batch"),
+            "product_code",
+            "quantity",
+        )
+        .groupBy("ymd", "batch", "product_code")
+        .agg(F.sum("quantity").alias("stock_quantity"))
+    )
+
+
+def cj_eflexs_stock_qty_batch(
+    stock: DataFrame, core_item: DataFrame, start_date: str, end_date: str
+) -> DataFrame:
+    """cj_eflexs__stock_qty_batch (dbt_postgres/models/intermediate/
+    stock/sources/cj_eflexs__stock_qty_batch.sql:14-45): the item
+    mapping is the DISTINCT trim-exploded eflexs_item_code CSV from the
+    core item catalog; unmapped codes fall to 200000, NULL validate
+    dates to the 2999-12-31 sentinel.
+
+    Scale: the item mapping is a dim (broadcast); one rollup shuffle.
+    """
+    mapping = broadcast(
+        core_item.filter(F.col("product_id").isNotNull())
+        .select(
+            "product_id",
+            F.explode(
+                F.split(F.coalesce("eflexs_item_code", F.lit("")), ",")
+            ).alias("item_code_raw"),
+        )
+        .select("product_id", F.trim("item_code_raw").alias("item_code"))
+        .filter(F.col("item_code") != "")
+        .distinct()
+        .withColumnRenamed("item_code", "__m_code")
+    )
+    u = F.col("updated_at")
+    lo = F.lit(start_date).cast("date").cast("timestamp")
+    hi = F.date_add(F.lit(end_date).cast("date"), 1).cast("timestamp")
+    return (
+        stock.filter((u >= lo) & (u < hi))
+        .join(mapping, F.col("item_code") == F.col("__m_code"), "left")
+        .select(
+            u.cast("date").alias("ymd"),
+            F.when(F.date_format(u, "HH:mm:ss") < "17:00:00", F.lit(10))
+            .otherwise(F.lit(20))
+            .alias("batch"),
+            F.coalesce("product_id", F.lit("200000")).alias("product_id"),
+            F.coalesce(F.col("validate_date"), F.lit("2999-12-31").cast("date")).alias(
+                "expiration_date"
+            ),
+            "usable_quantity",
+        )
+        .groupBy("ymd", "batch", "product_id", "expiration_date")
+        .agg(F.sum("usable_quantity").alias("stock_quantity"))
     )

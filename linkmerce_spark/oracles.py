@@ -5170,3 +5170,361 @@ LEFT JOIN ctype ct ON cmp.campaign_type = ct.code
 LEFT JOIN gtype gt ON grp.adgroup_type = gt.code
 LEFT JOIN ttype tt ON sad.contract_type = tt.code
 """
+
+# --- smartstore sales daily (full chain) ---------------------------------
+# smartstore__sales_daily.sql:49-396 end-to-end; window 1996-02-01..
+# 1996-03-31, CJ TVFs widened ±7 days (01-25..04-07).
+ORACLES["smartstore_sales_daily"] = f"""
+WITH od AS (
+  SELECT o_orderkey AS product_order_id,
+    o_orderkey - o_orderkey % 9 AS order_id,
+    CAST(o_orderkey % 6 AS INT) AS channel_seq,
+    'so' || CAST(o_orderkey % 40 AS VARCHAR) AS option_id,
+    CASE WHEN o_orderkey % 6 = 0 THEN 7 ELSE CAST(o_orderkey % 3 AS INT) END AS delivery_type,
+    (o_orderkey % 70) * 100 AS unit_price,
+    (o_orderkey % 15) * 50 AS option_price,
+    o_orderkey % 4 AS order_quantity,
+    (o_orderkey % 5) * 20 AS seller_discount_amount,
+    CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(2,1))) AS BIGINT) AS supply_amount,
+    CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)
+      + to_seconds(CAST(o_orderkey % 86400 AS BIGINT)) AS payment_dt
+  FROM orders WHERE o_orderkey % 2 = 0
+), odlv AS (
+  SELECT product_order_id, ANY_VALUE(invoice_no) AS invoice_no FROM (
+    SELECT o_orderkey AS product_order_id,
+      'LP' || CAST(o_orderkey % 600 AS VARCHAR) || 'X' AS invoice_no,
+      CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)
+        + to_seconds(CAST(o_orderkey % 86400 AS BIGINT)) AS payment_dt
+    FROM orders WHERE o_orderkey % 4 = 0
+  ) WHERE payment_dt >= TIMESTAMP '1996-02-01 00:00:00'
+      AND payment_dt < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1
+), st_smt AS (
+  SELECT product_order_id, MAX(order_status) AS order_status FROM (
+    SELECT o_orderkey AS product_order_id,
+      CAST(o_orderkey % 9 AS INT) AS order_status,
+      CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)
+        + to_seconds(CAST(o_orderkey % 86400 AS BIGINT)) AS payment_dt
+    FROM orders WHERE o_orderkey % 3 = 0
+  ) WHERE payment_dt >= TIMESTAMP '1996-02-01 00:00:00'
+      AND payment_dt < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1
+), st_cor AS (
+  SELECT CAST(order_id AS BIGINT) AS order_id, MAX(order_status) AS order_status FROM (
+    SELECT CASE WHEN o_orderkey % 7 = 0
+                THEN 'X' || CAST(o_orderkey - o_orderkey % 9 AS VARCHAR)
+                ELSE CAST(o_orderkey - o_orderkey % 9 AS VARCHAR) END AS order_id,
+      CAST(o_orderkey % 4 AS INT) AS order_status,
+      CAST(o_orderdate AS DATE) AS order_date,
+      CASE WHEN o_orderkey % 11 = 0 THEN '쿠팡' ELSE '스마트스토어' END AS shop_name
+    FROM orders WHERE o_orderkey % 5 = 0
+  ) WHERE order_date BETWEEN DATE '1996-02-01' AND DATE '1996-03-31'
+      AND shop_name = '스마트스토어' AND regexp_matches(order_id, '^[0-9]+$')
+  GROUP BY 1
+), opt_rel(option_id, bundle_product_ids) AS (VALUES
+  {_sql_rows(_q.SMT_SD_REL)}
+), channel AS (
+  SELECT CAST(i AS INT) AS channel_seq,
+    '2' || CAST((i * 7) % 60 AS VARCHAR) AS brand_id
+  FROM range(6) t(i)
+), ecount(product_id, org_price) AS (VALUES
+  {_sql_rows(_q.SMT_SD_ECOUNT)}
+), item(product_id, org_price, extra_cost, delivery_group, delivery_fee) AS (VALUES
+  {_sql_rows(_q.SMT_SD_ITEM)}
+), unit(product_id, unit) AS (VALUES
+  {_sql_rows(_q.SMT_SD_UNIT)}
+), {_TIERS_CTE.strip().lstrip()},
+lois AS (
+  SELECT replace('LP-' || CAST(o_orderkey % 600 AS VARCHAR) || '-X', '-', '') AS invoice_no,
+    COALESCE(CASE WHEN o_orderkey % 6 = 0 THEN NULL
+                  ELSE CAST(o_orderkey % 400 AS VARCHAR) END, 'none') AS order_id,
+    SUM((o_orderkey % 8) * 100) AS delivery_fee,
+    CAST(0 AS BIGINT) AS box_cost
+  FROM orders WHERE o_orderkey % 4 = 1
+    AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-25' AND DATE '1996-04-07'
+  GROUP BY 1, 2
+), eflexs AS (
+  SELECT 'LP' || CAST(o_orderkey % 600 AS VARCHAR) || 'X' AS invoice_no,
+    CAST(o_orderkey % 400 AS VARCHAR) AS order_id,
+    SUM((o_orderkey % 6) * 80) AS delivery_fee,
+    CAST(SUM((o_orderkey % 3) * 40) AS BIGINT) AS box_cost
+  FROM orders WHERE o_orderkey % 4 = 3
+    AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-25' AND DATE '1996-04-07'
+  GROUP BY 1, 2
+), cj_u AS (SELECT * FROM lois UNION ALL SELECT * FROM eflexs),
+cj_inv AS (
+  SELECT invoice_no, SUM(delivery_fee) AS delivery_fee, SUM(box_cost) AS box_cost
+  FROM cj_u GROUP BY 1
+), cj_ord AS (
+  SELECT TRY_CAST(order_id AS BIGINT) AS order_id,
+    SUM(delivery_fee) AS delivery_fee, SUM(box_cost) AS box_cost
+  FROM cj_u WHERE order_id != 'none' GROUP BY order_id
+), bundle AS (
+  SELECT od.order_id, od.product_order_id,
+    COALESCE(dlv.invoice_no, '-') AS invoice_no,
+    COALESCE(rel.bundle_product_ids, chl.brand_id, '200000') AS bundle_product_ids,
+    CASE WHEN od.delivery_type = 7 THEN 7 ELSE 0 END AS delivery_type,
+    CASE WHEN sc.order_status IS NOT NULL THEN sc.order_status
+         WHEN ss.order_status = 7 THEN 1
+         WHEN ss.order_status = 5 THEN 2
+         WHEN ss.order_status IN (6, 8) THEN 3
+         ELSE 0 END AS order_status,
+    COALESCE(od.order_quantity, 0) AS order_quantity,
+    (COALESCE(od.unit_price, 0) + COALESCE(od.option_price, 0))
+      * COALESCE(od.order_quantity, 0)
+      - COALESCE(od.seller_discount_amount, 0) AS payment_amount,
+    COALESCE(od.supply_amount, 0) AS supply_amount,
+    CAST(od.payment_dt AS DATE) AS order_date
+  FROM od
+  LEFT JOIN odlv dlv ON od.product_order_id = dlv.product_order_id
+  LEFT JOIN opt_rel rel ON od.option_id = rel.option_id
+  LEFT JOIN channel chl ON od.channel_seq = chl.channel_seq
+  LEFT JOIN st_smt ss ON od.product_order_id = ss.product_order_id
+  LEFT JOIN st_cor sc ON od.order_id = sc.order_id
+  WHERE od.payment_dt >= TIMESTAMP '1996-02-01 00:00:00'
+    AND od.payment_dt < TIMESTAMP '1996-04-01 00:00:00'
+), exploded AS (
+  SELECT *,
+    CASE WHEN order_status = 6 THEN 0 ELSE org_price * sku_quantity END AS cost_amount
+  FROM (
+    SELECT b.order_id, b.product_order_id, b.invoice_no,
+      split_part(b.bundle_product, ':', 1) AS product_id,
+      b.delivery_type,
+      CASE WHEN b.order_status = 0 AND left(b.bundle_product, 1) = '9' THEN 6
+           ELSE b.order_status END AS order_status,
+      (CASE WHEN regexp_matches(split_part(b.bundle_product, ':', 2), '^[0-9]+$')
+            THEN CAST(split_part(b.bundle_product, ':', 2) AS INT) ELSE 1 END)
+        * b.order_quantity AS sku_quantity,
+      b.payment_amount, b.supply_amount,
+      COALESCE(ec.org_price, it.org_price, 0) + COALESCE(it.extra_cost, 0) AS org_price,
+      COALESCE(it.delivery_group, '-') AS delivery_group,
+      COALESCE(it.delivery_fee, 0) AS delivery_fee,
+      b.order_date
+    FROM (SELECT *, UNNEST(string_split(bundle_product_ids, ',')) AS bundle_product
+          FROM bundle) b
+    LEFT JOIN ecount ec ON split_part(b.bundle_product, ':', 1) = ec.product_id
+    LEFT JOIN item it ON split_part(b.bundle_product, ':', 1) = it.product_id
+  )
+), amarked AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY product_order_id) AS n,
+    SUM(cost_amount) OVER (PARTITION BY product_order_id) AS total_cost,
+    ROW_NUMBER() OVER (PARTITION BY product_order_id ORDER BY product_id ASC) AS rn
+  FROM exploded
+), asplit AS (
+  SELECT *,
+    COALESCE(CAST(FLOOR(payment_amount * (cost_amount / NULLIF(total_cost, 0)) + 0.5) AS BIGINT), 0) AS pay_split,
+    COALESCE(CAST(FLOOR(supply_amount * (cost_amount / NULLIF(total_cost, 0)) + 0.5) AS BIGINT), 0) AS sup_split
+  FROM amarked
+), split AS (
+  SELECT * REPLACE (
+    CASE WHEN n > 1 THEN
+      (CASE WHEN rn = 1 THEN payment_amount - SUM(pay_split) OVER (PARTITION BY product_order_id) ELSE 0 END) + pay_split
+    ELSE payment_amount END AS payment_amount,
+    CASE WHEN n > 1 THEN
+      (CASE WHEN rn = 1 THEN supply_amount - SUM(sup_split) OVER (PARTITION BY product_order_id) ELSE 0 END) + sup_split
+    ELSE supply_amount END AS supply_amount)
+  FROM asplit
+), dlv2 AS (
+  SELECT s.order_id, s.product_order_id, s.invoice_no, s.product_id,
+    s.delivery_type, s.order_status, s.sku_quantity, s.payment_amount,
+    s.supply_amount, s.org_price, s.delivery_group, s.order_date,
+    s.cost_amount,
+    s.org_price * s.sku_quantity AS supply_cost,
+    s.sku_quantity * COALESCE(un.unit, 1) AS delivery_quantity,
+    COALESCE(ci.delivery_fee, co.delivery_fee, s.delivery_fee, 0) AS delivery_fee,
+    COALESCE(ci.box_cost, co.box_cost, 0) AS box_cost
+  FROM split s
+  LEFT JOIN cj_inv ci ON s.invoice_no = ci.invoice_no
+  LEFT JOIN cj_ord co ON s.order_id = co.order_id
+  LEFT JOIN unit un ON s.product_id = un.product_id
+), fee_agg AS (
+  SELECT order_id, invoice_no, delivery_group,
+    MAX(delivery_type) AS delivery_type,
+    MAX(delivery_fee) AS delivery_fee, SUM(box_cost) AS box_cost,
+    COALESCE(SUM(delivery_quantity), 0) AS delivery_quantity
+  FROM dlv2 GROUP BY 1, 2, 3
+), fee_scored AS (
+  SELECT f.order_id, f.invoice_no, f.delivery_group,
+    CASE WHEN t.delivery_group IS NULL THEN f.delivery_fee
+         WHEN f.delivery_fee > 0 THEN f.delivery_fee
+              + (CASE WHEN f.box_cost > 0 THEN f.box_cost ELSE t.extra_cost END)
+         WHEN f.delivery_type = 7 THEN t.n_arrival_fee
+              + t.n_arrival_add * (f.delivery_quantity - t.min_unit)
+         ELSE t.delivery_fee + t.extra_cost END AS fee
+  FROM fee_agg f LEFT JOIN tiers t
+    ON f.delivery_group = t.delivery_group
+   AND f.delivery_quantity BETWEEN t.min_unit AND t.max_unit
+), fee_top AS (
+  SELECT order_id, invoice_no, fee FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY order_id, invoice_no
+      ORDER BY ABS(fee) DESC, fee DESC, delivery_group ASC) AS frn
+    FROM fee_scored) WHERE frn = 1
+), attached AS (
+  SELECT d.* REPLACE (ft.fee AS delivery_fee),
+    COUNT(*) OVER (PARTITION BY d.order_id, d.invoice_no) AS fn,
+    SUM(d.cost_amount) OVER (PARTITION BY d.order_id, d.invoice_no) AS ftotal_cost,
+    ROW_NUMBER() OVER (PARTITION BY d.order_id, d.invoice_no ORDER BY d.product_id ASC) AS frn
+  FROM dlv2 d LEFT JOIN fee_top ft
+    ON d.order_id = ft.order_id AND d.invoice_no = ft.invoice_no
+), fsplit AS (
+  SELECT *,
+    COALESCE(CAST(FLOOR(delivery_fee * (cost_amount / NULLIF(ftotal_cost, 0)) + 0.5) AS BIGINT), 0) AS f_split
+  FROM attached
+), final AS (
+  SELECT * REPLACE (
+    CASE WHEN fn > 1 THEN
+      (CASE WHEN frn = 1 THEN delivery_fee - SUM(f_split) OVER (PARTITION BY order_id, invoice_no) ELSE 0 END) + f_split
+    ELSE delivery_fee END AS delivery_fee)
+  FROM fsplit
+)
+SELECT order_date, product_id, delivery_type, order_status,
+  CAST(SUM(sku_quantity) AS BIGINT) AS sku_quantity,
+  CAST(SUM(payment_amount) AS BIGINT) AS payment_amount,
+  CAST(SUM(supply_amount) AS BIGINT) AS supply_amount,
+  CAST(SUM(supply_cost) AS BIGINT) AS supply_cost,
+  CAST(SUM(delivery_fee) AS BIGINT) AS delivery_fee
+FROM final
+GROUP BY 1, 2, 3, 4
+"""
+
+# --- remaining source models + opex --------------------------------------
+ORACLES["opex_daily"] = f"""
+WITH opex(expense_id, expense_name, dept_id, brand_id, amount,
+          start_date, end_date) AS (VALUES
+  {_sql_rows(_q.OPEX_ROWS)}
+), src AS (
+  SELECT expense_id, expense_name, dept_id, brand_id, amount,
+    COALESCE(start_date, end_date) AS start_date, end_date,
+    datediff('day', COALESCE(start_date, end_date), end_date) + 1 AS date_count
+  FROM opex
+), ex AS (
+  SELECT *, UNNEST(range(0, date_count)) AS date_offset FROM src
+)
+SELECT expense_id, expense_name, dept_id, brand_id,
+  CAST(amount // date_count
+    + (CASE WHEN date_offset = 0 THEN amount % date_count ELSE 0 END) AS BIGINT) AS amount,
+  start_date + CAST(date_offset AS INT) AS ymd
+FROM ex
+"""
+
+ORACLES["ecount_stock_qty_batch"] = """
+WITH inv AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)
+      + to_seconds(CAST(o_orderkey % 86400 AS BIGINT)) AS updated_at,
+    'pc' || CAST(o_orderkey % 800 AS VARCHAR) AS product_code,
+    CAST(o_orderkey % 60 AS BIGINT) AS quantity
+  FROM orders
+)
+SELECT CAST(updated_at AS DATE) AS ymd,
+  CASE WHEN strftime(updated_at, '%H:%M:%S') < '17:00:00' THEN 10 ELSE 20 END AS batch,
+  product_code, CAST(SUM(quantity) AS BIGINT) AS stock_quantity
+FROM inv
+WHERE updated_at >= TIMESTAMP '1996-01-01 00:00:00'
+  AND updated_at < TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+ORACLES["cj_eflexs_stock_qty_batch"] = f"""
+WITH core_item(product_id, eflexs_item_code) AS (VALUES
+  {_sql_rows(_q.CJE_ITEM_CODES)}
+), mapping AS (
+  SELECT DISTINCT product_id, trim(item_code) AS item_code FROM (
+    SELECT product_id,
+      UNNEST(string_split(COALESCE(eflexs_item_code, ''), ',')) AS item_code
+    FROM core_item WHERE product_id IS NOT NULL
+  ) WHERE trim(item_code) != ''
+), stock AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)
+      + to_seconds(CAST(o_orderkey % 86400 AS BIGINT)) AS updated_at,
+    printf('EF%03d', o_orderkey % 300) AS item_code,
+    CASE WHEN o_orderkey % 6 = 0 THEN NULL
+         ELSE make_date(1997, CAST(o_orderkey % 12 + 1 AS INT),
+                        CAST(o_orderkey % 28 + 1 AS INT)) END AS validate_date,
+    CAST(o_orderkey % 45 AS BIGINT) AS usable_quantity
+  FROM orders
+)
+SELECT CAST(s.updated_at AS DATE) AS ymd,
+  CASE WHEN strftime(s.updated_at, '%H:%M:%S') < '17:00:00' THEN 10 ELSE 20 END AS batch,
+  COALESCE(m.product_id, '200000') AS product_id,
+  COALESCE(s.validate_date, DATE '2999-12-31') AS expiration_date,
+  CAST(SUM(s.usable_quantity) AS BIGINT) AS stock_quantity
+FROM stock s LEFT JOIN mapping m ON s.item_code = m.item_code
+WHERE s.updated_at >= TIMESTAMP '1996-01-01 00:00:00'
+  AND s.updated_at < TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY 1, 2, 3, 4
+"""
+
+ORACLES["dable_report_daily"] = f"""
+WITH report AS (
+  SELECT 'dc' || CAST(o_orderkey % 9 AS VARCHAR) AS campaign_id,
+    CAST(o_orderkey % 300 AS BIGINT) AS expose_count,
+    CAST(o_orderkey % 250 AS BIGINT) AS impression_count,
+    CAST(o_orderkey % 25 AS BIGINT) AS click_count,
+    CAST((o_orderkey % 50) * 10 AS BIGINT) AS ad_cost,
+    CAST(o_orderkey % 5 AS BIGINT) AS conv_count,
+    CAST(o_orderdate AS DATE) AS ymd
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+), flat(campaign_id, bundle_product_ids) AS (VALUES
+  ('dc0', '100863,100170'), ('dc2', '100088'),
+  ('dc4', '100171,100088,100863'), ('dc6', '100172')
+), flagged AS (
+  SELECT *, list_contains(string_split(bundle_product_ids, ','), '100088') AS has_pivot
+  FROM flat
+), rel AS (
+  SELECT campaign_id, bundle_product_ids,
+    DATE '2000-01-01' AS start_date, DATE '2999-12-31' AS end_date
+  FROM flagged WHERE NOT has_pivot
+  UNION ALL
+  SELECT campaign_id, bundle_product_ids, DATE '2000-01-01', DATE '1996-02-29'
+  FROM flagged WHERE has_pivot
+  UNION ALL
+  SELECT campaign_id,
+    CASE WHEN bundle_product_ids = '100088' THEN '100081,100082'
+         ELSE NULLIF(array_to_string(
+                list_filter(string_split(bundle_product_ids, ','), x -> x <> '100088'),
+                ','), '')
+    END,
+    DATE '1996-03-01', DATE '2999-12-31'
+  FROM flagged WHERE has_pivot
+), renewal(product_id_old, product_id_new, renewal_date) AS (VALUES
+  {_sql_rows(_q.DABLE_RENEWAL)}
+), joined AS (
+  SELECT r.*, rel.bundle_product_ids AS rel_bundle
+  FROM report r LEFT JOIN rel
+    ON r.campaign_id = rel.campaign_id
+   AND r.ymd BETWEEN rel.start_date AND rel.end_date
+), grain AS (
+  SELECT ymd, campaign_id,
+    MIN(COALESCE(rel_bundle, '200000')) AS bundle_product_ids,
+    CAST(SUM(expose_count) AS BIGINT) AS expose_count,
+    CAST(SUM(impression_count) AS BIGINT) AS impression_count,
+    CAST(SUM(click_count) AS BIGINT) AS click_count,
+    CAST(SUM(ad_cost) AS BIGINT) AS ad_cost,
+    CAST(SUM(conv_count) AS BIGINT) AS conv_count
+  FROM joined GROUP BY 1, 2
+), exploded AS (
+  SELECT *,
+    UNNEST(string_split(bundle_product_ids, ',')) AS bundle_product_id,
+    UNNEST(range(0, len(string_split(bundle_product_ids, ',')))) AS bundle_product_offset,
+    len(string_split(bundle_product_ids, ',')) AS bundle_product_count
+  FROM grain
+), remapped AS (
+  SELECT e.*, COALESCE(rn.product_id_old, e.bundle_product_id) AS final_product_id
+  FROM exploded e LEFT JOIN renewal rn
+    ON e.bundle_product_id = rn.product_id_new AND e.ymd < rn.renewal_date
+)
+SELECT campaign_id, final_product_id AS product_id,
+  CAST(expose_count // bundle_product_count
+    + (CASE WHEN bundle_product_offset = 0 THEN expose_count % bundle_product_count ELSE 0 END) AS BIGINT) AS expose_count,
+  CAST(impression_count // bundle_product_count
+    + (CASE WHEN bundle_product_offset = 0 THEN impression_count % bundle_product_count ELSE 0 END) AS BIGINT) AS impression_count,
+  CAST(click_count // bundle_product_count
+    + (CASE WHEN bundle_product_offset = 0 THEN click_count % bundle_product_count ELSE 0 END) AS BIGINT) AS click_count,
+  CAST(ad_cost // bundle_product_count
+    + (CASE WHEN bundle_product_offset = 0 THEN ad_cost % bundle_product_count ELSE 0 END) AS BIGINT) AS ad_cost,
+  CAST(conv_count // bundle_product_count
+    + (CASE WHEN bundle_product_offset = 0 THEN conv_count % bundle_product_count ELSE 0 END) AS BIGINT) AS conv_count,
+  ymd
+FROM remapped
+"""

@@ -5004,6 +5004,274 @@ def q_stock_report_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------- smartstore sales daily (full chain)
+SMT_SD_REL = [
+    (
+        "so" + str(i),
+        "1" + str(i % 80) + "-0001:2,2" + str(i % 60) + "-0002"
+        if i % 8 == 0
+        else ("9" + str(i % 100) + ":1" if i % 12 == 0 else "1" + str(i % 80) + "-0003"),
+    )
+    for i in range(0, 40, 4)
+]
+SMT_SD_ECOUNT = [("1" + str(i), 100 * (i % 9 + 1)) for i in range(0, 80, 5)] + [
+    ("2" + str(i), 150 * (i % 7 + 1)) for i in range(0, 60, 5)
+]
+SMT_SD_ITEM = (
+    [
+        ("1" + str(i), 90 * (i % 8 + 1), (i % 4) * 10,
+         "G1" if i % 2 == 0 else "G2", (i % 5) * 100)
+        for i in range(0, 80, 7)
+    ]
+    + [("9" + str(i), 70, 5, "G1", 0) for i in range(0, 100, 10)]
+    + [("200000", 50, 0, None, 30)]
+)
+SMT_SD_UNIT = [("1" + str(i), i % 3 + 1) for i in range(0, 80, 9)] + [("200000", 2)]
+
+
+def q_smartstore_sales_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """smartstore__sales_daily END-TO-END (marts/smartstore): order
+    prep (invoice/status rollups, numeric-id core status precedence),
+    relation > channel-brand > 200000 bundle COALESCE, explode + cost
+    attach with the 9-prefix promotion, payment/supply cost-weight
+    split, the REAL cj__invoice/cj__invoice_order TVFs at ±7 days,
+    max-ABS tier fee (delivery_type 7 drives the N-arrival schedule),
+    fee split, daily rollup (dbt smartstore__sales_daily.sql:49-396)."""
+    from linkmerce_spark.marts.delivery import cj_invoice, cj_invoice_order
+    from linkmerce_spark.marts.smartstore import smartstore_sales_daily
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    tp = F.col("o_totalprice").cast("decimal(18,2)")
+    grp = k - k % 9
+    pdt = (d.cast("timestamp") + F.make_interval(secs=(k % 86400).cast("int"))).alias(
+        "payment_dt"
+    )
+    order_detail = orders.filter(k % 2 == 0).select(
+        k.alias("product_order_id"),
+        grp.alias("order_id"),
+        (k % 6).cast("int").alias("channel_seq"),
+        F.concat(F.lit("so"), (k % 40).cast("string")).alias("option_id"),
+        F.when(k % 6 == 0, F.lit(7)).otherwise((k % 3).cast("int")).alias(
+            "delivery_type"
+        ),
+        ((k % 70) * 100).alias("unit_price"),
+        ((k % 15) * 50).alias("option_price"),
+        (k % 4).alias("order_quantity"),
+        ((k % 5) * 20).alias("seller_discount_amount"),
+        F.floor(tp * F.lit("0.9").cast("decimal(2,1)")).cast("long").alias(
+            "supply_amount"
+        ),
+        pdt,
+    )
+    order_delivery = orders.filter(k % 4 == 0).select(
+        k.alias("product_order_id"),
+        F.concat(F.lit("LP"), (k % 600).cast("string"), F.lit("X")).alias(
+            "invoice_no"
+        ),
+        pdt,
+    )
+    order_status_smt = orders.filter(k % 3 == 0).select(
+        k.alias("product_order_id"),
+        (k % 9).cast("int").alias("order_status"),
+        pdt,
+    )
+    order_status_cor = orders.filter(k % 5 == 0).select(
+        F.when(k % 7 == 0, F.concat(F.lit("X"), grp.cast("string")))
+        .otherwise(grp.cast("string"))
+        .alias("order_id"),
+        (k % 4).cast("int").alias("order_status"),
+        d.alias("order_date"),
+        F.when(k % 11 == 0, F.lit("쿠팡")).otherwise(F.lit("스마트스토어")).alias(
+            "shop_name"
+        ),
+    )
+    opt_rel = values_df(spark, SMT_SD_REL, "option_id string, bundle_product_ids string")
+    channel = spark.range(0, 6, 1, 1).select(
+        F.col("id").cast("int").alias("channel_seq"),
+        F.concat(F.lit("2"), ((F.col("id") * 7) % 60).cast("string")).alias(
+            "brand_id"
+        ),
+    )
+    ecount = values_df(spark, SMT_SD_ECOUNT, "product_id string, org_price int")
+    item = values_df(
+        spark,
+        SMT_SD_ITEM,
+        "product_id string, org_price int, extra_cost int, delivery_group string, "
+        "delivery_fee int",
+    )
+    unit = values_df(spark, SMT_SD_UNIT, "product_id string, unit int")
+    # CJ feeds: loisparcel invoices carry dashes (stripped by the TVF to
+    # match order_delivery's 'LP<nnn>X'); order ids are canonical
+    # numeric strings compared to the bigint order ids via lossless cast
+    # (the reference compares ::text).
+    lois = orders.filter(k % 4 == 1).select(
+        F.concat(F.lit("LP-"), (k % 600).cast("string"), F.lit("-X")).alias(
+            "invoice_no"
+        ),
+        F.when(k % 6 == 0, F.lit(None).cast("string"))
+        .otherwise((k % 400).cast("string"))
+        .alias("order_id"),
+        ((k % 8) * 100).alias("delivery_fee"),
+        d.alias("register_date"),
+    )
+    eflexs = orders.filter(k % 4 == 3).select(
+        F.concat(F.lit("LP"), (k % 600).cast("string"), F.lit("X")).alias(
+            "invoice_no"
+        ),
+        (k % 400).cast("string").alias("order_id"),
+        ((k % 6) * 80).alias("delivery_fee"),
+        ((k % 3) * 40).alias("box_cost"),
+        d.alias("order_date"),
+    )
+    cj_inv = cj_invoice(lois, eflexs, "1996-02-01", "1996-03-31", lookback_days=7)
+    cj_ord = cj_invoice_order(
+        lois, eflexs, "1996-02-01", "1996-03-31", lookback_days=7
+    ).withColumn("order_id", F.expr("try_cast(order_id AS BIGINT)"))
+    return smartstore_sales_daily(
+        order_detail,
+        order_delivery,
+        order_status_smt,
+        order_status_cor,
+        opt_rel,
+        channel,
+        ecount,
+        item,
+        cj_inv,
+        cj_ord,
+        unit,
+        _delivery_group_dim(spark),
+        "1996-02-01",
+        "1996-03-31",
+    )
+
+
+# ------------------------------- remaining source models + opex
+OPEX_ROWS = [
+    ("e1", "rent", "d1", "2100", 31000, "1996-03-01", "1996-03-31"),
+    ("e2", "saas", "d1", "2101", 997, "1996-03-10", "1996-03-12"),
+    ("e3", "one-off", "d2", "2102", 450, None, "1996-03-15"),
+    ("e4", "ads-fee", "d2", None, 10, "1996-03-01", "1996-03-07"),
+    ("e5", "negative-adj", "d1", "2100", -7, "1996-03-05", "1996-03-07"),
+]
+
+
+def q_opex_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """core__opex_daily (marts/opex): per-expense date-series explode,
+    DIV/MOD daily amortization with the remainder on day 0, NULL start
+    collapsing to the end date (dbt core__opex_daily.sql:14-41)."""
+    from linkmerce_spark.marts.opex import opex_daily
+
+    opex = values_df(
+        spark,
+        OPEX_ROWS,
+        "expense_id string, expense_name string, dept_id string, "
+        "brand_id string, amount long, start_date date, end_date date",
+    )
+    return opex_daily(opex)
+
+
+def q_ecount_stock_qty_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ecount__stock_qty_batch (marts/stock): 17:00 batch split +
+    (ymd, batch, product_code) rollup over the half-open window
+    (dbt ecount__stock_qty_batch.sql:14-29)."""
+    from linkmerce_spark.marts.stock import ecount_stock_qty_batch
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    inventory = orders.select(
+        (
+            F.col("o_orderdate").cast("date").cast("timestamp")
+            + F.make_interval(secs=(k % 86400).cast("int"))
+        ).alias("updated_at"),
+        F.concat(F.lit("pc"), (k % 800).cast("string")).alias("product_code"),
+        (k % 60).cast("long").alias("quantity"),
+    )
+    return ecount_stock_qty_batch(inventory, "1996-01-01", "1996-03-31")
+
+
+CJE_ITEM_CODES = [
+    ("1" + str(i),
+     None if i % 9 == 0 else "EF%03d, EF%03d" % (i, i + 200) if i % 3 == 0
+     else "EF%03d" % i)
+    for i in range(0, 80, 2)
+]
+
+
+def q_cj_eflexs_stock_qty_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cj_eflexs__stock_qty_batch (marts/stock): DISTINCT trim-exploded
+    eflexs item-code mapping, 200000 fallback, 2999-12-31 sentinel,
+    4-key rollup (dbt cj_eflexs__stock_qty_batch.sql:14-45)."""
+    from linkmerce_spark.marts.stock import cj_eflexs_stock_qty_batch
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    stock = orders.select(
+        (
+            F.col("o_orderdate").cast("date").cast("timestamp")
+            + F.make_interval(secs=(k % 86400).cast("int"))
+        ).alias("updated_at"),
+        F.format_string("EF%03d", (k % 300).cast("int")).alias("item_code"),
+        F.when(k % 6 == 0, F.lit(None).cast("date"))
+        .otherwise(
+            F.make_date(F.lit(1997), (k % 12 + 1).cast("int"), (k % 28 + 1).cast("int"))
+        )
+        .alias("validate_date"),
+        (k % 45).cast("long").alias("usable_quantity"),
+    )
+    core_item = values_df(
+        spark, CJE_ITEM_CODES, "product_id string, eflexs_item_code string"
+    )
+    return cj_eflexs_stock_qty_batch(stock, core_item, "1996-01-01", "1996-03-31")
+
+
+DABLE_RENEWAL = [("100169", "100863", "1996-03-10")]
+
+
+def q_dable_report_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dable__report_daily (marts/ads): effective-dated campaign bundle
+    attach, ANY_VALUE pre-rollup, ordinality explode + renewal remap,
+    DIV/MOD equal split with the offset-0 remainder
+    (dbt dable__report_daily.sql:14-93)."""
+    from linkmerce_spark.marts.ads import dable_report_daily, ranged_bundle_relation
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    report = orders.select(
+        F.concat(F.lit("dc"), (k % 9).cast("string")).alias("campaign_id"),
+        (k % 300).cast("long").alias("expose_count"),
+        (k % 250).cast("long").alias("impression_count"),
+        (k % 25).cast("long").alias("click_count"),
+        ((k % 50) * 10).cast("long").alias("ad_cost"),
+        (k % 5).cast("long").alias("conv_count"),
+        F.col("o_orderdate").cast("date").alias("ymd"),
+    )
+    flat = values_df(
+        spark,
+        [
+            ("dc0", "100863,100170"),
+            ("dc2", "100088"),
+            ("dc4", "100171,100088,100863"),
+            ("dc6", "100172"),
+        ],
+        "ad_id string, bundle_product_ids string",
+    )
+    rel = ranged_bundle_relation(
+        flat,
+        pivot_product="100088",
+        expansion="100081,100082",
+        pre_end="1996-02-29",
+        post_start="1996-03-01",
+    )
+    renewal = values_df(
+        spark,
+        DABLE_RENEWAL,
+        "product_id_old string, product_id_new string, renewal_date date",
+    )
+    return dable_report_daily(report, rel, renewal, "1996-01-01", "1996-06-30")
+
+
 # Dict order is deliberate: the driver's correctness gate checks the
 # FIRST 50 entries only (CORRECTNESS_r01/r02 evidence), so the window
 # rotates each round to cover queries without a driver row yet. The
@@ -5099,6 +5367,11 @@ QUERIES = {
     "stock_time_ds": q_stock_time_ds,
     "stock_report_ds": q_stock_report_ds,
     "searchad_contract_master": q_searchad_contract_master,
+    "smartstore_sales_daily": q_smartstore_sales_daily,
+    "opex_daily": q_opex_daily,
+    "ecount_stock_qty_batch": q_ecount_stock_qty_batch,
+    "cj_eflexs_stock_qty_batch": q_cj_eflexs_stock_qty_batch,
+    "dable_report_daily": q_dable_report_daily,
     # -- round-1 sentinels displaced by the round-4 additions (next
     # rotation's first candidates alongside the rotated-out greens)
     "distinct_segments": q_distinct_segments,
