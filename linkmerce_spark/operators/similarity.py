@@ -171,7 +171,11 @@ def ivf_train(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * quant + F.lit(0.5)).cast("bigint"),
     )
-    qdf = df.select(F.col(id_col).alias("__id"), q.alias("__q"))
+    # Three passes read the quantized vectors (seed pick, weighting,
+    # Lloyd stats) — persist once so the parquet scan + quantize run a
+    # single time per training. Training is one job on a cluster; the
+    # cache is released before returning.
+    qdf = df.select(F.col(id_col).alias("__id"), q.alias("__q")).persist()
 
     cands = [
         [int(v) for v in r["__q"]]
@@ -211,6 +215,7 @@ def ivf_train(
         .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
         .collect()
     )
+    qdf.unpersist()
     by_cell: dict[int, dict[int, int]] = {}
     for r in stats:
         # Python // is floor division — identical to the SQL

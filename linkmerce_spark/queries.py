@@ -4675,7 +4675,9 @@ def _rd_searchad_inputs(spark: SparkSession, sf_dir: str):
     return insight, contract, cmp_master, ad_master, ct_master
 
 
-def q_searchad_report_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_searchad_report_daily(
+    spark: SparkSession, sf_dir: str, pm: DataFrame | None = None
+) -> DataFrame:
     """searchad__report_daily (marts/adreport): insight branch with the
     ad>campaign COALESCE ladder + the contract branch ('계약' device,
     typed-NULL pads, cancel_date flags)
@@ -4684,12 +4686,15 @@ def q_searchad_report_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     insight, contract, cmp_m, ad_m, ct_m = _rd_searchad_inputs(spark, sf_dir)
     return searchad_report_daily(
-        insight, cmp_m, ad_m, _rd_product_master(spark, sf_dir),
+        insight, cmp_m, ad_m,
+        pm if pm is not None else _rd_product_master(spark, sf_dir),
         contract, ct_m, *_RD_WINDOW,
     )
 
 
-def q_google_report_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_google_report_daily(
+    spark: SparkSession, sf_dir: str, pm: DataFrame | None = None
+) -> DataFrame:
     """google_ads__report_daily (marts/adreport): insight through the
     ad master + device labels (dbt google_ads__report_daily.sql:17-62)."""
     from linkmerce_spark.marts.adreport import google_report_daily
@@ -4714,11 +4719,15 @@ def q_google_report_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ad_type string, ad_status string",
     )
     return google_report_daily(
-        insight, ad_master, _rd_product_master(spark, sf_dir), *_RD_WINDOW
+        insight, ad_master,
+        pm if pm is not None else _rd_product_master(spark, sf_dir),
+        *_RD_WINDOW,
     )
 
 
-def q_meta_report_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_meta_report_daily(
+    spark: SparkSession, sf_dir: str, pm: DataFrame | None = None
+) -> DataFrame:
     """meta_ads__report_daily (marts/adreport): insight through the ad
     master with reach/link-click metrics
     (dbt meta_ads__report_daily.sql:16-55)."""
@@ -4745,11 +4754,15 @@ def q_meta_report_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "effective_status string",
     )
     return meta_report_daily(
-        insight, ad_master, _rd_product_master(spark, sf_dir), *_RD_WINDOW
+        insight, ad_master,
+        pm if pm is not None else _rd_product_master(spark, sf_dir),
+        *_RD_WINDOW,
     )
 
 
-def q_coupang_report_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_coupang_report_daily(
+    spark: SparkSession, sf_dir: str, pm: DataFrame | None = None
+) -> DataFrame:
     """coupang_ads__report_daily (marts/adreport): campaign master,
     option-name concat, placement labels
     (dbt coupang_ads__report_daily.sql:17-70)."""
@@ -4786,7 +4799,9 @@ def q_coupang_report_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "category_name string",
     )
     return coupang_report_daily(
-        insight, cmp_master, _rd_product_master(spark, sf_dir), option, *_RD_WINDOW
+        insight, cmp_master,
+        pm if pm is not None else _rd_product_master(spark, sf_dir),
+        option, *_RD_WINDOW,
     )
 
 
@@ -4816,16 +4831,20 @@ def q_adreport_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.alias("ymd"),
     )
     shop = values_df(spark, RD_EXTRA_SHOPS, "shop_id string, shop_alias string")
+    # ONE product master shared (persisted) across all six branches —
+    # without it every branch re-derives the DISTINCT ON dedup from the
+    # part scan (6x the same dim subtree per execution).
+    pm = _rd_product_master(spark, sf_dir).persist()
     return adreport_daily(
-        q_searchad_report_daily(spark, sf_dir),
-        q_coupang_report_daily(spark, sf_dir),
-        q_google_report_daily(spark, sf_dir),
-        q_meta_report_daily(spark, sf_dir),
+        q_searchad_report_daily(spark, sf_dir, pm),
+        q_coupang_report_daily(spark, sf_dir, pm),
+        q_google_report_daily(spark, sf_dir, pm),
+        q_meta_report_daily(spark, sf_dir, pm),
         dable_report,
         dable_campaign,
         extra_ads,
         shop,
-        _rd_product_master(spark, sf_dir),
+        pm,
         *_RD_WINDOW,
     )
 

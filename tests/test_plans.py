@@ -94,3 +94,32 @@ def test_minhash_signature_aggregates_map_side(spark):
     # partial aggregation before the exchange: HashAggregate appears on
     # both sides (map-side combine keeps the shuffle at one row/doc)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_round4_marts_never_sort_merge_join(spark):
+    """Every dim join in the round-4 mart family must broadcast — a
+    SortMergeJoin against a VALUES/master dim is a plan regression."""
+    from linkmerce_spark.queries import QUERIES
+
+    # sales_target is excluded: its FULL OUTER target merge cannot
+    # broadcast in Spark (unsupported join type) — the SMJ there runs
+    # on the already-aggregated brand x shop grain, which is correct.
+    for name in (
+        "smartstore_sales_daily",
+        "adreport_daily",
+        "sabangnet_option_master",
+        "google_ad_master",
+        "dable_report_daily",
+    ):
+        plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_sales_daily_timestamp_filter_pushed(spark):
+    """The half-open payment_dt window must reach the scan as a pushed
+    filter, not a post-scan Filter only."""
+    from linkmerce_spark.queries import q_smartstore_sales_daily
+
+    df = q_smartstore_sales_daily(spark, SF_DIR)
+    plan = physical_plan(df, "formatted")
+    assert "PushedFilters" in plan
