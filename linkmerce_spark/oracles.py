@@ -5528,3 +5528,44 @@ SELECT campaign_id, final_product_id AS product_id,
   ymd
 FROM remapped
 """
+
+# --- IVF multi-probe top-k ANN -------------------------------------------
+# Index + probe in SQL: the trained-centroid CTE chain, nprobe=2 cell
+# pick per query (distance of the QUERY vector to each trained
+# centroid), in-cell exact-integer cosine, rank <= 5 with id tiebreak.
+ORACLES["embedding_ivf_topk"] = f"""
+WITH {_IVF_TRAIN_CTE.strip()},
+queries AS (
+  SELECT vec_id AS query_id, q AS qq, embedding AS qv
+  FROM (SELECT e.vec_id, e.embedding, iq.q
+        FROM embeddings e JOIN ivf_q iq ON e.vec_id = iq.vec_id)
+  WHERE vec_id % 50 = 0
+), probes AS (
+  SELECT query_id, qq, cell FROM (
+    SELECT qu.query_id, qu.qq, t.cell,
+      ROW_NUMBER() OVER (PARTITION BY qu.query_id ORDER BY
+        CAST(list_sum(list_transform(range(1, 65),
+          i -> (qu.qq[i] - t.q[i]) * (qu.qq[i] - t.q[i]))) AS BIGINT) ASC,
+        t.cell ASC) AS pr
+    FROM queries qu CROSS JOIN ivf_cents t
+  ) WHERE pr <= 2
+), cand AS (
+  SELECT p.query_id, p.qq, c.vec_id AS neighbor_id, iq.q AS cq
+  FROM probes p
+  JOIN ivf_cells c ON p.cell = c.cell
+  JOIN ivf_q iq ON c.vec_id = iq.vec_id
+  WHERE p.query_id != c.vec_id
+), scored AS (
+  SELECT query_id, neighbor_id,
+    FLOOR(CAST(list_sum(list_transform(range(1, 65), i -> qq[i] * cq[i])) AS DOUBLE)
+          / NULLIF(sqrt(CAST(list_sum(list_transform(qq, x -> x * x)) AS DOUBLE))
+                   * sqrt(CAST(list_sum(list_transform(cq, x -> x * x)) AS DOUBLE)), 0.0)
+          * 1000000.0 + 0.5) / 1000000.0 AS cosine
+  FROM cand
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""

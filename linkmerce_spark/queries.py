@@ -5023,6 +5023,76 @@ def q_stock_report_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF multi-probe top-k ANN search — the SCALE path to
+    q_embedding_topk's brute-force baseline (training-data op).
+
+    Index build: trained coarse quantizer (deterministic k-means||) +
+    per-vector cell assignment. Search: each query probes its nprobe=2
+    nearest cells and scores ONLY vectors in those cells — candidate
+    count drops from N to ~2N/k per query, the IVF recall/cost dial.
+    All arithmetic is exact-integer (engine-portable); ranking breaks
+    cosine ties by neighbor id.
+    """
+    from linkmerce_spark.operators.similarity import (
+        ivf_assign,
+        ivf_train,
+        quantized_cosine,
+    )
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    cents = ivf_train(emb, "vec_id", "embedding", dim=64, k=8)
+    cells = ivf_assign(emb, "embedding", dim=64, k=8, centroids=cents).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        "cell",
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    # nprobe nearest cells per query: distance of the QUERY vector to
+    # each trained centroid, rank <= 2 (tie -> lower cell).
+    cent_rows = [(j + 1, [int(v) for v in c]) for j, c in enumerate(cents)]
+    cent_df = spark.createDataFrame(cent_rows, "cell int, cq array<bigint>")
+    qq = F.transform(
+        F.col("qv"), lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("bigint")
+    )
+    dist = F.aggregate(
+        F.zip_with(qq, F.col("cq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window as _W
+
+    probe_w = _W.partitionBy("query_id").orderBy(
+        F.col("__dist").asc(), F.col("cell").asc()
+    )
+    probes = (
+        queries.crossJoin(broadcast(cent_df))
+        .withColumn("__dist", dist)
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= 2)
+        .select("query_id", "qv", "cell")
+    )
+    cand = cells.join(broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = quantized_cosine("qv", "cv")
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (F.floor(cos * 1000000.0 + 0.5) / 1000000.0).alias("cosine"),
+    )
+    rank_w = _W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 # ------------------------------- smartstore sales daily (full chain)
 SMT_SD_REL = [
     (
@@ -5391,6 +5461,7 @@ QUERIES = {
     "ecount_stock_qty_batch": q_ecount_stock_qty_batch,
     "cj_eflexs_stock_qty_batch": q_cj_eflexs_stock_qty_batch,
     "dable_report_daily": q_dable_report_daily,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
     # -- round-1 sentinels displaced by the round-4 additions (next
     # rotation's first candidates alongside the rotated-out greens)
     "distinct_segments": q_distinct_segments,

@@ -185,3 +185,17 @@ def test_global_row_number_matches_window(spark):
     assert got == want
     # sanity: dense 1..N numbering
     assert sorted(got.values()) == list(range(1, 5_001))
+
+
+def test_ivf_train_is_deterministic_and_adaptive(spark):
+    """Two training runs yield identical centroids (pure function of
+    the data); trained centroids must differ from the closed-form
+    defaults (i.e. training actually adapts to the data)."""
+    from linkmerce_spark.operators.similarity import ivf_centroids, ivf_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = ivf_train(emb, "vec_id", "embedding", dim=64, k=8)
+    b = ivf_train(emb, "vec_id", "embedding", dim=64, k=8)
+    assert a == b
+    assert len(a) == 8 and all(len(c) == 64 for c in a)
+    assert a != ivf_centroids(64, 8)
