@@ -12,6 +12,12 @@ hash-compare exact:
 - Timestamp outputs are cast to ``date`` or formatted strings; raw
   timestamps differ in tz representation between engines.
 - Window ranks always have a total order (explicit tiebreak columns).
+- Derived percentages round in PURE integer arithmetic — half-up of
+  N/D is ``(M - ((M % E) + E) % E) div E`` with ``M = 2N + D``,
+  ``E = 2D`` (the non-negative remainder makes the floor exact for
+  negative N under both engines' sign-of-dividend ``%``); the final
+  ``* 0.01`` decimal multiply is exact. No double ever enters the
+  loop (marts/sales.profit_mom is the canonical site).
 
 Each function takes ``(spark, sf_dir)`` and returns a DataFrame; the
 driver and ``bench.py`` both consume this table.
