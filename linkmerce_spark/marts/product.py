@@ -191,6 +191,12 @@ def smartstore_option_master(
     """smartstore__option_master.sql:10-45 on Spark frames."""
     spark = order_option.sparkSession
     pt = _map(spark, SMARTSTORE_PRODUCT_TYPES, _INT_MAP).alias("pt")
+    # product_master feeds TWO broadcast subtrees (the sort-key lookup
+    # and the all-9s fallback agg); checkpoint once so the upstream
+    # master chain runs a single time instead of per-subtree.  Eager:
+    # broadcast jobs launch concurrently, so a lazy checkpoint would
+    # race and both subtrees would still compute the full chain.
+    product_master = product_master.localCheckpoint(eager=True)
     prd = product_master.select(
         F.col("product_id").alias("__p_pid"), F.col("sort_key").alias("__p_sort")
     )
@@ -333,6 +339,10 @@ def sabangnet_product_master(
             "option_count",
             "option_quantity",
         )
+        # referenced twice below (scale agg + the broadcast join):
+        # checkpoint so the explode->window chain runs once (eager —
+        # concurrent broadcast jobs would race a lazy checkpoint).
+        .localCheckpoint(eager=True)
     )
     scale = broadcast(
         primary.agg(
@@ -430,6 +440,10 @@ def sabangnet_option_master(
     core_product_master: DataFrame,
 ) -> DataFrame:
     """sabangnet__option_master.sql:10-100 on Spark frames."""
+    # the (expensive) sabangnet product-master chain feeds both the
+    # broadcast attribute lookup and the all-9s fallback agg — run it
+    # once (round-4 verdict perf item: shared master chain).
+    product_master = product_master.localCheckpoint(eager=True)
     cpm = broadcast(
         core_product_master.select(
             F.col("product_id").alias("__c_pid"),

@@ -99,10 +99,13 @@ def profit_mom(
 ) -> DataFrame:
     """Month-over-month revenue per priority: TVF-calls-TVF + FULL
     OUTER merge with COALESCE'd keys and half-up pct rounding."""
-    # DECIMAL-only output: raw double passthroughs can hash-differ
-    # across engines on last-ULP representations even when the decimal
-    # source values are identical, so revenue columns stay DECIMAL(18,2)
-    # end-to-end and the pct derives from those decimals.
+    # All money math stays DECIMAL-exact internally; the OUTPUT edge
+    # casts to DOUBLE.  DECIMAL output columns fetch as object(Decimal)
+    # from Spark but float64 from DuckDB's pandas path — a dtype-level
+    # divergence no value-level check can see (tools/dtype_audit.py).
+    # A decimal -> double cast is correctly rounded on both engines, so
+    # the doubles are bit-identical; exactness is preserved because the
+    # pct derives from integer cents before the edge cast.
     cur = _monthly(spark, sf_dir, cur_start, cur_end).select(
         F.col("priority").alias("c_priority"),
         F.col("revenue").cast("decimal(18,2)").alias("cur_revenue"),
@@ -140,16 +143,17 @@ def profit_mom(
     )
     return base.select(
         "priority",
-        "cur_revenue",
-        "prev_revenue",
+        F.col("cur_revenue").cast("double").alias("cur_revenue"),
+        F.col("prev_revenue").cast("double").alias("prev_revenue"),
         "cur_orders",
         "prev_orders",
         F.when(
             F.col("__p") > 0,
             (scaled.cast("decimal(16,0)") * F.lit("0.01").cast("decimal(3,2)"))
-            .cast("decimal(18,2)"),
+            .cast("decimal(18,2)")
+            .cast("double"),
         )
-        .otherwise(F.lit(None).cast("decimal(18,2)"))
+        .otherwise(F.lit(None).cast("double"))
         .alias("mom_pct"),
     )
 

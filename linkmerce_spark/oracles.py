@@ -663,10 +663,14 @@ cur AS (
   SELECT priority, CAST(ROUND(SUM(revenue_dec), 2) AS DECIMAL(18,2)) AS prev_revenue, SUM(n_orders) AS prev_orders
   FROM daily WHERE ymd BETWEEN DATE '1996-01-01' AND DATE '1996-01-31' GROUP BY priority
 )
-SELECT priority, cur_revenue, prev_revenue, cur_orders, prev_orders,
-  CASE WHEN p > 0 THEN CAST(CAST((m - ((m % e) + e) % e) // e AS DECIMAL(16,0))
+SELECT priority,
+  CAST(cur_revenue AS DOUBLE) AS cur_revenue,
+  CAST(prev_revenue AS DOUBLE) AS prev_revenue,
+  CAST(cur_orders AS BIGINT) AS cur_orders,
+  CAST(prev_orders AS BIGINT) AS prev_orders,
+  CAST(CASE WHEN p > 0 THEN CAST(CAST((m - ((m % e) + e) % e) // e AS DECIMAL(16,0))
                           * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2))
-  END AS mom_pct
+  END AS DOUBLE) AS mom_pct
 FROM (
   SELECT *, (c - p) * 20000 + p AS m, p * 2 AS e FROM (
     SELECT COALESCE(cur.priority, prev.priority) AS priority,
@@ -1020,14 +1024,14 @@ SELECT COALESCE(stat.ad_id, conv.ad_id) AS ad_id,
   COALESCE(stat.customer_id, conv.customer_id) AS customer_id,
   COALESCE(stat.media_code, conv.media_code) AS media_code,
   COALESCE(stat.pc_mobile_type, conv.pc_mobile_type) AS pc_mobile_type,
-  COALESCE(impression_count, 0) AS impression_count,
-  COALESCE(click_count, 0) AS click_count,
-  COALESCE(ad_cost, 0) AS ad_cost,
-  COALESCE(ad_rank_sum, 0) AS ad_rank_sum,
-  COALESCE(conv_count, 0) AS conv_count,
-  COALESCE(direct_conv_count, 0) AS direct_conv_count,
-  COALESCE(conv_amount, 0) AS conv_amount,
-  COALESCE(direct_conv_amount, 0) AS direct_conv_amount,
+  CAST(COALESCE(impression_count, 0) AS BIGINT) AS impression_count,
+  CAST(COALESCE(click_count, 0) AS BIGINT) AS click_count,
+  CAST(COALESCE(ad_cost, 0) AS BIGINT) AS ad_cost,
+  CAST(COALESCE(ad_rank_sum, 0) AS BIGINT) AS ad_rank_sum,
+  CAST(COALESCE(conv_count, 0) AS BIGINT) AS conv_count,
+  CAST(COALESCE(direct_conv_count, 0) AS BIGINT) AS direct_conv_count,
+  CAST(COALESCE(conv_amount, 0) AS BIGINT) AS conv_amount,
+  CAST(COALESCE(direct_conv_amount, 0) AS BIGINT) AS direct_conv_amount,
   COALESCE(stat.ymd, conv.ymd) AS ymd
 FROM (SELECT * FROM stat WHERE customer_id = 2) stat
 FULL OUTER JOIN (SELECT * FROM conv WHERE customer_id = 2) conv
@@ -1295,7 +1299,8 @@ base AS (
 """
 
 _SA_ALLOC = ",\n  ".join(
-    f"({m} // bundle_product_count) + CASE WHEN ord1 = 1 THEN {m} % bundle_product_count ELSE 0 END AS {m}"
+    f"CAST(({m} // bundle_product_count)"
+    f" + CASE WHEN ord1 = 1 THEN {m} % bundle_product_count ELSE 0 END AS BIGINT) AS {m}"
     for m in ["impression_count", "click_count", "ad_cost", "ad_rank_sum",
               "conv_count", "direct_conv_count", "conv_amount", "direct_conv_amount"]
 )
@@ -1469,7 +1474,9 @@ WITH base AS (
     ON a.delivery_group = t.delivery_group
    AND a.delivery_quantity BETWEEN t.min_unit AND t.max_unit
 )
-SELECT order_id, invoice_no, delivery_group, delivery_fee FROM (
+SELECT order_id, invoice_no, delivery_group,
+  CAST(delivery_fee AS BIGINT) AS delivery_fee
+FROM (
   SELECT *, ROW_NUMBER() OVER (
     PARTITION BY order_id, invoice_no
     ORDER BY ABS(delivery_fee) DESC, delivery_fee DESC, delivery_group ASC
@@ -1526,9 +1533,9 @@ WITH base AS (
   FROM splits
 )
 SELECT order_date, product_id,
-  SUM(sku_quantity) AS sku_quantity,
-  SUM(payment_final) AS payment_amount,
-  SUM(supply_final) AS supply_amount
+  CAST(SUM(sku_quantity) AS BIGINT) AS sku_quantity,
+  CAST(SUM(payment_final) AS BIGINT) AS payment_amount,
+  CAST(SUM(supply_final) AS BIGINT) AS supply_amount
 FROM adjusted GROUP BY 1, 2
 """
 
@@ -2162,7 +2169,7 @@ SELECT
   CAST(STRPTIME(CAST(CAST(year(CAST(o_orderdate AS DATE)) * 10000
     + month(CAST(o_orderdate AS DATE)) * 100
     + day(CAST(o_orderdate AS DATE)) AS BIGINT) AS VARCHAR), '%Y%m%d') AS DATE) AS inbound_date,
-  TIMESTAMP '2026-08-13 12:00:00' AS updated_at
+  CAST(TIMESTAMP '2026-08-13 12:00:00' AS TIMESTAMP_NS) AS updated_at
 FROM orders
 """
 
@@ -2210,7 +2217,7 @@ WITH raw AS (
 )
 SELECT COALESCE(t.nv_mid, s.nv_mid) AS nv_mid,
   CAST(NULL AS BIGINT) AS product_id,
-  COALESCE(t.product_type, s.product_type) AS product_type,
+  CAST(COALESCE(t.product_type, s.product_type) AS TINYINT) AS product_type,
   COALESCE(s.product_name, t.product_name) AS product_name,
   CAST(NULL AS INT) AS category_id,
   COALESCE(s.full_category_name, t.full_category_name) AS full_category_name,
@@ -2395,7 +2402,7 @@ SELECT CAST(event_id % 800 AS BIGINT) AS cafe_id,
   '글제목 ' || CAST(event_id % 537 AS VARCHAR) AS title,
   '#tag' || CAST(event_id % 30 AS VARCHAR) AS tags,
   'user' || CAST(event_id % 70 AS VARCHAR) AS nick_name,
-  LENGTH('글제목 ' || CAST(event_id % 537 AS VARCHAR)) AS title_length,
+  CAST(LENGTH('글제목 ' || CAST(event_id % 537 AS VARCHAR)) AS INTEGER) AS title_length,
   CAST(event_id % 4000 AS INT) AS content_length,
   CAST(event_id % 15 AS INT) AS image_count,
   CAST(event_id % 90000 AS INT) AS read_count,
@@ -2605,7 +2612,7 @@ SELECT f.order_id, f.product_order_id, f.product_id,
   COALESCE(shop.shop_group, '-') AS shop_group,
   COALESCE(shop.shop_alias, '-') AS shop_name,
   COALESCE(st.label, '알 수 없음') AS order_status,
-  f.order_quantity, f.order_date
+  CAST(f.order_quantity AS BIGINT) AS order_quantity, f.order_date
 FROM fact AS f
 LEFT JOIN item ON f.product_id = item.product_id
 LEFT JOIN shop ON f.shop_id = shop.shop_id
@@ -3675,12 +3682,12 @@ exploded0 AS (
   FROM fee_split
 )
 SELECT order_id, product_id, shop_id, order_status,
-  CASE WHEN order_status = 0 THEN COALESCE(sku_quantity, 0) ELSE 0 END AS sku_quantity,
-  CASE WHEN shop_id = 'adop9000' THEN 0
-       WHEN order_status = 0 THEN COALESCE(payment_amount, 0) ELSE 0 END AS payment_amount,
-  CASE WHEN order_status = 0 THEN COALESCE(supply_amount, 0) ELSE 0 END AS supply_amount,
-  CASE WHEN order_status IN (0, 2, 6) THEN COALESCE(supply_cost, 0) ELSE 0 END AS supply_cost,
-  CASE WHEN order_status IN (0, 1, 2, 5, 7) THEN COALESCE(delivery_fee, 0) ELSE 0 END AS delivery_fee,
+  CAST(CASE WHEN order_status = 0 THEN COALESCE(sku_quantity, 0) ELSE 0 END AS BIGINT) AS sku_quantity,
+  CAST(CASE WHEN shop_id = 'adop9000' THEN 0
+       WHEN order_status = 0 THEN COALESCE(payment_amount, 0) ELSE 0 END AS BIGINT) AS payment_amount,
+  CAST(CASE WHEN order_status = 0 THEN COALESCE(supply_amount, 0) ELSE 0 END AS BIGINT) AS supply_amount,
+  CAST(CASE WHEN order_status IN (0, 2, 6) THEN COALESCE(supply_cost, 0) ELSE 0 END AS BIGINT) AS supply_cost,
+  CAST(CASE WHEN order_status IN (0, 1, 2, 5, 7) THEN COALESCE(delivery_fee, 0) ELSE 0 END AS BIGINT) AS delivery_fee,
   order_date
 FROM final
 """
@@ -3815,8 +3822,12 @@ bundled AS (
   FROM splits
 )
 SELECT CAST(order_id AS VARCHAR) AS order_id, product_id,
-  'shop9001' AS shop_id, order_status, sku_quantity,
-  payment_amount, supply_amount, supply_cost, delivery_fee, order_date
+  'shop9001' AS shop_id, CAST(order_status AS INTEGER) AS order_status,
+  CAST(sku_quantity AS BIGINT) AS sku_quantity,
+  CAST(payment_amount AS BIGINT) AS payment_amount,
+  CAST(supply_amount AS BIGINT) AS supply_amount,
+  CAST(supply_cost AS BIGINT) AS supply_cost,
+  CAST(delivery_fee AS BIGINT) AS delivery_fee, order_date
 FROM final
 """
 
@@ -3854,7 +3865,7 @@ ORACLES["core_product_master"] = f"""
 WITH {_CORE_ITEM_CTE.strip()}
 SELECT product_id, item_id, item_seq, team_name, brand_name,
   category_name1, category_name2, category_name3, category_name4,
-  color, product_name, unit_name, unit_scale, rn
+  color, product_name, unit_name, unit_scale, CAST(rn AS INTEGER) AS rn
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY product_id
     ORDER BY item_seq ASC NULLS LAST, item_id ASC) AS rn
@@ -3914,13 +3925,15 @@ lois AS (
 
 ORACLES["cj_invoice"] = f"""
 WITH {_CJ_FEEDS_CTE.strip()}
-SELECT invoice_no, SUM(delivery_fee) AS delivery_fee, SUM(box_cost) AS box_cost
+SELECT invoice_no, CAST(SUM(delivery_fee) AS BIGINT) AS delivery_fee,
+  CAST(SUM(box_cost) AS BIGINT) AS box_cost
 FROM unioned GROUP BY 1
 """
 
 ORACLES["cj_invoice_order"] = f"""
 WITH {_CJ_FEEDS_CTE.strip()}
-SELECT order_id, SUM(delivery_fee) AS delivery_fee, SUM(box_cost) AS box_cost
+SELECT order_id, CAST(SUM(delivery_fee) AS BIGINT) AS delivery_fee,
+  CAST(SUM(box_cost) AS BIGINT) AS box_cost
 FROM unioned WHERE order_id != 'none' GROUP BY 1
 """
 
@@ -5086,8 +5099,8 @@ WITH sales AS (
 )
 SELECT order_id, order_date,
   split_part(bundle_product, ':', 1) AS product_id,
-  CASE WHEN order_status = 0 AND left(bundle_product, 1) = '9' THEN 6
-       ELSE LEAST(order_status, 3) END AS order_status,
+  CAST(CASE WHEN order_status = 0 AND left(bundle_product, 1) = '9' THEN 6
+       ELSE LEAST(order_status, 3) END AS INTEGER) AS order_status,
   CAST(SUM(order_quantity) AS BIGINT) AS order_quantity
 FROM exploded
 GROUP BY order_id, order_date, 3, 4

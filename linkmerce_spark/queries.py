@@ -5371,74 +5371,33 @@ def q_dable_report_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # FIRST 50 entries only (CORRECTNESS_r01/r02 evidence), so the window
 # rotates each round to cover queries without a driver row yet. The
 # local replica (tools/check_oracle.py) always runs ALL entries — the
-# rotation trades driver redundancy, not coverage. Current window:
-# the 43 round-2 queries that had never been driver-checked, the
-# re-fixed mart_profit_mom, three long-green sentinels (regression
-# canaries per round-2 ADVICE), and three round-3 additions. Remaining
-# round-3 additions queue right after the window for the next rotation.
+# rotation trades driver redundancy, not coverage. After round 5 every
+# query has had at least one driver row (29 never-checked rotate in
+# this round). Window composition is documented inline below.
 QUERIES = {
-    # ===== round-4 window (first 50 = the driver's hash-check set) =====
-    # (a) the 13 queries that landed round 3 WITHOUT driver hash rows —
-    # all now twinned in oracles.py (104/104 keys); (b) the 6 r03 hash-
-    # reds kept in-window to observe the post-fix driver outcome (local
-    # digests in tools/digests/ prove twin equality); (c) 8 long-green
-    # sentinels interleaved as regression canaries (events_sessions
-    # stays permanently — the only streaming-adjacent driver evidence);
-    # (d) the 23 round-1 operator sentinels that have NEVER had a
-    # driver row (always below the boundary until now).
-    "events_sessions": q_events_sessions,  # sentinel (permanent)
+    # ===== round-5 window (first 50 = the driver's hash-check set) =====
+    # (a) the 10 r03/r04 hash-red rows, re-pinned to measure the
+    # round-5 dtype-parity fix (tools/dtype_audit.py found every red
+    # fetched int64 from Spark but float64 from DuckDB - HUGEINT/
+    # DECIMAL pandas conversion - while all 40 greens matched dtypes);
+    "mart_profit_mom": q_mart_profit_mom,
+    "searchad_report_merge": q_searchad_report_merge,
+    "searchad_insight_daily": q_searchad_insight_daily,
+    "smartstore_max_delivery_fee": q_smartstore_max_delivery_fee,
+    "smartstore_split_sales": q_smartstore_split_sales,
+    "analytics_order_count": q_analytics_order_count,
     "sabangnet_total_order": q_sabangnet_total_order,
     "coupang_total_order": q_coupang_total_order,
-    "stock_qty_batch": q_stock_qty_batch,
-    "stock_time_batch": q_stock_time_batch,
-    "stock_cost_mom": q_stock_cost_mom,
-    "pricing_summary": q_pricing_summary,  # sentinel
-    "smt_opt_relation": q_smt_opt_relation,
-    "smt_prd_ranged_relation": q_smt_prd_ranged_relation,
-    "searchad_campaign_master": q_searchad_campaign_master,
-    "meta_campaign_master": q_meta_campaign_master,
-    "coupang_campaign_master": q_coupang_campaign_master,
-    "google_ad_master": q_google_ad_master,
-    "stock_report": q_stock_report,  # sentinel
-    "profit_daily": q_profit_daily,
-    "profit_monthly": q_profit_monthly,
-    "mart_profit_mom": q_mart_profit_mom,  # r03 red; mom_pct now integer-exact
-    "searchad_report_merge": q_searchad_report_merge,  # r03 red; digest EQUAL
-    "searchad_insight_daily": q_searchad_insight_daily,  # r03 red; digest EQUAL
-    "smartstore_max_delivery_fee": q_smartstore_max_delivery_fee,  # r03 red
-    "smartstore_split_sales": q_smartstore_split_sales,  # r03 red
-    "analytics_order_count": q_analytics_order_count,  # r03 red; digest EQUAL
-    "core_sales_daily": q_core_sales_daily,  # sentinel
-    "star_join_revenue": q_star_join_revenue,
-    "top_order_per_customer": q_top_order_per_customer,
-    "latest_order_dedupe": q_latest_order_dedupe,
-    "full_outer_merge_events": q_full_outer_merge_events,
-    "allocation_proportional": q_allocation_proportional,
-    "allocation_integer_even": q_allocation_integer_even,
-    "minhash_near_dups": q_minhash_near_dups,  # sentinel
-    "rolling_30d_qty": q_rolling_30d_qty,
-    "cumulative_customer_spend": q_cumulative_customer_spend,
-    "next_order_gap": q_next_order_gap,
-    "union_all_fact_assembly": q_union_all_fact_assembly,
-    "customers_without_orders": q_customers_without_orders,
-    "building_segment_order_stats": q_building_segment_order_stats,
-    "embedding_near_dups": q_embedding_near_dups,  # sentinel
-    "largest_parts": q_largest_parts,
-    "explode_part_words": q_explode_part_words,
-    "effective_dated_campaign": q_effective_dated_campaign,
-    "string_functions": q_string_functions,
-    "date_functions": q_date_functions,
-    "enum_encoding": q_enum_encoding,
-    "profit_mom_dims": q_profit_mom_dims,  # sentinel
-    "null_guards": q_null_guards,
-    # -- round-4 additions (twinned on arrival)
-    "core_product_master": q_core_product_master,
-    "core_brand_master": q_core_brand_master,
     "cj_invoice": q_cj_invoice,
     "cj_invoice_order": q_cj_invoice_order,
-    "doc_clean_corpus": q_doc_clean_corpus,  # sentinel
-    # ================= driver 50-row window boundary =================
-    # -- round-4 entity-master sweep (twinned; next rotation's leads)
+    # (b) 4 r03-green queries whose twins also changed in the round-5
+    # dtype sweep (regression check on the width/ns alignments);
+    "core_product_master": q_core_product_master,
+    "cj_stock_parse": q_cj_stock_parse,
+    "searchad_exposure_products": q_searchad_exposure_products,
+    "naver_cafe_articles": q_naver_cafe_articles,
+    # (c) all 29 queries that have never had a driver row (the
+    # round-4 entity-master/report sweep + embedding_ivf_topk);
     "searchad_adgroup_master": q_searchad_adgroup_master,
     "searchad_ad_master": q_searchad_ad_master,
     "meta_adset_master": q_meta_adset_master,
@@ -5468,13 +5427,56 @@ QUERIES = {
     "cj_eflexs_stock_qty_batch": q_cj_eflexs_stock_qty_batch,
     "dable_report_daily": q_dable_report_daily,
     "embedding_ivf_topk": q_embedding_ivf_topk,
-    # -- round-1 sentinels displaced by the round-4 additions (next
-    # rotation's first candidates alongside the rotated-out greens)
+    # (d) 7 long-green sentinels: permanent canaries (events_sessions,
+    # pricing_summary, core_sales_daily, doc_clean_corpus,
+    # minhash_near_dups), plus stock_cost_mom (round-5 shuffle-collapse
+    # target) and profit_daily (shares the profit fact CTE).
+    "events_sessions": q_events_sessions,
+    "pricing_summary": q_pricing_summary,
+    "core_sales_daily": q_core_sales_daily,
+    "doc_clean_corpus": q_doc_clean_corpus,
+    "minhash_near_dups": q_minhash_near_dups,
+    "stock_cost_mom": q_stock_cost_mom,
+    "profit_daily": q_profit_daily,
+    # ================= driver 50-row window boundary =================
+    # -- driver-green history (rotated out; the local replica and
+    # tools/dtype_audit.py still run ALL entries every round)
+    "stock_qty_batch": q_stock_qty_batch,
+    "stock_time_batch": q_stock_time_batch,
+    "smt_opt_relation": q_smt_opt_relation,
+    "smt_prd_ranged_relation": q_smt_prd_ranged_relation,
+    "searchad_campaign_master": q_searchad_campaign_master,
+    "meta_campaign_master": q_meta_campaign_master,
+    "coupang_campaign_master": q_coupang_campaign_master,
+    "google_ad_master": q_google_ad_master,
+    "stock_report": q_stock_report,
+    "profit_monthly": q_profit_monthly,
+    "star_join_revenue": q_star_join_revenue,
+    "top_order_per_customer": q_top_order_per_customer,
+    "latest_order_dedupe": q_latest_order_dedupe,
+    "full_outer_merge_events": q_full_outer_merge_events,
+    "allocation_proportional": q_allocation_proportional,
+    "allocation_integer_even": q_allocation_integer_even,
+    "rolling_30d_qty": q_rolling_30d_qty,
+    "cumulative_customer_spend": q_cumulative_customer_spend,
+    "next_order_gap": q_next_order_gap,
+    "union_all_fact_assembly": q_union_all_fact_assembly,
+    "customers_without_orders": q_customers_without_orders,
+    "building_segment_order_stats": q_building_segment_order_stats,
+    "embedding_near_dups": q_embedding_near_dups,
+    "largest_parts": q_largest_parts,
+    "explode_part_words": q_explode_part_words,
+    "effective_dated_campaign": q_effective_dated_campaign,
+    "string_functions": q_string_functions,
+    "date_functions": q_date_functions,
+    "enum_encoding": q_enum_encoding,
+    "profit_mom_dims": q_profit_mom_dims,
+    "null_guards": q_null_guards,
+    "core_brand_master": q_core_brand_master,
     "distinct_segments": q_distinct_segments,
     "string_agg_names": q_string_agg_names,
     "events_json_extract": q_events_json_extract,
     "events_hourly_windows": q_events_hourly_windows,
-    # -- driver-green in r03 (rotated out; local replica still runs all)
     "order_value_quantiles": q_order_value_quantiles,
     "sales_rollup": q_sales_rollup,
     "events_funnel": q_events_funnel,
@@ -5497,16 +5499,12 @@ QUERIES = {
     "google_asset_view": q_google_asset_view,
     "meta_insights_split": q_meta_insights_split,
     "dable_report_split": q_dable_report_split,
-    "cj_stock_parse": q_cj_stock_parse,
-    "searchad_exposure_products": q_searchad_exposure_products,
     "searchad_contract_union": q_searchad_contract_union,
     "smartstore_category_split": q_smartstore_category_split,
     "smartstore_pageview_products": q_smartstore_pageview_products,
     "coupang_rocket_options": q_coupang_rocket_options,
-    "naver_cafe_articles": q_naver_cafe_articles,
     "sabangnet_option_download": q_sabangnet_option_download,
     "order_count_mom": q_order_count_mom,
-    # -- long-green catalog (local replica + pytest coverage)
     "doc_text_metrics": q_doc_text_metrics,
     "doc_lang_guess": q_doc_lang_guess,
     "doc_exact_dedup": q_doc_exact_dedup,

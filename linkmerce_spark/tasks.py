@@ -67,17 +67,32 @@ def request_each(
     concat: bool = False,
     spark=None,
     distribute: bool = False,
-) -> list[Any]:
+    schema: str | Any = None,
+) -> Any:
     """Run ``fn(**p)`` for each param dict (RequestEach, tasks.py:322-441).
 
     Sequential with ``delay`` between calls, thread-parallel with
     ``max_concurrent`` (the reference's semaphore bound), or — with
     ``distribute=True`` and a SparkSession — fanned out to executors.
     ``concat=True`` flattens list results into one row batch.
+
+    With ``distribute=True`` AND a ``schema``, the fetched row dicts
+    stay executor-side and come back as a lazy DataFrame via
+    ``distributed_fetch`` — the data-plane path; nothing is collected
+    to the driver.  WITHOUT a schema the distributed path collects the
+    fetched payloads to the driver — that is a control-plane
+    convenience for small pulls, not a 100 TB data path.
     """
     if distribute and spark is not None:
+        if schema is not None:
+            def _rows(p: dict[str, Any]) -> list[dict[str, Any]]:
+                r = fn(**p)
+                return r if isinstance(r, list) else [r]
+
+            return distributed_fetch(spark, list(params), _rows, schema)
         sc = spark.sparkContext
         n = max(1, min(len(params), sc.defaultParallelism))
+        # control-plane path: payloads return to the driver by design.
         results = sc.parallelize(list(params), n).map(lambda p: fn(**p)).collect()
     elif max_concurrent > 1:
         with ThreadPoolExecutor(max_workers=max_concurrent) as pool:

@@ -115,6 +115,33 @@ def test_round4_marts_never_sort_merge_join(spark):
         assert "SortMergeJoin" not in plan, name
 
 
+def test_stock_cost_mom_shuffle_budget(spark):
+    """Round-5 shuffle collapse: the month-end batch maxima are tiny
+    broadcast aggregates (not full-table window sorts), the spine dedup
+    is ONE distinct, and the monthly rollup is checkpointed for its
+    three consumers.  Was 21 exchanges before the collapse; pin the
+    budget so a regression (re-added window sorts / per-branch
+    distincts) fails loudly."""
+    from linkmerce_spark.queries import q_stock_cost_mom
+
+    df = q_stock_cost_mom(spark, SF_DIR)
+    assert count_shuffles(df) <= 6, count_shuffles(df)
+
+
+def test_sabangnet_option_master_single_master_chain(spark):
+    """The product-master chain feeds two broadcast subtrees; the
+    checkpoint must keep it out of the final plan (the plan sees the
+    materialized RDD, not two copies of the chain)."""
+    from linkmerce_spark.queries import q_sabangnet_option_master
+
+    df = q_sabangnet_option_master(spark, SF_DIR)
+    plan = physical_plan(df, "simple")
+    # the chain's distinctive POWER(10)-scale crossJoin appears in the
+    # checkpointed subtree only, so the final plan has no window over
+    # opt_product_id left at all.
+    assert "Scan ExistingRDD" in plan, plan[:2000]
+
+
 def test_sales_daily_timestamp_filter_pushed(spark):
     """The half-open payment_dt window must reach the scan as a pushed
     filter, not a post-scan Filter only."""

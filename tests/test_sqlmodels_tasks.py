@@ -105,6 +105,26 @@ def test_request_each_distributed(spark):
     assert sorted(out) == [i * i for i in range(8)]
 
 
+def test_request_each_distributed_schema_returns_lazy_dataframe(spark):
+    """With a schema the distributed path must be a DataFrame pipeline
+    (mapInPandas on executors), NOT a driver-side collect of payloads."""
+    from pyspark.sql import DataFrame
+
+    out = request_each(
+        lambda x: [{"x": x, "sq": x * x}],
+        [{"x": i} for i in range(6)],
+        spark=spark,
+        distribute=True,
+        schema="x long, sq long",
+    )
+    assert isinstance(out, DataFrame)  # lazy: nothing ran yet
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "collect" not in plan.lower()
+    assert "MapInPandas" in plan  # the fetch runs executor-side
+    rows = out.collect()
+    assert sorted((r["x"], r["sq"]) for r in rows) == [(i, i * i) for i in range(6)]
+
+
 def test_distributed_fetch_mapinpandas(spark):
     from linkmerce_spark.tasks import distributed_fetch
 

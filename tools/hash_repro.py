@@ -14,6 +14,11 @@ CORRECTNESS marks a query hash-red while both digests here are equal
 (and stable across rounds), the divergence is in the driver harness'
 environment, not the twins.
 
+NOTE (round 5): equal digests here are necessary but not sufficient —
+the r03/r04 reds were value-identical yet fetched with different pandas
+dtypes (Spark int64 vs DuckDB HUGEINT->float64), which this value-level
+canonicalization cannot see.  Run tools/dtype_audit.py alongside this.
+
 Usage: python tools/hash_repro.py [sf_dir] [query ...]
 """
 
@@ -39,6 +44,11 @@ RED_SET = [
     "smartstore_split_sales",
     "analytics_order_count",
     "mart_profit_mom",
+    # r04 additions (same root cause: HUGEINT->float64 fetch dtype)
+    "sabangnet_total_order",
+    "coupang_total_order",
+    "cj_invoice",
+    "cj_invoice_order",
 ]
 
 DIGEST_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "digests")
@@ -114,8 +124,14 @@ def main() -> None:
         print(f"{eq} {name}\n  spark {s_dig}\n  duck  {d_dig}")
         out_lines.append(f"{name}\tsf={os.path.basename(sf_dir)}\tspark={s_dig}\tduck={d_dig}")
 
+    # Engine-version provenance on every digest line: a future red row
+    # can then be bisected against the exact duckdb/pyspark pair that
+    # produced the committed evidence (round-4 verdict item 3).
+    import pyspark
+
+    stamp = f"duckdb={duckdb.__version__}\tpyspark={pyspark.__version__}"
     with open(os.path.join(DIGEST_DIR, "DIGESTS.txt"), "a") as f:
-        f.write("\n".join(out_lines) + "\n")
+        f.write("\n".join(f"{ln}\t{stamp}" for ln in out_lines) + "\n")
 
 
 if __name__ == "__main__":
