@@ -49,15 +49,19 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Compact separators: the driver records this line with a bounded
+    # buffer (BENCH_r04 was tail-truncated) — every byte of whitespace
+    # costs recorded per-query timings.
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "queries": timings,
+            },
+            separators=(",", ":"),
         )
     )
 
