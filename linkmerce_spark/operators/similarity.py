@@ -81,6 +81,52 @@ def quantized_cosine(
     return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c)
 
 
+def _nearest_centroid_kernel(cents: list[list[int]], quant: int | None):
+    """Arrow-batched nearest-centroid assignment over int64 math.
+
+    The SQL-expression form (k unrolled 64-term zip_with/aggregate
+    expressions) is exact but pays a large whole-stage-codegen COMPILE
+    cost per job — at toy scale that dominates wall time, and at any
+    scale it recompiles per plan site. This kernel is the same exact
+    arithmetic in numpy int64 (quantize -> squared L2 per centroid ->
+    first-min argmin, matching SQL array_position-of-min), one matrix
+    op per Arrow batch, zero codegen.
+
+    ``quant=None`` means the input column is already quantized int64
+    arrays (the training loop's ``__q``); otherwise the raw float
+    vectors are quantized inside the kernel.
+    """
+    import numpy as np
+
+    C = np.asarray(cents, dtype="int64")
+
+    @pandas_udf("struct<cell:int,dist2:bigint>")
+    def _nn(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
+                                 "dist2": pd.Series([], dtype="int64")})
+        if quant is None:
+            Q = np.array([np.asarray(x, dtype="int64") for x in v])
+        else:
+            V = np.array([np.asarray(x, dtype="float64") for x in v])
+            Q = np.floor(V * quant + 0.5).astype("int64")
+        d = np.empty((Q.shape[0], C.shape[0]), dtype="int64")
+        for j in range(C.shape[0]):
+            diff = Q - C[j]
+            d[:, j] = (diff * diff).sum(axis=1)
+        return pd.DataFrame(
+            {
+                # np.argmin takes the FIRST minimum — the same tie rule
+                # as array_position(darr, array_min(darr)) and DuckDB's
+                # list_position(list_min).
+                "cell": (d.argmin(axis=1) + 1).astype("int32"),
+                "dist2": d.min(axis=1),
+            }
+        )
+
+    return _nn
+
+
 def ivf_centroids(dim: int, k: int, quant: int = QUANT_DEFAULT) -> list[list[int]]:
     """Deterministic integer centroids in [-quant, quant], shared with
     the SQL oracle (same closed-form constants)."""
@@ -109,27 +155,20 @@ def ivf_assign(
     the shuffle key for probe-time candidate generation; at index-build
     scale this is a pure per-row map — no shuffle at all.
     """
+    from linkmerce_spark.shipping import ensure_shipped
+
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        ensure_shipped(active)
     cents = centroids if centroids is not None else ivf_centroids(dim, k, quant)
-    q = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * quant + F.lit(0.5)).cast("bigint"),
-    )
-    df = df.withColumn("__q", q)
-    dists = []
-    for plane in cents:
-        consts = F.array(*[F.lit(int(c)).cast("bigint") for c in plane])
-        d = F.aggregate(
-            F.zip_with(F.col("__q"), consts, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        dists.append(d)
-    darr = F.array(*dists)
+    nn = _nearest_centroid_kernel(cents, quant)
     return (
-        df.withColumn("__d", darr)
-        .withColumn("dist2", F.array_min("__d"))
-        .withColumn("cell", F.array_position("__d", F.col("dist2")).cast("int"))
-        .drop("__q", "__d")
+        df.withColumn("__nn", nn(F.col(vec_col)))
+        .withColumn("cell", F.col("__nn.cell"))
+        .withColumn("dist2", F.col("__nn.dist2"))
+        .drop("__nn")
     )
 
 
@@ -175,6 +214,13 @@ def ivf_train(
     # Lloyd stats) — persist once so the parquet scan + quantize run a
     # single time per training. Training is one job on a cluster; the
     # cache is released before returning.
+    from linkmerce_spark.shipping import ensure_shipped
+
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        ensure_shipped(active)
     qdf = df.select(F.col(id_col).alias("__id"), q.alias("__q")).persist()
 
     cands = [
@@ -183,20 +229,10 @@ def ivf_train(
     ]
 
     def _nearest(frame, cents):
-        dists = []
-        for plane in cents:
-            consts = F.array(*[F.lit(int(c)).cast("bigint") for c in plane])
-            dists.append(
-                F.aggregate(
-                    F.zip_with(F.col("__q"), consts, lambda a, b: (a - b) * (a - b)),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, x: acc + x,
-                )
-            )
-        darr = F.array(*dists)
-        return frame.withColumn(
-            "cell", F.array_position(darr, F.array_min(darr)).cast("int")
-        )
+        # Arrow kernel over the pre-quantized __q arrays (quant=None):
+        # identical int64 math and first-min tie rule, no codegen cost.
+        nn = _nearest_centroid_kernel(cents, None)
+        return frame.withColumn("cell", nn(F.col("__q")).getField("cell"))
 
     wts = {
         r["cell"]: r["cnt"]
