@@ -579,7 +579,13 @@ def stock_cost_mom(
 
 
 def with_empty_fallback(primary: DataFrame, fallback: DataFrame) -> DataFrame:
-    """primary UNION ALL (fallback WHERE NOT EXISTS(primary))."""
+    """primary UNION ALL (fallback WHERE NOT EXISTS(primary)).
+
+    The primary pipeline feeds both the emptiness guard and the union
+    branch — checkpoint it so a heavy report builds once, not twice
+    (stock_report_ds would otherwise evaluate the full report chain
+    for the guard count AND the output)."""
+    primary = primary.localCheckpoint(eager=True)
     guard = broadcast(primary.agg(F.count(F.lit(1)).alias("__n")))
     fb = fallback.crossJoin(guard).filter(F.col("__n") == 0).drop("__n")
     return primary.unionByName(fb)

@@ -7,8 +7,8 @@ Per-dataset module for the OpenAPI search tables. Parity sites
   ``display_rank = ROW_NUMBER() OVER () + $start - 1`` — the
   insertion-order global rank idiom (models.sql:18,44,73,103,124,148,
   184,234). Spark has no "insertion order"; callers provide an explicit
-  ``seq`` column and the rank is computed by the range-partitioned
-  ``global_row_number`` operator — no single-reducer sort.
+  ``seq`` column and the rank is a per-keyword window over the bounded
+  API response (see display_ranked for the scale argument).
 - HTML tag strip REGEXP_REPLACE(title, '<[^>]+>', '', 'g')
   (models.sql:20,45,190).
 - TRY_CAST(TRY_STRPTIME(...)) date parsing ('%Y%m%d' and the RFC
@@ -25,7 +25,7 @@ Per-dataset module for the OpenAPI search tables. Parity sites
 Scale notes
 -----------
 - Every parse is a narrow projection; the only shuffle in a rank build
-  is global_row_number's single range exchange.
+  is the per-keyword window exchange (bounded groups).
 - The product upsert is one full-outer merge on nv_mid — a keyed
   shuffle co-partitioned with the batch dedup that precedes it.
 """
@@ -36,7 +36,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from linkmerce_spark.operators.merge import merge_frames
-from linkmerce_spark.operators.rownum import global_row_number
 
 __all__ = [
     "strip_tags",
@@ -68,14 +67,23 @@ def strip_tags(c: Column | str) -> Column:
 def display_ranked(
     rows: DataFrame, keyword: str, start: int = 1, seq_col: str = "seq"
 ) -> DataFrame:
-    """Tag ``keyword`` and the global display_rank.
+    """Tag ``keyword`` and the per-response display_rank.
 
-    ``ROW_NUMBER() OVER () + $start - 1`` in the reference numbers rows
-    in arrival order; the Spark equivalent orders by the explicit
-    ``seq`` and adds the page offset. Range-partitioned numbering — no
-    global sort into one task (operators/rownum).
+    ``ROW_NUMBER() OVER () + $start - 1`` in the reference numbers ONE
+    API response in arrival order; the Spark equivalent orders by the
+    explicit ``seq`` and adds the page offset. A response is bounded by
+    the API's paging contract (start+display ≤ ~1000 rows), so a plain
+    window over the single (keyword) group is the scale-correct shape —
+    the multi-keyword fan-out partitions by keyword and each group
+    stays bounded. Unbounded numbering (marts: lot_seq, brand_seq,
+    product variants) uses ``operators.rownum.global_row_number``
+    instead; a bounded per-group rank does not need 4 jobs of range
+    machinery.
     """
-    ranked = global_row_number(rows, [F.col(seq_col).asc()], "__rn")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(keyword)).orderBy(F.col(seq_col).asc())
+    ranked = rows.withColumn("__rn", F.row_number().over(w))
     return ranked.select(
         F.lit(keyword).alias("keyword"),
         (F.col("__rn") + F.lit(start - 1)).cast("int").alias("display_rank"),
