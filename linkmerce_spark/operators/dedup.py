@@ -28,7 +28,13 @@ from pyspark.sql import functions as F
 
 from linkmerce_spark.functions.text import fingerprint
 
-__all__ = ["dedupe_keep_first", "insert_ignore", "exact_dedup"]
+__all__ = [
+    "dedupe_keep_first",
+    "insert_ignore",
+    "exact_dedup",
+    "connected_components",
+    "dedup_by_clusters",
+]
 
 
 def dedupe_keep_first(
@@ -97,3 +103,86 @@ def exact_dedup(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Duplicate-CLUSTER resolution over a near-dup pair graph.
+
+    Pair emitters (MinHash/LSH, embedding near-dups) produce edges; the
+    dedup decision needs components — "keep one doc per duplicate
+    cluster", where similarity is transitive through chains the pair
+    list never states directly. This is iterative min-label propagation
+    (the distributed connected-components standard): every node starts
+    as its own label, each round takes the min label over neighbors,
+    convergence in <= graph-diameter rounds. Returns (id, component)
+    with component = min node id in the component.
+
+    Scale notes: each round is ONE shuffle (edge join + groupBy min) —
+    no driver-side graph; labels are checkpointed per round so lineage
+    stays flat across iterations (the Pregel discipline); the
+    convergence probe is a LIMIT-1 count. Near-dup graphs are
+    short-diameter in practice (dup clusters are near-cliques), so
+    rounds ~ 2-4; ``max_iterations`` bounds adversarial chains.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)  # re-read every round; build once
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        prop = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("__pid"))
+            .agg(F.min("label").alias("__nbr_min"))
+        )
+        nxt = (
+            labels.join(prop, labels.id == F.col("__pid"), "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("__nbr_min", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def dedup_by_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one representative per duplicate cluster (the min-id one).
+
+    Rows never mentioned in ``pairs`` are singletons and pass through.
+    The non-canonical member set is component-labeled ids with
+    label != id — an anti-join drops them in one shuffle.
+    """
+    comps = connected_components(pairs, id_a, id_b)
+    losers = comps.filter(F.col("component") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -510,6 +510,23 @@ WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
       / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5
 """
 
+# Duplicate clusters over the SAME pair graph as minhash_near_dups:
+# undirected reachability via a recursive CTE, component = min reachable
+# id (the Spark side's min-label propagation fixpoint).
+ORACLES["doc_dup_clusters"] = """
+WITH RECURSIVE mh AS ({mh}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM mh
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM mh
+), reach AS (
+  SELECT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, MIN(label) AS component FROM reach GROUP BY id
+""".format(mh=ORACLES["minhash_near_dups"].strip())
+
 ORACLES["simhash_fingerprints"] = f"""
 WITH toks AS (
   SELECT doc_id, {_DTOKS} AS t FROM documents

@@ -638,6 +638,26 @@ def q_doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution: MinHash+LSH pair graph -> iterative
+    min-label connected components (operators/dedup.py). The dedup
+    decision real pipelines need is per-cluster (keep one doc per
+    transitive dup group), not per-pair; component = min doc_id.
+    The oracle re-derives components with a recursive reachability CTE
+    over the identical pair graph."""
+    from linkmerce_spark.operators.dedup import connected_components
+    from linkmerce_spark.operators.minhash import minhash_near_dups
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(
+        docs, text_col="text", id_col="doc_id", k=16, shingle_words=3,
+        bands=4, rows_per_band=4, min_jaccard=0.5, max_bucket=500,
+    )
+    return connected_components(pairs, "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content fingerprint (training-data op).
 
@@ -5439,6 +5459,8 @@ QUERIES = {
     "stock_cost_mom": q_stock_cost_mom,
     "profit_daily": q_profit_daily,
     # ================= driver 50-row window boundary =================
+    # -- round-5 addition (twinned on arrival; next rotation's lead)
+    "doc_dup_clusters": q_doc_dup_clusters,
     # -- driver-green history (rotated out; the local replica and
     # tools/dtype_audit.py still run ALL entries every round)
     "stock_qty_batch": q_stock_qty_batch,

@@ -199,3 +199,32 @@ def test_ivf_train_is_deterministic_and_adaptive(spark):
     assert a == b
     assert len(a) == 8 and all(len(c) == 64 for c in a)
     assert a != ivf_centroids(64, 8)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Transitive chains collapse to one component; islands stay apart;
+    convergence needs multiple propagation rounds for a long chain."""
+    from linkmerce_spark.operators.dedup import (
+        connected_components,
+        dedup_by_clusters,
+    )
+
+    # chain 10-11-12-13-14 (diameter 4), island pair 20-21, triangle 30-31-32
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14), (20, 21), (30, 31), (31, 32), (30, 32)],
+        "id_a long, id_b long",
+    )
+    comps = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comps == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+        20: 20, 21: 20,
+        30: 30, 31: 30, 32: 30,
+    }
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [10, 11, 12, 13, 14, 20, 21, 30, 31, 32, 99]],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup_by_clusters(docs, pairs).collect())
+    # one representative per cluster + the untouched singleton 99
+    assert kept == [10, 20, 30, 99]
