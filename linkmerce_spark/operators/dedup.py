@@ -147,23 +147,21 @@ def connected_components(
             .groupBy(F.col("dst").alias("__pid"))
             .agg(F.min("label").alias("__nbr_min"))
         )
+        new_label = F.least(F.col("label"), F.coalesce("__nbr_min", "label"))
+        # the change flag rides ALONG the update so the convergence
+        # probe is a filter over the materialized checkpoint — no extra
+        # join/shuffle per round.
         nxt = (
             labels.join(prop, labels.id == F.col("__pid"), "left")
             .select(
                 "id",
-                F.least(F.col("label"), F.coalesce("__nbr_min", "label")).alias("label"),
+                new_label.alias("label"),
+                (new_label != F.col("label")).alias("__changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            nxt.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = nxt
-        if changed == 0:
+        labels = nxt.select("id", "label")
+        if nxt.filter(F.col("__changed")).limit(1).count() == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("component"))
 
