@@ -442,7 +442,10 @@ def sabangnet_option_master(
     """sabangnet__option_master.sql:10-100 on Spark frames."""
     # the (expensive) sabangnet product-master chain feeds both the
     # broadcast attribute lookup and the all-9s fallback agg — run it
-    # once (round-4 verdict perf item: shared master chain).
+    # once (round-4 verdict perf item: shared master chain). The
+    # smaller core-product-master subtree is deliberately NOT
+    # checkpointed: an A/B showed the extra materialization job costs
+    # as much as the duplicate-subtree compute it saves at bench scale.
     product_master = product_master.localCheckpoint(eager=True)
     cpm = broadcast(
         core_product_master.select(
