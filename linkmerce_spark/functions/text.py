@@ -28,6 +28,9 @@ __all__ = [
     "quality_score",
     "lang_guess",
     "fingerprint",
+    "repetition_counts",
+    "pii_counts",
+    "PII_PATTERNS",
 ]
 
 # Tiny top-stopword marker sets per language for the n-gram/markers
@@ -177,3 +180,43 @@ def fingerprint(c: Column | str) -> Column:
     oracle's md5), stable across runs, suitable as an exact-dup key.
     """
     return F.md5(normalize_text(c))
+
+
+def repetition_counts(toks: Column, n: int = 5) -> tuple[Column, Column]:
+    """(total n-gram count, duplicated n-gram count) over a token array.
+
+    Boilerplate/spam detection staple: the duplicated-shingle count
+    (total - distinct) is high for template-y, loop-generated, or
+    scraped-repeat content. Integer outputs so thresholds and the SQL
+    oracle are exact; column expressions only — no shuffle, no Python.
+    Pass a MATERIALIZED token column (see shingles_from_tokens).
+    """
+    sh = shingles_from_tokens(toks, n)
+    total = F.size(sh).cast("bigint")
+    dups = (F.size(sh) - F.size(F.array_distinct(sh))).cast("bigint")
+    return total, dups
+
+
+# Portable scan patterns: constructs that parse identically under Java
+# regex (Spark) and RE2 (DuckDB) — no backrefs, no lookarounds.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"[0-9]{2,3}[-.][0-9]{3,4}[-.][0-9]{4}",
+}
+
+
+def pii_counts(c: Column | str) -> dict[str, Column]:
+    """Per-document counts of common PII-ish surface patterns.
+
+    Curation pipelines filter or redact on these before training. Counts
+    (not booleans) so downstream policies can threshold; leftmost
+    non-overlapping match semantics are identical in both engines for
+    these patterns (no backrefs/lookarounds), so the DuckDB twin is
+    ``len(regexp_extract_all(...))``.
+    """
+    col = _col(c)
+    return {
+        name: F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))).cast("bigint")
+        for name, pat in PII_PATTERNS.items()
+    }

@@ -19,10 +19,10 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "stable_sample", "hash_split"]
+__all__ = ["hash_bucket", "stable_sample", "hash_split", "stratified_topn"]
 
 _BUCKETS = 10_000  # split-resolution: 0.01% granularity
 
@@ -73,3 +73,31 @@ def hash_split(
     # reversed + otherwise-chaining makes the FIRST matching (smallest)
     # bound win, i.e. ranges [0,b1), [b1,b2), ...
     return df.withColumn(out, expr)
+
+
+def stratified_topn(
+    df: DataFrame,
+    strata: Column | str,
+    key: Column | str,
+    n_per_stratum: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum quota sample (corpus curation staple:
+    "at most N documents per language/domain/source").
+
+    Rank within each stratum by the md5 of the (salted) key — a
+    reproducible pseudo-random order that any SQL engine re-derives —
+    and keep the first ``n_per_stratum``. One shuffle (the stratum
+    window); strata with fewer than N rows pass through whole. The key
+    itself is the deterministic tiebreak after the hash, so equal-hash
+    collisions cannot make the sample engine-dependent.
+    """
+    s = F.col(strata) if isinstance(strata, str) else strata
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(salt), k.cast("string")))
+    w = Window.partitionBy(s).orderBy(h.asc(), k.cast("string").asc())
+    return (
+        df.withColumn("__sr", F.row_number().over(w))
+        .filter(F.col("__sr") <= n_per_stratum)
+        .drop("__sr")
+    )

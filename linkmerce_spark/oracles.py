@@ -510,6 +510,50 @@ WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
       / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5
 """
 
+ORACLES["doc_repetition"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_DTOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) < 5 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(range(1, len(t) - 3),
+                             i -> array_to_string(list_slice(t, i, i + 4), ' '))
+    END AS s
+  FROM toks
+)
+SELECT doc_id,
+  CAST(len(s) AS BIGINT) AS ngrams_total,
+  CAST(len(s) - len(list_distinct(s)) AS BIGINT) AS ngrams_dup,
+  CAST(CASE WHEN len(s) > 0
+            THEN ((len(s) - len(list_distinct(s))) * 1000) // len(s) END AS BIGINT)
+    AS rep_permille
+FROM sh
+"""
+
+# Patterns shared verbatim with functions/text.PII_PATTERNS — only
+# constructs that parse identically under Java regex and RE2.
+ORACLES["doc_pii_scan"] = r"""
+WITH scanned AS (
+  SELECT doc_id, text
+    || (CASE WHEN doc_id % 7 = 0
+             THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+             ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0
+             THEN ' see https://docs.example.com/page/' || CAST(doc_id AS VARCHAR)
+             ELSE '' END)
+    || (CASE WHEN doc_id % 11 = 0 THEN ' call 010-1234-5678' ELSE '' END) AS body
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(body, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS email_count,
+  CAST(len(regexp_extract_all(body, 'https?://[^\s]+')) AS BIGINT) AS url_count,
+  CAST(len(regexp_extract_all(body, '[0-9]{2,3}[-.][0-9]{3,4}[-.][0-9]{4}')) AS BIGINT) AS phone_count,
+  (len(regexp_extract_all(body, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+   + len(regexp_extract_all(body, 'https?://[^\s]+'))
+   + len(regexp_extract_all(body, '[0-9]{2,3}[-.][0-9]{3,4}[-.][0-9]{4}'))) > 0 AS has_pii
+FROM scanned
+"""
+
 # Duplicate clusters over the SAME pair graph as minhash_near_dups:
 # undirected reachability via a recursive CTE, component = min reachable
 # id (the Spark side's min-label propagation fixpoint).
@@ -792,6 +836,20 @@ _LANG_CASE = """CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
        WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
        WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
        ELSE 'es' END"""
+
+ORACLES["doc_stratified_sample"] = f"""
+WITH scored AS (
+  SELECT doc_id, {_SCORES} FROM documents
+), langed AS (
+  SELECT doc_id, {_LANG_CASE} AS lang_g FROM scored
+)
+SELECT doc_id, lang_g FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY lang_g
+    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, CAST(doc_id AS VARCHAR) ASC
+  ) AS rn FROM langed
+) WHERE rn <= 40
+"""
 
 ORACLES["doc_clean_corpus"] = f"""
 WITH base AS (

@@ -638,6 +638,71 @@ def q_doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language quota sample (corpus curation: at most
+    N docs per stratum). Rank inside each guessed-language stratum by
+    md5(doc_id) — engine-reproducible pseudo-random order — keep 40.
+    """
+    from linkmerce_spark.functions.text import lang_guess
+    from linkmerce_spark.operators.sampling import stratified_topn
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    strat = docs.withColumn("lang_g", lang_guess("text"))
+    return stratified_topn(strat, "lang_g", "doc_id", 40).select("doc_id", "lang_g")
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring: duplicated word-5-gram counts per document
+    (boilerplate/template detector). Integer outputs (total, dup,
+    integer per-mille) so thresholds are engine-exact; pure column
+    expressions — no shuffle."""
+    from linkmerce_spark.functions.text import repetition_counts, word_tokens
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    toked = docs.withColumn("__t", word_tokens("text"))
+    total, dups = repetition_counts(F.col("__t"), n=5)
+    return toked.select(
+        "doc_id",
+        total.alias("ngrams_total"),
+        dups.alias("ngrams_dup"),
+    ).withColumn(
+        "rep_permille",
+        F.expr("CASE WHEN ngrams_total > 0 THEN (ngrams_dup * 1000) DIV ngrams_total END"),
+    )
+
+
+def q_doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-ish surface scan (emails/URLs/phone shapes) over a corpus
+    with deterministic synthetic contact snippets appended — the
+    pre-training filter/redaction signal. Patterns use only constructs
+    that parse identically under Java regex and RE2."""
+    from linkmerce_spark.functions.text import pii_counts
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    body = F.concat(
+        F.col("text"),
+        F.when(did % 7 == 0,
+               F.concat(F.lit(" contact user"), did.cast("string"),
+                        F.lit("@mail.example.com now"))).otherwise(F.lit("")),
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" see https://docs.example.com/page/"),
+                        did.cast("string"))).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit(" call 010-1234-5678")).otherwise(F.lit("")),
+    )
+    scanned = docs.withColumn("__body", body)
+    counts = pii_counts(F.col("__body"))
+    return scanned.select(
+        "doc_id",
+        counts["email"].alias("email_count"),
+        counts["url"].alias("url_count"),
+        counts["phone"].alias("phone_count"),
+    ).withColumn(
+        "has_pii",
+        (F.col("email_count") + F.col("url_count") + F.col("phone_count")) > 0,
+    )
+
+
 def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-CLUSTER resolution: MinHash+LSH pair graph -> iterative
     min-label connected components (operators/dedup.py). The dedup
@@ -5459,8 +5524,11 @@ QUERIES = {
     "stock_cost_mom": q_stock_cost_mom,
     "profit_daily": q_profit_daily,
     # ================= driver 50-row window boundary =================
-    # -- round-5 addition (twinned on arrival; next rotation's lead)
+    # -- round-5 additions (twinned on arrival; next rotation's leads)
     "doc_dup_clusters": q_doc_dup_clusters,
+    "doc_stratified_sample": q_doc_stratified_sample,
+    "doc_repetition": q_doc_repetition,
+    "doc_pii_scan": q_doc_pii_scan,
     # -- driver-green history (rotated out; the local replica and
     # tools/dtype_audit.py still run ALL entries every round)
     "stock_qty_batch": q_stock_qty_batch,

@@ -228,3 +228,59 @@ def test_connected_components_chain_and_islands(spark):
     kept = sorted(r["doc_id"] for r in dedup_by_clusters(docs, pairs).collect())
     # one representative per cluster + the untouched singleton 99
     assert kept == [10, 20, 30, 99]
+
+
+def test_stratified_topn_quota_and_determinism(spark):
+    from linkmerce_spark.operators.sampling import stratified_topn
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 100 else "small") for i in range(110)],
+        "id long, stratum string",
+    )
+    out1 = stratified_topn(df, "stratum", "id", 25)
+    counts = {r["stratum"]: r["n"] for r in out1.groupBy("stratum").agg(
+        F.count("*").alias("n")).collect()}
+    assert counts == {"big": 25, "small": 10}  # small stratum passes whole
+    # deterministic: the same ids every time
+    ids1 = sorted(r["id"] for r in out1.collect())
+    ids2 = sorted(r["id"] for r in stratified_topn(df, "stratum", "id", 25).collect())
+    assert ids1 == ids2
+    # a different salt picks a different (still deterministic) subset
+    ids3 = sorted(
+        r["id"] for r in stratified_topn(df, "stratum", "id", 25, salt="x").collect()
+    )
+    assert ids1 != ids3
+
+
+def test_repetition_and_pii_helpers(spark):
+    from linkmerce_spark.functions.text import (
+        pii_counts,
+        repetition_counts,
+        word_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five " * 3),  # heavy 5-gram repetition
+            (2, "all distinct words here make a single unique sentence"),
+            (3, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    toked = docs.withColumn("t", word_tokens("text"))
+    total, dups = repetition_counts(F.col("t"), n=5)
+    rows = {r["doc_id"]: (r["tot"], r["dup"]) for r in toked.select(
+        "doc_id", total.alias("tot"), dups.alias("dup")).collect()}
+    assert rows[1][0] == 11 and rows[1][1] == 11 - 5  # 15 tokens, 5 distinct grams
+    assert rows[2] == (5, 0)
+    assert rows[3] == (0, 0)
+
+    pii = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.co.uk and http://a.io/x plus 010-1234-5678 twice 02-555-0000")],
+        "doc_id long, text string",
+    )
+    c = pii_counts("text")
+    row = pii.select(
+        c["email"].alias("e"), c["url"].alias("u"), c["phone"].alias("p")
+    ).collect()[0]
+    assert (row["e"], row["u"], row["p"]) == (1, 1, 2)
