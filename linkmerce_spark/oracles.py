@@ -510,6 +510,33 @@ WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
       / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5
 """
 
+# 6-gram decontamination twin: same tokenizer (_DTOKS), same distinct
+# word-6-grams, same 60-bit md5-prefix hash (15 hex chars -> BIGINT).
+ORACLES["doc_decontam"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_DTOKS} AS t FROM documents
+), grams AS (
+  SELECT doc_id, UNNEST(list_distinct(
+    CASE WHEN len(t) < 6 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(range(1, len(t) - 4),
+                             i -> array_to_string(list_slice(t, i, i + 5), ' '))
+    END)) AS g
+  FROM toks
+), hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS gram_hash FROM grams
+), bench AS (
+  SELECT DISTINCT gram_hash FROM hashed WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT h.doc_id, COUNT(*) AS collision_count
+  FROM hashed h JOIN bench USING (gram_hash)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(COALESCE(hits.collision_count, 0) AS BIGINT) AS collision_count,
+  COALESCE(hits.collision_count, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+"""
+
 ORACLES["doc_repetition"] = f"""
 WITH toks AS (
   SELECT doc_id, {_DTOKS} AS t FROM documents

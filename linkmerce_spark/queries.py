@@ -703,6 +703,19 @@ def q_doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: word-6-gram collisions of every
+    document against a held-out slice (doc_id % 97 == 0 plays the eval
+    set). The benchmark reduces to a broadcast set of distinct 60-bit
+    gram hashes; the corpus side explodes + hash-joins + rolls up —
+    the GPT-3-lineage 13-gram scrub, n parameterized for short docs."""
+    from linkmerce_spark.operators.decontam import decontaminate, ngram_hashes
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, ngram_hashes(bench, "text", n=6), "text", "doc_id", n=6)
+
+
 def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-CLUSTER resolution: MinHash+LSH pair graph -> iterative
     min-label connected components (operators/dedup.py). The dedup
@@ -5529,6 +5542,7 @@ QUERIES = {
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_repetition": q_doc_repetition,
     "doc_pii_scan": q_doc_pii_scan,
+    "doc_decontam": q_doc_decontam,
     # -- driver-green history (rotated out; the local replica and
     # tools/dtype_audit.py still run ALL entries every round)
     "stock_qty_batch": q_stock_qty_batch,

@@ -284,3 +284,25 @@ def test_repetition_and_pii_helpers(spark):
         c["email"].alias("e"), c["url"].alias("u"), c["phone"].alias("p")
     ).collect()[0]
     assert (row["e"], row["u"], row["p"]) == (1, 1, 2)
+
+
+def test_decontaminate_flags_exact_ngram_overlap(spark):
+    from linkmerce_spark.operators.decontam import decontaminate, ngram_hashes
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix words the quick brown fox jumps over the lazy dog tonight suffix"),
+            (2, "quick brown fox jumps over something else entirely different text"),
+            (3, "totally unrelated content with no overlap at all whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["collision_count"], r["contaminated"]) for r in
+           decontaminate(docs, ngram_hashes(bench, n=6), n=6).collect()}
+    assert out[1][1] is True and out[1][0] >= 1   # contains benchmark 6-grams
+    assert out[2] == (0, False)                    # only 5-gram overlap
+    assert out[3] == (0, False)
