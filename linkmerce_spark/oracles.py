@@ -510,6 +510,25 @@ WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
       / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5
 """
 
+ORACLES["doc_pack_plan"] = f"""
+WITH counted AS (
+  SELECT doc_id, doc_id % 4 AS shard,
+    CAST(len({_DTOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, shard, n_tokens,
+  CAST(COALESCE(SUM(n_tokens) OVER (
+    PARTITION BY shard ORDER BY doc_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before,
+  CAST(COALESCE(SUM(n_tokens) OVER (
+    PARTITION BY shard ORDER BY doc_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS pack_id,
+  CAST(COALESCE(SUM(n_tokens) OVER (
+    PARTITION BY shard ORDER BY doc_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 512 AS BIGINT) AS pack_offset
+FROM counted
+"""
+
 # 6-gram decontamination twin: same tokenizer (_DTOKS), same distinct
 # word-6-grams, same 60-bit md5-prefix hash (15 hex chars -> BIGINT).
 ORACLES["doc_decontam"] = f"""

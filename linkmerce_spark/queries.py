@@ -703,6 +703,22 @@ def q_doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan: per-shard running token totals binned by a
+    512-token budget (position-binning form — SQL-expressible, parallel
+    across shards; see operators/packing.py). Shard = doc_id % 4."""
+    from linkmerce_spark.functions.text import token_count
+    from linkmerce_spark.operators.packing import pack_sequences
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 4).alias("shard"),
+        token_count("text").alias("n_tokens"),
+    )
+    return pack_sequences(counted, "n_tokens", budget=512, shard_col="shard")
+
+
 def q_doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: word-6-gram collisions of every
     document against a held-out slice (doc_id % 97 == 0 plays the eval
@@ -5543,6 +5559,7 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "doc_pii_scan": q_doc_pii_scan,
     "doc_decontam": q_doc_decontam,
+    "doc_pack_plan": q_doc_pack_plan,
     # -- driver-green history (rotated out; the local replica and
     # tools/dtype_audit.py still run ALL entries every round)
     "stock_qty_batch": q_stock_qty_batch,

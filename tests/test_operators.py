@@ -306,3 +306,27 @@ def test_decontaminate_flags_exact_ngram_overlap(spark):
     assert out[1][1] is True and out[1][0] >= 1   # contains benchmark 6-grams
     assert out[2] == (0, False)                    # only 5-gram overlap
     assert out[3] == (0, False)
+
+
+def test_pack_sequences_positional_binning(spark):
+    from linkmerce_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 100), (4, 50)], "doc_id long, n long"
+    )
+    rows = {r["doc_id"]: (r["tokens_before"], r["pack_id"], r["pack_offset"])
+            for r in pack_sequences(df, "n", budget=512).collect()}
+    assert rows[1] == (0, 0, 0)
+    assert rows[2] == (300, 0, 300)   # starts inside pack 0, straddles
+    assert rows[3] == (600, 1, 88)
+    assert rows[4] == (700, 1, 188)
+    # sharding restarts the plan per shard
+    sharded = pack_sequences(
+        df.withColumn("s", F.col("doc_id") % 2), "n", budget=512, shard_col="s"
+    )
+    srows = {r["doc_id"]: r["tokens_before"] for r in sharded.collect()}
+    assert srows == {1: 0, 3: 300, 2: 0, 4: 300}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pack_sequences(df, "n", budget=0)
