@@ -41,4 +41,8 @@ def read_table(
         return reader.options(**options).json(source)
     if fmt == "parquet":
         return reader.options(**options).parquet(source)
+    if fmt == "orc":
+        # columnar alternative Spark ships natively (no extra packages);
+        # same pushdown/pruning contract as parquet in plans.
+        return reader.options(**options).orc(source)
     raise ValueError(f"unsupported format {fmt!r}")
