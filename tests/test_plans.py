@@ -142,6 +142,30 @@ def test_sabangnet_option_master_single_master_chain(spark):
     assert "Scan ExistingRDD" in plan, plan[:2000]
 
 
+def test_decontam_benchmark_broadcasts(spark):
+    """The benchmark n-gram set must broadcast: the corpus side never
+    shuffles on content at any corpus size."""
+    from linkmerce_spark.queries import q_doc_decontam
+
+    df = q_doc_decontam(spark, SF_DIR)
+    assert has_broadcast_join(df)
+
+
+def test_stratified_sample_single_shuffle(spark):
+    from linkmerce_spark.operators.sampling import stratified_topn
+
+    docs = load_star(spark, SF_DIR, ["documents"])["documents"]
+    out = stratified_topn(docs.withColumn("s", F.col("doc_id") % 3), "s", "doc_id", 5)
+    assert count_shuffles(out) == 1
+
+
+def test_pack_plan_single_window_per_shard(spark):
+    from linkmerce_spark.queries import q_doc_pack_plan
+
+    df = q_doc_pack_plan(spark, SF_DIR)
+    assert count_shuffles(df) == 1  # the shard window exchange only
+
+
 def test_sales_daily_timestamp_filter_pushed(spark):
     """The half-open payment_dt window must reach the scan as a pushed
     filter, not a post-scan Filter only."""
