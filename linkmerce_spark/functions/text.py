@@ -159,18 +159,27 @@ def lang_guess(c: Column | str) -> Column:
 
     Scores each candidate language by marker-token hits; returns the
     argmax (ties broken by fixed language order), 'und' when no marker
-    hits at all. Pure expression — runs in codegen, no UDF.
+    hits at all. Pure expression — no UDF.
+
+    Shape note: an earlier fold of nested WHEN/OTHERWISE chains made
+    each language's score expression expand combinatorially (~2^k
+    tokenizer re-evaluations per row). The array form evaluates every
+    score exactly once: argmax = array_position of the max, which takes
+    the FIRST maximum — the same fixed-language-order tie rule the
+    SQL oracle's GREATEST CASE ladder implements.
     """
     toks = word_tokens(c)
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang, markers in _LANG_MARKERS.items():
+
+    def _marker_hits(markers: tuple[str, ...]) -> Column:
         arr = F.array(*[F.lit(w) for w in markers])
-        score = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-        is_better = score > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return best_lang
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = F.array(*[_marker_hits(m) for m in _LANG_MARKERS.values()])
+    langs = F.array(*[F.lit(name) for name in _LANG_MARKERS])
+    best = F.array_max(scores)
+    return F.when(best <= 0, F.lit("und")).otherwise(
+        F.element_at(langs, F.array_position(scores, best).cast("int"))
+    )
 
 
 def fingerprint(c: Column | str) -> Column:
