@@ -34,8 +34,11 @@ __all__ = [
 def _as_of(as_of: str) -> Column:
     # CAST(DATE_TRUNC('second', CURRENT_TIMESTAMP) AS TIMESTAMP): the
     # caller passes the second-resolution load time explicitly so runs
-    # are reproducible and both engines agree.
-    return F.lit(as_of).cast("timestamp")
+    # are reproducible and both engines agree. TIMESTAMP_NTZ: a load
+    # stamp is wall-clock metadata — a session-TZ'd literal would parse
+    # to a different instant (and render a different wall time) under a
+    # non-UTC driver session, which the round-5 TZ sweep caught.
+    return F.lit(as_of).cast("timestamp_ntz")
 
 
 def dable_daily_report(rows: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -70,8 +70,17 @@ def parse_cafe_articles(rows: DataFrame) -> DataFrame:
         F.col("article.readCount").cast("int").alias("read_count"),
         F.col("article.commentCount").cast("int").alias("comment_count"),
         F.col("article.commenterCount").cast("int").alias("commenter_count"),
-        F.timestamp_seconds(
-            (F.col("article.writeDate").cast("bigint") / F.lit(1000)).cast("bigint")
+        # epoch millis -> wall-clock NTZ seconds: interval arithmetic
+        # over the NTZ epoch keeps the value session-TZ-free
+        # (timestamp_seconds would render shifted under a non-UTC
+        # driver session — the round-5 TZ sweep caught this).
+        (
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+            + F.make_interval(
+                secs=(F.col("article.writeDate").cast("bigint") / F.lit(1000)).cast(
+                    "bigint"
+                )
+            )
         ).alias("write_dt"),
     )
 
