@@ -30,6 +30,11 @@ TZ = "Asia/Seoul"
 def hostile_spark(*args, **kwargs):
     kwargs["timezone"] = TZ
     kwargs.setdefault("shuffle_partitions", 200)
+    extra = dict(kwargs.get("extra_conf") or {})
+    # flip ANSI off (Spark 4 defaults it on) — cast/overflow semantics
+    # must not leak into any catalog value either way.
+    extra["spark.sql.ansi.enabled"] = "false"
+    kwargs["extra_conf"] = extra
     return _orig_get_spark(*args, **kwargs)
 
 
@@ -38,7 +43,7 @@ def main() -> None:
     from tools import check_oracle
 
     check_oracle.get_spark = hostile_spark
-    print(f"== env sweep: session TZ {TZ}, 200 shuffle partitions ==")
+    print(f"== env sweep: session TZ {TZ}, 200 shuffle partitions, ANSI off ==")
     check_oracle.main()
 
 
