@@ -5703,3 +5703,103 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
   FROM scored
 ) WHERE rank <= 5
 """
+
+ORACLES["asof_click_attribution"] = """
+WITH p AS (
+  SELECT event_id, user_id, ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id,
+  epoch_us(p.ts) AS purchase_us,
+  CASE WHEN c.click_ts >= p.ts - INTERVAL 24 HOUR
+       THEN epoch_us(c.click_ts) END AS click_us,
+  CASE WHEN c.click_ts >= p.ts - INTERVAL 24 HOUR
+       THEN c.click_id END AS click_id,
+  CASE WHEN c.click_ts >= p.ts - INTERVAL 24 HOUR
+       THEN epoch_us(p.ts) - epoch_us(c.click_ts) END AS gap_us,
+  p.purchase_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+"""
+
+ORACLES["scd2_order_priority"] = """
+WITH dedup AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS changed_at, o_orderpriority
+  FROM (
+    SELECT o_custkey, o_orderdate, o_orderpriority,
+      ROW_NUMBER() OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+                         ORDER BY o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+), marked AS (
+  SELECT *, CASE WHEN LAG(o_orderpriority) OVER w IS NOT DISTINCT FROM o_orderpriority
+                 THEN 0 ELSE 1 END AS is_new
+  FROM dedup
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY changed_at ASC)
+), regimes AS (
+  SELECT o_custkey, o_orderpriority, changed_at AS effective_from,
+    LEAD(changed_at) OVER (PARTITION BY o_custkey ORDER BY changed_at ASC)
+      AS effective_to
+  FROM marked WHERE is_new = 1
+)
+SELECT o_custkey, o_orderpriority, effective_from, effective_to,
+  (effective_to IS NULL) AS is_current
+FROM regimes
+"""
+
+ORACLES["doc_tfidf_terms"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_DTOKS} AS t FROM documents
+), terms AS (
+  SELECT doc_id, UNNEST(t) AS term FROM toks
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms
+  WHERE LENGTH(term) >= 2 GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+    tf.tf * ((1000000 * (n.n_docs + 1)) // (df.df + 1)) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+  CAST(score AS BIGINT) AS score, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+    ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+# Exact-integer leading-zero ladder for the HLL register value: the
+# same 32 threshold comparisons the Spark side builds in _hll_rho.
+_HLL_RHO_SQL = "CASE " + " ".join(
+    f"WHEN v >= {1 << (31 - z)} THEN {z + 1}" for z in range(0, 32)
+) + " ELSE 33 END"
+
+ORACLES["hll_distinct_sketch"] = f"""
+WITH hashed AS (
+  SELECT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8) AS BIGINT) AS b32,
+         CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 9, 8) AS BIGINT) AS v
+  FROM orders
+), regs AS (
+  SELECT b32 % 512 AS bucket, MAX({_HLL_RHO_SQL}) AS max_rho
+  FROM hashed GROUP BY bucket
+), rollup AS (
+  SELECT CAST(512 AS INT) AS m,
+    CAST(COUNT(*) AS BIGINT) AS nonzero_buckets,
+    CAST(SUM(CAST(1 AS BIGINT) << (32 - max_rho))
+         + (512 - COUNT(*)) * 4294967296 AS BIGINT) AS sum_scaled
+  FROM regs
+), exact AS (
+  SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct FROM orders
+)
+SELECT m, nonzero_buckets, sum_scaled,
+  8.1040374023583E14 / CAST(sum_scaled AS DOUBLE) AS estimate,
+  exact_distinct
+FROM rollup CROSS JOIN exact
+"""
