@@ -135,34 +135,58 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)  # re-read every round; build once
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iterations):
-        prop = (
-            edges.join(labels, edges.src == labels.id)
-            .groupBy(F.col("dst").alias("__pid"))
-            .agg(F.min("label").alias("__nbr_min"))
-        )
-        new_label = F.least(F.col("label"), F.coalesce("__nbr_min", "label"))
-        # the change flag rides ALONG the update so the convergence
-        # probe is a filter over the materialized checkpoint — no extra
-        # join/shuffle per round.
-        nxt = (
-            labels.join(prop, labels.id == F.col("__pid"), "left")
-            .select(
-                "id",
-                new_label.alias("label"),
-                (new_label != F.col("label")).alias("__changed"),
-            )
+    # Right-size the iteration parallelism to the graph, not the
+    # upstream scan: the pair graph is orders of magnitude smaller than
+    # the corpus that emitted it, and every round re-maps the
+    # checkpointed partitions — inheriting the corpus partition count
+    # makes each of the ~diameter rounds pay full-width task overhead
+    # for kilobytes of labels. The count is a cheap action over the
+    # materialized checkpoint; at real scale (millions of edges per
+    # 100k target) the repartition is skipped entirely.
+    n_edges = edges.count()
+    spark = edges.sparkSession
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = max(1, min(int(prev_shuffle), n_edges // 100_000 + 1))
+    if parts < edges.rdd.getNumPartitions():
+        edges = edges.repartition(parts, "src").localCheckpoint(eager=True)
+    # The per-round checkpoint materialization path does not get AQE's
+    # post-shuffle coalescing, so every exchange inside the loop would
+    # keep the session-wide reducer count regardless of graph size.
+    # Scope the shuffle-partition conf to the loop instead (restored in
+    # finally); at real edge volumes parts == the session setting and
+    # this is a no-op.
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        labels = (
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("label", F.col("id"))
             .localCheckpoint(eager=True)
         )
-        labels = nxt.select("id", "label")
-        if nxt.filter(F.col("__changed")).limit(1).count() == 0:
-            break
+        for _ in range(max_iterations):
+            prop = (
+                edges.join(labels, edges.src == labels.id)
+                .groupBy(F.col("dst").alias("__pid"))
+                .agg(F.min("label").alias("__nbr_min"))
+            )
+            new_label = F.least(F.col("label"), F.coalesce("__nbr_min", "label"))
+            # the change flag rides ALONG the update so the convergence
+            # probe is a filter over the materialized checkpoint — no
+            # extra join/shuffle per round.
+            nxt = (
+                labels.join(prop, labels.id == F.col("__pid"), "left")
+                .select(
+                    "id",
+                    new_label.alias("label"),
+                    (new_label != F.col("label")).alias("__changed"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            labels = nxt.select("id", "label")
+            if nxt.filter(F.col("__changed")).limit(1).count() == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     return labels.select(F.col("id"), F.col("label").alias("component"))
 
 
