@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-__all__ = ["effective_dated_join", "rolling_range_agg"]
+__all__ = ["effective_dated_join", "rolling_range_agg", "interval_overlap_join"]
 
 
 def effective_dated_join(
@@ -91,3 +91,66 @@ def rolling_range_agg(
     for name, agg in aggs.items():
         out = out.withColumn(name, agg.over(w))
     return out
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    l_start: str = "l_start",
+    l_end: str = "l_end",
+    r_start: str = "r_start",
+    r_end: str = "r_end",
+    bucket_width: int = 32,
+) -> DataFrame:
+    """Interval x interval overlap join (inclusive bounds) — the
+    two-sided generalization of ``effective_dated_join``.
+
+    The naive plan for ``l.start <= r.end AND r.start <= l.end`` with
+    no equi-key support is a BroadcastNestedLoop / cartesian — the
+    classic scale-killer. This operator grid-buckets both interval
+    sets: each interval explodes into the ``bucket_width``-sized cells
+    it spans, the join becomes an EQUI-join on (keys, cell), and the
+    true overlap predicate filters the candidates. A pair spanning
+    several shared cells would duplicate, so the join keeps only the
+    FIRST shared cell (``cell == max(floor(l_start/w), floor(r_start/w))``)
+    — exact dedup with no extra shuffle (the standard banding trick).
+
+    One shuffle per side, on (keys, cell). Pick ``bucket_width`` near
+    the typical interval length: the explode factor is
+    ``len/width + 1`` per row, candidate quality degrades as width
+    grows. Bounds are integers (days, epoch units); callers convert
+    dates via ``datediff``.
+    """
+    keys = list(keys)
+
+    def cells(df: DataFrame, s: str, e: str, side: str) -> DataFrame:
+        w = F.lit(bucket_width)
+        return df.withColumn(
+            f"__{side}cell",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / w).cast("long"),
+                    F.floor(F.col(e) / w).cast("long"),
+                )
+            ),
+        )
+
+    l = cells(left, l_start, l_end, "l").alias("l")
+    r = cells(right, r_start, r_end, "r").alias("r")
+    cond = [l[k] == r[k] for k in keys]
+    cond.append(F.col("__lcell") == F.col("__rcell"))
+    cond.append(l[l_start] <= r[r_end])
+    cond.append(r[r_start] <= l[l_end])
+    # first-shared-cell guard: exact pair dedup without a distinct
+    cond.append(
+        F.col("__lcell")
+        == F.greatest(
+            F.floor(l[l_start] / bucket_width).cast("long"),
+            F.floor(r[r_start] / bucket_width).cast("long"),
+        )
+    )
+    out_cols = [l[c] for c in left.columns] + [
+        r[c] for c in right.columns if c not in keys
+    ]
+    return l.join(r, cond, "inner").select(*out_cols)

@@ -5803,3 +5803,59 @@ SELECT m, nonzero_buckets, sum_scaled,
   exact_distinct
 FROM rollup CROSS JOIN exact
 """
+
+ORACLES["interval_overlap_promos"] = """
+WITH flights AS (
+  SELECT o_custkey % 100 AS seg, o_orderkey AS flight_id,
+    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS f_start,
+    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + o_orderkey % 14 AS BIGINT) AS f_end
+  FROM orders WHERE o_orderkey % 7 = 0
+), promos AS (
+  SELECT o_custkey % 100 AS seg, o_orderkey AS promo_id,
+    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS p_start,
+    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + o_orderkey % 10 AS BIGINT) AS p_end
+  FROM orders WHERE o_orderkey % 11 = 0
+)
+SELECT f.seg, f.flight_id, p.promo_id,
+  CAST(LEAST(f.f_end, p.p_end) - GREATEST(f.f_start, p.p_start) + 1 AS BIGINT) AS overlap_days
+FROM flights f JOIN promos p
+  ON f.seg = p.seg AND f.f_start <= p.p_end AND p.p_start <= f.f_end
+"""
+
+# CMS column index for counter row {r}: the same salted-md5 bucket the
+# Spark side computes in sketches.cms_hash.
+def _cms_col_sql(r: int, key: str = "o_custkey", width: int = 1024) -> str:
+    return (
+        f"CAST('0x' || substr(md5('cms{r}|' || CAST({key} AS VARCHAR)), 1, 8)"
+        f" AS BIGINT) % {width}"
+    )
+
+
+_CMS_COUNTER_BRANCHES = "\n  UNION ALL\n".join(
+    f"  SELECT {r} AS row, {_cms_col_sql(r)} AS col FROM orders" for r in range(4)
+)
+
+ORACLES["cms_heavy_hitters"] = f"""
+WITH cells AS (
+{_CMS_COUNTER_BRANCHES}
+), counters AS (
+  SELECT row, col, CAST(COUNT(*) AS BIGINT) AS total FROM cells GROUP BY row, col
+), probes AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM orders GROUP BY o_custkey
+  ORDER BY exact_cnt DESC, o_custkey ASC LIMIT 20
+), probe_cells AS (
+  SELECT o_custkey, r.row, CASE r.row
+    WHEN 0 THEN {_cms_col_sql(0)}
+    WHEN 1 THEN {_cms_col_sql(1)}
+    WHEN 2 THEN {_cms_col_sql(2)}
+    ELSE {_cms_col_sql(3)} END AS col
+  FROM probes CROSS JOIN (SELECT UNNEST(range(0, 4)) AS row) r
+), est AS (
+  SELECT pc.o_custkey, MIN(COALESCE(c.total, 0)) AS cms_estimate
+  FROM probe_cells pc LEFT JOIN counters c ON pc.row = c.row AND pc.col = c.col
+  GROUP BY pc.o_custkey
+)
+SELECT p.o_custkey, p.exact_cnt, CAST(e.cms_estimate AS BIGINT) AS cms_estimate
+FROM probes p JOIN est e ON p.o_custkey = e.o_custkey
+"""

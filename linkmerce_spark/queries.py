@@ -5695,6 +5695,89 @@ def q_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_overlap_promos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap join via grid bucketing
+    (operators/rangejoin.interval_overlap_join).
+
+    Two order-derived interval sets per customer segment — think
+    campaign flights vs promo windows — joined on true overlap. The
+    naive expression of this predicate is a BroadcastNestedLoop; the
+    operator turns it into an equi-join on (segment, grid cell) with a
+    first-shared-cell guard, one shuffle per side at any scale.
+    Day numbers are integers (datediff from epoch), so every value is
+    exact on both engines.
+    """
+    from linkmerce_spark.operators.rangejoin import interval_overlap_join
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    flights = orders.filter(k % 7 == 0).select(
+        (F.col("o_custkey") % 100).alias("seg"),
+        k.alias("flight_id"),
+        day.cast("long").alias("f_start"),
+        (day + k % 14).cast("long").alias("f_end"),
+    )
+    promos = orders.filter(k % 11 == 0).select(
+        (F.col("o_custkey") % 100).alias("seg"),
+        k.alias("promo_id"),
+        day.cast("long").alias("p_start"),
+        (day + k % 10).cast("long").alias("p_end"),
+    )
+    j = interval_overlap_join(
+        flights,
+        promos,
+        keys=["seg"],
+        l_start="f_start",
+        l_end="f_end",
+        r_start="p_start",
+        r_end="p_end",
+        bucket_width=16,
+    )
+    return j.select(
+        "seg",
+        "flight_id",
+        "promo_id",
+        (
+            F.least(F.col("f_end"), F.col("p_end"))
+            - F.greatest(F.col("f_start"), F.col("p_start"))
+            + 1
+        )
+        .cast("long")
+        .alias("overlap_days"),
+    )
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (operators/sketches): top-20
+    customers by order count, exact count beside the CMS point
+    estimate from a 4x1024 counter table.
+
+    Like the HLL sketch, the counters are explicit portable-hash
+    column expressions — (row, col, total) rows whose merge operator
+    is SUM, so shards built anywhere (including by another engine)
+    combine exactly. The estimate is an upper bound; with 1024 columns
+    against ~1.5k distinct keys the collision inflation is small.
+    """
+    from linkmerce_spark.operators.sketches import cms_counters, cms_point_estimates
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    items = orders.select("o_custkey")
+    counters = cms_counters(items, "o_custkey", depth=4, width=1024)
+    probes = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("o_custkey").asc())
+        .limit(20)
+    )
+    out = cms_point_estimates(counters, probes, "o_custkey", depth=4, width=1024)
+    return out.select(
+        "o_custkey",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+    )
+
+
 # Dict order is deliberate: the driver's correctness gate checks the
 # FIRST 50 entries only (CORRECTNESS_r01/r02 evidence), so the window
 # rotates each round to cover queries without a driver row yet. The
@@ -5767,6 +5850,10 @@ QUERIES = {
     # (d) the permanent sentinel.
     "events_sessions": q_events_sessions,
     # ================= driver 50-row window boundary =================
+    # -- late round-5 additions (twinned on arrival; next rotation's
+    # leads alongside anything the r5 gate flags)
+    "interval_overlap_promos": q_interval_overlap_promos,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     # -- long-green canaries + round-5-modified-but-locally-verified
     # entries rotate out this round (each holds >=1 green driver row
     # or two-SF local + hostile-env + dtype-audit evidence).
