@@ -5859,3 +5859,15 @@ WITH cells AS (
 SELECT p.o_custkey, p.exact_cnt, CAST(e.cms_estimate AS BIGINT) AS cms_estimate
 FROM probes p JOIN est e ON p.o_custkey = e.o_custkey
 """
+
+# The bloom pre-filter is semantically transparent (false positives are
+# removed by the exact join) — the oracle is the PLAIN join, so the
+# gate verifies that guarantee rather than re-deriving the bitset.
+ORACLES["bloom_prefilter_revenue"] = """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 5000
+GROUP BY o.o_orderpriority
+"""

@@ -5778,6 +5778,32 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pre-filter (operators/bloom) ahead of an
+    exact dim join — the explicit runtime-filter pattern for 100 TB
+    fact tables.
+
+    The bloom bitset over the selective customer subset broadcasts as
+    one map row; the orders scan filters on pure column expressions
+    (no shuffle of the fact side), then the exact broadcast join
+    removes bloom false positives. The oracle is the PLAIN join — the
+    gate therefore verifies the operator's transparency guarantee, the
+    property that makes it safe to drop into any pipeline.
+    """
+    from linkmerce_spark.operators.bloom import bloom_semi_filter
+
+    orders, cust = _t(spark, sf_dir, "orders", "customer")
+    hot = cust.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 5000)
+    ).select("c_custkey")
+    pre = bloom_semi_filter(orders, hot, "o_custkey", keys_key="c_custkey")
+    exact = pre.join(broadcast(hot), pre.o_custkey == hot.c_custkey)
+    return exact.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum("o_totalprice").alias("revenue"),
+    )
+
+
 # Dict order is deliberate: the driver's correctness gate checks the
 # FIRST 50 entries only (CORRECTNESS_r01/r02 evidence), so the window
 # rotates each round to cover queries without a driver row yet. The
@@ -5854,6 +5880,7 @@ QUERIES = {
     # leads alongside anything the r5 gate flags)
     "interval_overlap_promos": q_interval_overlap_promos,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "bloom_prefilter_revenue": q_bloom_prefilter_revenue,
     # -- long-green canaries + round-5-modified-but-locally-verified
     # entries rotate out this round (each holds >=1 green driver row
     # or two-SF local + hostile-env + dtype-audit evidence).
