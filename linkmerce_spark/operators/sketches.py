@@ -23,7 +23,13 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cms_hash", "cms_counters", "cms_point_estimates"]
+__all__ = [
+    "cms_hash",
+    "cms_counters",
+    "cms_point_estimates",
+    "histogram_bins",
+    "histogram_quantiles",
+]
 
 
 def cms_hash(key: Column | str, row: int, width: int) -> Column:
@@ -93,3 +99,66 @@ def cms_point_estimates(
     )
     est = joined.groupBy(key).agg(F.min("total").alias("cms_estimate"))
     return probes.join(est, key, "left")
+
+
+def histogram_bins(
+    values: DataFrame, value: Column | str, bin_width: int
+) -> DataFrame:
+    """Equi-width histogram over integer values: (bin, n) rows.
+
+    The third member of the mergeable-sketch family (HLL = distinct,
+    CMS = frequency, this = distribution): bins merge across shards by
+    plain SUM, counts are exact integers, and the groupBy partial-
+    aggregates map-side. Bin ids are ``floor(v / bin_width)`` — exact
+    integer division on both engines.
+    """
+    c = F.col(value) if isinstance(value, str) else value
+    return (
+        values.select(F.floor(c / F.lit(bin_width)).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_quantiles(
+    bins: DataFrame, quantiles: list[int], bin_width: int
+) -> DataFrame:
+    """Quantile estimates from a histogram: for each q (percent), the
+    first bin whose cumulative count reaches q% of the total.
+
+    One window pass over the (small) bin table; the estimate error is
+    bounded by bin_width by construction. Output: (q, bin_lo, bin_hi,
+    cum_n) — all exact integers, so two engines agree bit-for-bit.
+    Rank uses ceil(q * total / 100) in pure integer math.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("bin").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bins.select(
+        "bin",
+        "n",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    qdf = cum.sparkSession.createDataFrame([(q,) for q in quantiles], "q int")
+    # target rank = ceil(q * total / 100), integer-exact
+    joined = qdf.crossJoin(cum).filter(
+        F.col("cum_n") * 100 >= F.col("q") * F.col("total")
+    )
+    first = Window.partitionBy("q").orderBy(F.col("bin").asc())
+    return (
+        joined.withColumn("__rn", F.row_number().over(first))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "q",
+            (F.col("bin") * bin_width).cast("long").alias("bin_lo"),
+            ((F.col("bin") + 1) * bin_width - 1).cast("long").alias("bin_hi"),
+            F.col("cum_n").cast("long").alias("cum_n"),
+        )
+    )

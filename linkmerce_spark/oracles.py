@@ -5871,3 +5871,26 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 5000
 GROUP BY o.o_orderpriority
 """
+
+ORACLES["histogram_order_value"] = """
+WITH v AS (
+  SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS c FROM orders
+), bins AS (
+  SELECT c // 1000000 AS bin, COUNT(*) AS n FROM v GROUP BY bin
+), cum AS (
+  SELECT bin, n,
+    SUM(n) OVER (ORDER BY bin ASC ROWS UNBOUNDED PRECEDING) AS cum_n,
+    SUM(n) OVER () AS total
+  FROM bins
+), qs(q) AS (VALUES (25), (50), (75), (90), (99)),
+hit AS (
+  SELECT q, bin, cum_n,
+    ROW_NUMBER() OVER (PARTITION BY q ORDER BY bin ASC) AS rn
+  FROM qs CROSS JOIN cum WHERE cum_n * 100 >= q * total
+)
+SELECT CAST(q AS INT) AS q,
+  CAST(bin * 1000000 AS BIGINT) AS bin_lo,
+  CAST((bin + 1) * 1000000 - 1 AS BIGINT) AS bin_hi,
+  CAST(cum_n AS BIGINT) AS cum_n
+FROM hit WHERE rn = 1
+"""

@@ -5804,6 +5804,29 @@ def q_bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_histogram_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantile sketch (operators/sketches): the
+    distribution member of the sketch family (HLL = distinct, CMS =
+    frequency). Order values in exact integer cents bucket into
+    SUM-mergeable equi-width bins; quantile estimates are the first
+    bin whose cumulative count reaches q% — pure integer rank math,
+    error bounded by the bin width. The bin table is k-sized by
+    construction, so its single-reducer cumulative window is a
+    bounded-cost step, not a data-proportional one.
+    """
+    from linkmerce_spark.operators.sketches import (
+        histogram_bins,
+        histogram_quantiles,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("c")
+    )
+    bins = histogram_bins(cents, "c", bin_width=1_000_000)
+    return histogram_quantiles(bins, [25, 50, 75, 90, 99], bin_width=1_000_000)
+
+
 # Dict order is deliberate: the driver's correctness gate checks the
 # FIRST 50 entries only (CORRECTNESS_r01/r02 evidence), so the window
 # rotates each round to cover queries without a driver row yet. The
@@ -5881,6 +5904,7 @@ QUERIES = {
     "interval_overlap_promos": q_interval_overlap_promos,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "bloom_prefilter_revenue": q_bloom_prefilter_revenue,
+    "histogram_order_value": q_histogram_order_value,
     # -- long-green canaries + round-5-modified-but-locally-verified
     # entries rotate out this round (each holds >=1 green driver row
     # or two-SF local + hostile-env + dtype-audit evidence).

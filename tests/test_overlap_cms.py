@@ -85,3 +85,34 @@ class TestCountMinSketch:
         assert sorted(map(tuple, whole.collect())) == sorted(
             map(tuple, merged.collect())
         )
+
+
+class TestHistogramQuantiles:
+    def test_estimates_bracket_exact_percentiles(self, spark):
+        from linkmerce_spark.operators.sketches import (
+            histogram_bins,
+            histogram_quantiles,
+        )
+
+        vals = spark.range(1, 10001).select((F.col("id") * 3).alias("v"))
+        bins = histogram_bins(vals, "v", bin_width=100)
+        out = histogram_quantiles(bins, [50, 90], bin_width=100).collect()
+        exact = {50: 15000, 90: 27000}  # v = 3..30000 uniform
+        for r in out:
+            assert r.bin_lo <= exact[r.q] <= r.bin_hi + 100  # width-bounded
+
+    def test_bins_merge_by_sum(self, spark):
+        from linkmerce_spark.operators.sketches import histogram_bins
+
+        a = spark.range(0, 4000).select(F.col("id").alias("v"))
+        b = spark.range(4000, 9000).select(F.col("id").alias("v"))
+        whole = histogram_bins(a.unionByName(b), "v", 256)
+        merged = (
+            histogram_bins(a, "v", 256)
+            .unionByName(histogram_bins(b, "v", 256))
+            .groupBy("bin")
+            .agg(F.sum("n").alias("n"))
+        )
+        assert sorted(map(tuple, whole.collect())) == sorted(
+            map(tuple, merged.collect())
+        )
