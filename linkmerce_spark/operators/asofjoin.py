@@ -39,7 +39,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "asof_join_bucketed"]
 
 
 def asof_join(
@@ -138,3 +138,135 @@ def asof_join(
         ],
     )
     return out
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    bucket_width: int,
+    direction: str = "backward",
+    tolerance: Column | None = None,
+    tiebreak: str | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Skew-hardened as-of join: partitions bounded by time bucket.
+
+    ``asof_join`` partitions by key alone, so one hyperactive key
+    serializes into a single sorted partition. This variant buckets
+    time into ``bucket_width`` spans and partitions by (keys, bucket):
+
+    1. Per (key, bucket) the LAST right row reduces to a bucket
+       summary (row_number, map-side bounded).
+    2. A running last() over the (small) summary frame yields each
+       bucket's CARRY-IN — the match for left rows that precede every
+       in-bucket right row. Carry-ins keep their true timestamps, so
+       they sort naturally before in-bucket rows.
+    3. The main union+window pass from ``asof_join`` then runs per
+       (keys, bucket) — partition size is capped by the bucket width
+       no matter how hot the key.
+
+    Timestamps must be NUMERIC here (epoch seconds/micros, day
+    numbers); 'forward' is handled by sign-flipping the working axis.
+    Semantics are identical to ``asof_join`` (property-pinned in
+    tests); cost is one extra small shuffle at bucket granularity.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = list(keys)
+    payload_cols = [c for c in right.columns if c not in keys]
+    out_names = {c: (c + suffix if c in left.columns else c) for c in payload_cols}
+    sign = 1 if direction == "backward" else -1
+    bw = int(bucket_width)
+
+    r = right.select(
+        *keys,
+        (F.col(right_ts) * sign).cast("long").alias("__ts"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__payload"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__tie"),
+    ).withColumn("__b", F.floor(F.col("__ts") / bw).cast("long"))
+    l = left.select(
+        *keys,
+        (F.col(left_ts) * sign).cast("long").alias("__ts"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
+    ).withColumn("__b", F.floor(F.col("__ts") / bw).cast("long"))
+
+    # 1. bucket summaries: the winning right row per (keys, bucket)
+    w_in = Window.partitionBy(*keys, "__b").orderBy(
+        F.col("__ts").desc(), F.col("__tie").desc_nulls_last()
+    )
+    summ = (
+        r.withColumn("__rn", F.row_number().over(w_in))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__tie")
+    )
+    # 2. carry-in per bucket of the (left ∪ right) bucket universe
+    universe = (
+        l.select(*keys, "__b").unionByName(summ.select(*keys, "__b")).distinct()
+    )
+    summ_full = universe.join(summ, [*keys, "__b"], "left")
+    w_carry = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__b").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = summ_full.select(
+        *keys,
+        "__b",
+        F.last("__payload", ignorenulls=True).over(w_carry).alias("__payload"),
+        F.last(
+            F.when(F.col("__payload").isNotNull(), F.col("__ts")),
+            ignorenulls=True,
+        )
+        .over(w_carry)
+        .alias("__ts"),
+    ).filter(F.col("__payload").isNotNull())
+
+    # 3. per-(keys, bucket) union + running last — asof_join's core,
+    # with the carry-in standing in for all earlier history
+    r2 = r.select(*keys, "__b", "__ts", F.lit(0).alias("__side"), "__payload", "__tie")
+    c2 = carry.select(
+        *keys,
+        "__b",
+        "__ts",
+        F.lit(0).alias("__side"),
+        "__payload",
+        F.lit(None).cast(r.schema["__tie"].dataType).alias("__tie"),
+    )
+    l2 = l.select(
+        *keys, "__b", "__ts", F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        F.lit(None).cast(r.schema["__tie"].dataType).alias("__tie"),
+        "__left",
+    )
+    null_left = F.lit(None).cast(l.schema["__left"].dataType).alias("__left")
+    u = l2.unionByName(r2.select(*r2.columns, null_left)).unionByName(
+        c2.select(*c2.columns, null_left)
+    )
+    w = (
+        Window.partitionBy(*keys, "__b")
+        .orderBy(
+            F.col("__ts").asc(), F.col("__side").asc(), F.col("__tie").asc_nulls_first()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.select(
+        "__ts",
+        "__side",
+        "__left",
+        F.last("__payload", ignorenulls=True).over(w).alias("__match"),
+        F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True)
+        .over(w)
+        .alias("__match_ts"),
+    ).filter(F.col("__side") == 1)
+    if tolerance is not None:
+        in_tol = F.col("__match_ts").isNotNull() & (
+            (F.col("__ts") - F.col("__match_ts")) <= tolerance
+        )
+        matched = matched.withColumn("__match", F.when(in_tol, F.col("__match")))
+    return matched.select(
+        *[F.col(f"__left.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__match.{c}").alias(out_names[c]) for c in payload_cols],
+    )

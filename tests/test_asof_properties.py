@@ -87,3 +87,43 @@ def test_asof_join_matches_pandas(spark, left, right, direction, tolerance):
     got = {(row.k, row.ts, row.lid): row.v for row in out.collect()}
     want = _pandas_asof(left, right, direction, tolerance)
     assert got == want
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    left=_left_rows,
+    right=_right_rows,
+    direction=st.sampled_from(["backward", "forward"]),
+    tolerance=st.one_of(st.none(), st.integers(min_value=0, max_value=20)),
+    width=st.sampled_from([1, 4, 17, 1000]),
+)
+def test_bucketed_asof_matches_pandas(spark, left, right, direction, tolerance, width):
+    """The skew-hardened bucketed variant must be semantically identical
+    to plain as-of for EVERY bucket width — widths only change the plan."""
+    from pyspark.sql import functions as F
+
+    from linkmerce_spark.operators.asofjoin import asof_join_bucketed
+
+    l = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(left)], "k int, ts int, lid int"
+    )
+    r = spark.createDataFrame(
+        [(k, ts, k * 1000 + ts) for k, ts in right], "k int, rts int, v int"
+    )
+    out = asof_join_bucketed(
+        l,
+        r,
+        keys=["k"],
+        left_ts="ts",
+        right_ts="rts",
+        bucket_width=width,
+        direction=direction,
+        tolerance=None if tolerance is None else F.lit(tolerance),
+    )
+    got = {(row.k, row.ts, row.lid): row.v for row in out.collect()}
+    want = _pandas_asof(left, right, direction, tolerance)
+    assert got == want

@@ -204,3 +204,21 @@ class TestAsofCatalogPlan:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan
         assert plan.count("Exchange") <= 1
+
+
+class TestAsofBucketed:
+    def test_tiebreak_and_carry_in(self, spark):
+        from linkmerce_spark.operators.asofjoin import asof_join_bucketed
+
+        left = spark.createDataFrame([(1, 100)], "k int, ts int")
+        right = spark.createDataFrame(
+            [(1, 9, 1, "lo"), (1, 9, 5, "hi")], "k int, rts int, pri int, v string"
+        )
+        # width 8: the right rows live in bucket 1, the left row in
+        # bucket 12 - the match arrives purely via the carry-in chain
+        out = asof_join_bucketed(
+            left, right, keys=["k"], left_ts="ts", right_ts="rts",
+            bucket_width=8, tiebreak="pri",
+        )
+        rows = out.collect()
+        assert len(rows) == 1 and rows[0].v == "hi"
