@@ -33,7 +33,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["first_seen_dedup", "running_counts"]
+__all__ = ["first_seen_dedup", "running_counts", "last_click_attribution"]
 
 
 def first_seen_dedup(
@@ -120,4 +120,81 @@ def running_counts(
     return (
         events.groupBy(key_col)
         .applyInPandasWithState(fn, out_schema, state_schema, "update", "NoTimeout")
+    )
+
+
+def last_click_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    click_type: str = "click",
+    purchase_type: str = "purchase",
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Streaming last-click attribution: the online form of the batch
+    as-of join (operators/asofjoin + the asof_click_attribution query).
+
+    Keyed state holds each user's most recent click (id + epoch-us);
+    every purchase emits one attribution row — the state's click if it
+    is within ``tolerance_us``, else NULLs. Within a micro-batch rows
+    process in event-time order; across batches the checkpointed state
+    carries the last click forward, so a click in one batch attributes
+    a purchase in a later one. Late cross-batch CLICKS (arriving after
+    a purchase already processed) cannot retro-attribute — streaming
+    semantics; the batch as-of join is the exact backfill path
+    (equivalence pinned in tests for in-order feeds).
+    """
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType(), True),
+            StructField("purchase_id", LongType(), True),
+            StructField("purchase_us", LongType(), True),
+            StructField("click_id", LongType(), True),
+            StructField("click_us", LongType(), True),
+            StructField("gap_us", LongType(), True),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_click_us", LongType(), True),
+            StructField("last_click_id", LongType(), True),
+        ]
+    )
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        last_us, last_id = (state.get if state.exists else (None, None))
+        out: dict[str, list] = {f.name: [] for f in out_schema.fields}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="stable")
+            for row in pdf.itertuples(index=False):
+                us = int(getattr(row, ts_col).value // 1000)
+                etype = getattr(row, type_col)
+                eid = int(getattr(row, id_col))
+                if etype == click_type:
+                    last_us, last_id = us, eid
+                elif etype == purchase_type:
+                    hit = last_us is not None and (
+                        tolerance_us is None or us - last_us <= tolerance_us
+                    )
+                    out["user_id"].append(int(key[0]))
+                    out["purchase_id"].append(eid)
+                    out["purchase_us"].append(us)
+                    out["click_id"].append(last_id if hit else None)
+                    out["click_us"].append(last_us if hit else None)
+                    out["gap_us"].append(us - last_us if hit else None)
+        if last_us is not None:
+            state.update((last_us, last_id))
+        if out["user_id"]:
+            yield pd.DataFrame(out)
+
+    from linkmerce_spark.shipping import ensure_shipped
+
+    ensure_shipped(events.sparkSession)
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
     )

@@ -92,3 +92,79 @@ def test_running_counts_accumulate(spark, workdir):
     run()
     got2 = {r["key"]: r["total"] for r in emitted}
     assert got2 == {"a": 3, "c": 1}  # state accumulated across restarts
+
+
+def test_last_click_attribution_matches_batch_asof(spark, workdir):
+    """Streaming attribution == batch asof_join for an in-order feed,
+    including cross-micro-batch state carry (click in run 1 attributes
+    a purchase arriving in run 2)."""
+    from pyspark.sql import functions as F
+
+    from linkmerce_spark.operators.asofjoin import asof_join
+    from linkmerce_spark.streaming.stateful import last_click_attribution
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0)
+
+    def ev(uid, mins, etype, eid):
+        return (uid, t0 + dt.timedelta(minutes=mins), etype, eid)
+
+    batch1 = [
+        ev(1, 0, "click", 10),
+        ev(1, 5, "purchase", 11),   # -> click 10
+        ev(1, 7, "click", 12),
+        ev(2, 1, "purchase", 20),   # -> no click
+        ev(3, 2, "click", 30),
+    ]
+    batch2 = [
+        ev(1, 9, "purchase", 13),   # -> click 12 (same-run state)
+        ev(3, 500, "purchase", 31), # -> click 30 via CHECKPOINTED state, but > 60min tol -> null
+        ev(2, 8, "click", 21),
+        ev(2, 10, "purchase", 22),  # -> click 21
+    ]
+    src, ckpt, out = f"{workdir}/ev", f"{workdir}/ck", f"{workdir}/at"
+    schema = "user_id long, ts timestamp, event_type string, event_id long"
+    tol_us = 60 * 60 * 1_000_000  # 60 min
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        q = (
+            last_click_attribution(stream, tolerance_us=tol_us)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(batch1)
+    run(batch2)
+    got = {
+        (r.user_id, r.purchase_id): (r.click_id, r.gap_us)
+        for r in spark.read.parquet(out).collect()
+    }
+
+    # batch reference: asof_join over the full in-order event set
+    all_events = spark.createDataFrame(batch1 + batch2, schema)
+    purchases = all_events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = all_events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+    )
+    ref = asof_join(
+        purchases, clicks, keys=["user_id"], left_ts="ts", right_ts="cts",
+        tolerance=F.expr("INTERVAL 60 MINUTES"),
+    )
+    want = {}
+    for r in ref.collect():
+        gap = None
+        if r.click_id is not None:
+            gap = int((r.ts - r.cts).total_seconds() * 1_000_000)
+        want[(r.user_id, r.purchase_id)] = (r.click_id, gap)
+    assert got == want
+    assert got[(1, 13)][0] == 12  # same-run later click wins
+    assert got[(3, 31)][0] is None  # carried click outside tolerance
+    assert got[(2, 22)][0] == 21
