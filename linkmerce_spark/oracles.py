@@ -5894,3 +5894,53 @@ SELECT CAST(q AS INT) AS q,
   CAST(cum_n AS BIGINT) AS cum_n
 FROM hit WHERE rn = 1
 """
+
+ORACLES["dq_orders_checks"] = """
+SELECT 'not_null:o_custkey' AS rule, CAST(COUNT(*) AS BIGINT) AS n_violations
+FROM orders WHERE o_custkey IS NULL
+UNION ALL
+SELECT 'unique:o_orderkey', CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey) WHERE c > 1
+UNION ALL
+SELECT 'accepted_values:o_orderstatus', CAST(COUNT(*) AS BIGINT)
+FROM orders WHERE o_orderstatus IS NOT NULL
+  AND o_orderstatus NOT IN ('O', 'F', 'P')
+UNION ALL
+SELECT 'accepted_values:o_orderpriority', CAST(COUNT(*) AS BIGINT)
+FROM orders WHERE o_orderpriority IS NOT NULL
+  AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+UNION ALL
+SELECT 'relationships:o_custkey', CAST(COUNT(*) AS BIGINT)
+FROM orders o WHERE o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""
+
+ORACLES["scd2_effective_revenue"] = """
+WITH dedup AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS changed_at, o_orderpriority
+  FROM (
+    SELECT o_custkey, o_orderdate, o_orderpriority,
+      ROW_NUMBER() OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+                         ORDER BY o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+), marked AS (
+  SELECT *, CASE WHEN LAG(o_orderpriority) OVER w IS NOT DISTINCT FROM o_orderpriority
+                 THEN 0 ELSE 1 END AS is_new
+  FROM dedup
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY changed_at ASC)
+), regimes AS (
+  SELECT o_custkey, o_orderpriority, changed_at AS effective_from,
+    LEAD(changed_at) OVER (PARTITION BY o_custkey ORDER BY changed_at ASC)
+      AS effective_to
+  FROM marked WHERE is_new = 1
+)
+SELECT r.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+LEFT JOIN regimes r ON r.o_custkey = o.o_custkey
+  AND CAST(l.l_shipdate AS DATE) >= r.effective_from
+  AND CAST(l.l_shipdate AS DATE) < COALESCE(r.effective_to, DATE '9999-12-31')
+GROUP BY r.o_orderpriority
+"""

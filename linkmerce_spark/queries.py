@@ -5827,6 +5827,90 @@ def q_histogram_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(bins, [25, 50, 75, 90, 99], bin_width=1_000_000)
 
 
+def q_dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report (operators/quality): the four
+    canonical dbt schema tests — not_null, unique, accepted_values,
+    relationships — compiled to aggregates and unioned into one
+    (rule, n_violations) frame. The reference's dbt tests/ dirs are
+    empty; this is the vocabulary a migrating user adds first. The
+    partial accepted-values list on o_orderpriority deliberately
+    fires, proving violation counts flow (the other rules hold 0 on
+    the clean TPC-H data).
+    """
+    from linkmerce_spark.operators.quality import (
+        accepted_values,
+        not_null,
+        relationships,
+        run_checks,
+        unique,
+    )
+
+    orders, cust = _t(spark, sf_dir, "orders", "customer")
+    return run_checks(
+        [
+            not_null(orders, "o_custkey"),
+            unique(orders, "o_orderkey"),
+            accepted_values(orders, "o_orderstatus", ["O", "F", "P"]),
+            accepted_values(
+                orders, "o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+            ),
+            relationships(orders, "o_custkey", cust, "c_custkey"),
+        ]
+    )
+
+
+def q_scd2_effective_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 builder composed with the effective-dated join: quantity
+    shipped under the priority regime IN EFFECT AT SHIP TIME (ship
+    date lags order date, so the regime lookup is non-trivial).
+
+    This is the full warehouse pattern end-to-end — changelog ->
+    type-2 dimension (operators/scd2) -> half-open [from, to) regime
+    attach -> rollup — the producer AND consumer side of every
+    effective-dated relation in the reference's dbt models.
+    """
+    from linkmerce_spark.operators.scd2 import scd2_from_changelog
+
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    changelog = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("changed_at"),
+        "o_orderpriority",
+        "o_orderkey",
+    )
+    dim = scd2_from_changelog(
+        changelog,
+        keys=["o_custkey"],
+        ts="changed_at",
+        attrs=["o_orderpriority"],
+        tiebreak="o_orderkey",
+    )
+    facts = li.select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship_d"), "l_quantity"
+    ).join(
+        orders.select("o_orderkey", "o_custkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    # The open regime's NULL end lands as a sentinel upper bound, NOT
+    # an OR-disjunct: a disjunct in the range condition knocks engines
+    # off their range-join machinery (measured 26x on the twin — the
+    # whole-class risk this engine's operators avoid by construction).
+    j = facts.join(
+        dim,
+        (facts.o_custkey == dim.o_custkey)
+        & (F.col("ship_d") >= F.col("effective_from"))
+        & (
+            F.col("ship_d")
+            < F.coalesce(F.col("effective_to"), F.lit("9999-12-31").cast("date"))
+        ),
+        "left",
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dsum("l_quantity").alias("sum_qty"),
+    )
+
+
 # Dict order is deliberate: the driver's correctness gate checks the
 # FIRST 50 entries only (CORRECTNESS_r01/r02 evidence), so the window
 # rotates each round to cover queries without a driver row yet. The
@@ -5905,6 +5989,8 @@ QUERIES = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "bloom_prefilter_revenue": q_bloom_prefilter_revenue,
     "histogram_order_value": q_histogram_order_value,
+    "dq_orders_checks": q_dq_orders_checks,
+    "scd2_effective_revenue": q_scd2_effective_revenue,
     # -- long-green canaries + round-5-modified-but-locally-verified
     # entries rotate out this round (each holds >=1 green driver row
     # or two-SF local + hostile-env + dtype-audit evidence).
