@@ -5944,3 +5944,15 @@ LEFT JOIN regimes r ON r.o_custkey = o.o_custkey
   AND CAST(l.l_shipdate AS DATE) < COALESCE(r.effective_to, DATE '9999-12-31')
 GROUP BY r.o_orderpriority
 """
+
+ORACLES["cube_sales_grid"] = """
+SELECT r.r_name, o.o_orderpriority,
+  CAST(GROUPING(r.r_name, o.o_orderpriority) AS INT) AS gid,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY CUBE (r.r_name, o.o_orderpriority)
+"""

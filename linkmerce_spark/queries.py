@@ -5911,6 +5911,27 @@ def q_scd2_effective_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_sales_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (region, priority) with GROUPING disambiguation —
+    completes the grouping-sets family next to ROLLUP (sales_rollup).
+    ``grouping_id`` separates real NULL group values from subtotal
+    rows (both engines use the standard SQL bitmask convention).
+    One aggregation pass, partial-aggregated map-side."""
+    orders, cust, nation, region = _t(
+        spark, sf_dir, "orders", "customer", "nation", "region"
+    )
+    j = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.cube("r_name", "o_orderpriority").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum("o_totalprice").alias("total_value"),
+    )
+
+
 # Dict order is deliberate: the driver's correctness gate checks the
 # FIRST 50 entries only (CORRECTNESS_r01/r02 evidence), so the window
 # rotates each round to cover queries without a driver row yet. The
@@ -5991,6 +6012,7 @@ QUERIES = {
     "histogram_order_value": q_histogram_order_value,
     "dq_orders_checks": q_dq_orders_checks,
     "scd2_effective_revenue": q_scd2_effective_revenue,
+    "cube_sales_grid": q_cube_sales_grid,
     # -- long-green canaries + round-5-modified-but-locally-verified
     # entries rotate out this round (each holds >=1 green driver row
     # or two-SF local + hostile-env + dtype-audit evidence).
