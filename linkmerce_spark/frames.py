@@ -101,6 +101,21 @@ class TableRegistry:
         return self._frames.keys()
 
 
+# Per-session memo of base-table DataFrames: a fresh
+# ``spark.read.parquet`` costs ~100ms of driver work (footer read +
+# schema resolution) EVERY call, and the catalog touches the same ten
+# tables thousands of times per bench/gate run. A DataFrame is an
+# immutable logical plan — reusing it is exactly what a registered
+# warehouse table does; scans, pushdown, and pruning are unchanged.
+# WeakKeyDictionary: entries die with their session (tests stop/start
+# sessions freely and must never see a stale one).
+import weakref
+
+_STAR_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_star(
     spark: SparkSession,
     sf_dir: str,
@@ -111,20 +126,35 @@ def load_star(
 
     Plain ``spark.read.parquet`` — scans stay columnar/vectorized and
     Catalyst pushes filters and prunes columns into the parquet reader.
+    Reads are memoized per (session, sf_dir, table); the test parquet
+    is immutable, and a cached DataFrame is just a reusable plan.
     """
-    out: dict[str, DataFrame] = {}
     try:
-        # Runtime-settable SQL conf; required to read pandas-written
-        # TIMESTAMP(NANOS) parquet (events.ts) on any caller's session.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+        cache = _STAR_CACHE.setdefault(spark, {})
+    except TypeError:  # session not weak-referenceable (mocks)
+        cache = {}
+    out: dict[str, DataFrame] = {}
+    base = sf_dir.rstrip("/")
     for name in tables:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            # TIMESTAMP(NANOS) parquet read as long via nanosAsLong:
-            # truncate to micros (identical to DuckDB's nanos handling).
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        key = (base, name)
+        df = cache.get(key)
+        if df is None:
+            try:
+                # Runtime-settable SQL conf; required to read pandas-
+                # written TIMESTAMP(NANOS) parquet (events.ts) on any
+                # caller's session.
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            except Exception:
+                pass
+            df = spark.read.parquet(f"{base}/{name}.parquet")
+            if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+                # TIMESTAMP(NANOS) parquet read as long via nanosAsLong:
+                # truncate to micros (identical to DuckDB's nanos
+                # handling).
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            cache[key] = df
         if register_views:
             df.createOrReplaceTempView(name)
         out[name] = df
