@@ -5956,3 +5956,7 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY CUBE (r.r_name, o.o_orderpriority)
 """
+
+# Same twin as asof_click_attribution: the bucketed Spark variant must
+# be indistinguishable from the plain one to an independent engine.
+ORACLES["asof_bucketed_attribution"] = ORACLES["asof_click_attribution"]

@@ -5932,6 +5932,47 @@ def q_cube_sales_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_bucketed_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-hardened bucketed as-of join against the SAME DuckDB
+    ASOF twin as asof_click_attribution: the bucketed variant must be
+    indistinguishable from the plain one to an independent engine.
+    Timestamps ride as epoch microseconds (the variant's numeric
+    axis); bucket width = 6h of micros caps any one user's partition.
+    """
+    from linkmerce_spark.operators.asofjoin import asof_join_bucketed
+
+    (events,) = _t(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " CAST(ts AS TIMESTAMP_NTZ))"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us.alias("purchase_us"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", us.alias("click_us"), F.col("event_id").alias("click_id")
+    )
+    j = asof_join_bucketed(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_ts="purchase_us",
+        right_ts="click_us",
+        bucket_width=6 * 3600 * 1_000_000,
+        tolerance=F.lit(24 * 3600 * 1_000_000),
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "purchase_us",
+        "click_us",
+        "click_id",
+        (F.col("purchase_us") - F.col("click_us")).alias("gap_us"),
+        "purchase_value",
+    )
+
+
 # Dict order is deliberate: the driver's correctness gate checks the
 # FIRST 50 entries only (CORRECTNESS_r01/r02 evidence), so the window
 # rotates each round to cover queries without a driver row yet. The
@@ -6013,6 +6054,7 @@ QUERIES = {
     "dq_orders_checks": q_dq_orders_checks,
     "scd2_effective_revenue": q_scd2_effective_revenue,
     "cube_sales_grid": q_cube_sales_grid,
+    "asof_bucketed_attribution": q_asof_bucketed_attribution,
     # -- long-green canaries + round-5-modified-but-locally-verified
     # entries rotate out this round (each holds >=1 green driver row
     # or two-SF local + hostile-env + dtype-audit evidence).
