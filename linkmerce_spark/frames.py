@@ -179,6 +179,11 @@ def select_paths(df: DataFrame, schema: Mapping[str, str], extends: Mapping[str,
     return df.select(*cols)
 
 
+_VALUES_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def values_df(spark: SparkSession, rows: Iterable[tuple], schema: str) -> DataFrame:
     """Small literal batch as a JVM-side LocalRelation (SQL ``VALUES``).
 
@@ -198,9 +203,31 @@ def values_df(spark: SparkSession, rows: Iterable[tuple], schema: str) -> DataFr
     from pyspark.sql.types import StructType
 
     rows = [tuple(r) for r in rows]
+    # Literal dims are constant plans: the same VALUES frame is rebuilt
+    # for every query that joins it (the catalog pays StructType.fromDDL
+    # + a spark.sql parse per call, ~15-40 ms each, hundreds of times a
+    # run). Memoize the immutable DataFrame per (session, schema, rows)
+    # — same rationale and lifetime rules as _STAR_CACHE above.
+    try:
+        cache_key = (schema, tuple(rows))
+        hash(cache_key)
+        cache = _VALUES_CACHE.setdefault(spark, {})
+    except TypeError:  # unhashable literal or mock session
+        cache_key = cache = None
+    if cache is not None and cache_key in cache:
+        return cache[cache_key]
     st = StructType.fromDDL(schema)
     if not rows:
-        return spark.createDataFrame([], schema)
+        # Empty LocalRelation, not a 0-row parallelized RDD (the latter
+        # still schedules defaultParallelism tasks on every evaluation).
+        nulls = ", ".join(
+            f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
+            for f in st.fields
+        )
+        df = spark.sql(f"SELECT {nulls} WHERE FALSE")
+        if cache is not None:
+            cache[cache_key] = df
+        return df
 
     def lit(v: Any) -> str:
         if v is None:
@@ -218,4 +245,7 @@ def values_df(spark: SparkSession, rows: Iterable[tuple], schema: str) -> DataFr
         for f in st.fields
     )
     tuples = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
-    return spark.sql(f"SELECT {casts} FROM VALUES {tuples} AS t({names})")
+    df = spark.sql(f"SELECT {casts} FROM VALUES {tuples} AS t({names})")
+    if cache is not None:
+        cache[cache_key] = df
+    return df

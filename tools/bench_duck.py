@@ -1,0 +1,67 @@
+"""DuckDB yardstick timing for the catalog's oracle twins.
+
+Times every ``oracle_sql()`` twin on DuckDB (32 threads) over the same
+parquet tables bench.py reads, best-of-2 per query, and prints ONE JSON
+line shaped like bench.py's so the two are directly comparable:
+
+    {"metric": "duckdb_twin_wall_seconds", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ...}
+
+This is the self-established baseline BASELINE.md calls for (the
+reference publishes no numbers): same logical queries, same data, the
+columnar single-node yardstick the 2x criterion is measured against.
+
+Usage: python tools/bench_duck.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from linkmerce_spark.frames import STAR_TABLES  # noqa: E402
+from linkmerce_spark.oracles import ORACLES  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 32}")
+    for t in STAR_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    timings: dict[str, float] = {}
+    for name, sql in ORACLES.items():
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            con.sql(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "duckdb_twin_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": timings,
+            },
+            separators=(",", ":"),
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
