@@ -416,7 +416,7 @@ def smartstore_sales_daily(
     dlv = (
         order_delivery.filter(in_ts("payment_dt"))
         .groupBy("product_order_id")
-        .agg(F.any_value("invoice_no").alias("__d_inv"))
+        .agg(F.min("invoice_no").alias("__d_inv"))
         .withColumnRenamed("product_order_id", "__d_poid")
     )
     st_smt = (

@@ -375,7 +375,7 @@ def rocket_sales_shipping(sales: DataFrame, shipping: DataFrame) -> DataFrame:
         F.coalesce("s.sales_date", "h.sales_date").alias("sales_date"),
     )
     return merged.groupBy("sales_date", "order_id", "option_id").agg(
-        F.any_value(F.col("vendor_id")).alias("vendor_id"),
+        F.min(F.col("vendor_id")).alias("vendor_id"),
         F.when(F.max("order_status").isNull(), F.lit(7))
         .otherwise(F.least(F.max("order_status"), F.lit(3)))
         .alias("order_status"),

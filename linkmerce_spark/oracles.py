@@ -3821,7 +3821,7 @@ FROM final
 ORACLES["coupang_total_order"] = f"""
 WITH sales AS (
   SELECT grp AS order_id, 'OPT' || CAST(grp % 12 AS VARCHAR) AS option_id,
-    ANY_VALUE('v' || CAST(grp % 3 AS VARCHAR)) AS vendor_id,
+    MIN('v' || CAST(grp % 3 AS VARCHAR)) AS vendor_id,
     MAX(CASE WHEN grp % 5 = 0 THEN 0 ELSE CAST(k % 6 AS INT) END) AS order_status,
     SUM(k % 4) AS order_quantity,
     SUM(COALESCE((k % 7) * 100, 0) * COALESCE(k % 4, 0)
@@ -3835,7 +3835,7 @@ WITH sales AS (
   ) GROUP BY 1, 2
 ), ship AS (
   SELECT grp AS order_id, 'OPT' || CAST(grp % 12 AS VARCHAR) AS option_id,
-    ANY_VALUE('v' || CAST(grp % 3 AS VARCHAR)) AS vendor_id,
+    MIN('v' || CAST(grp % 3 AS VARCHAR)) AS vendor_id,
     SUM(COALESCE((k % 6) * 20, 0) - COALESCE((k % 4) * 10, 0)
         + COALESCE((k % 5) * 5, 0)) AS delivery_fee,
     MAX(d) AS sales_date
@@ -3854,7 +3854,7 @@ WITH sales AS (
     ON s.order_id = h.order_id AND s.option_id = h.option_id
 ), merged AS (
   SELECT sales_date, order_id, option_id,
-    ANY_VALUE(vendor_id) AS vendor_id,
+    MIN(vendor_id) AS vendor_id,
     CASE WHEN MAX(order_status) IS NULL THEN 7
          ELSE LEAST(MAX(order_status), 3) END AS order_status,
     COALESCE(SUM(order_quantity), 0) AS order_quantity,
@@ -5324,7 +5324,7 @@ WITH od AS (
       + to_seconds(CAST(o_orderkey % 86400 AS BIGINT)) AS payment_dt
   FROM orders WHERE o_orderkey % 2 = 0
 ), odlv AS (
-  SELECT product_order_id, ANY_VALUE(invoice_no) AS invoice_no FROM (
+  SELECT product_order_id, MIN(invoice_no) AS invoice_no FROM (
     SELECT o_orderkey AS product_order_id,
       'LP' || CAST(o_orderkey % 600 AS VARCHAR) || 'X' AS invoice_no,
       CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)

@@ -3269,7 +3269,7 @@ def q_coupang_total_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.alias("sales_date"),
     )
     sales = sales_raw.groupBy("order_id", "option_id").agg(
-        F.any_value("vendor_id").alias("vendor_id"),
+        F.min("vendor_id").alias("vendor_id"),
         F.max("settlement_type").alias("order_status"),
         F.sum("order_quantity").alias("order_quantity"),
         F.sum(
@@ -3290,7 +3290,7 @@ def q_coupang_total_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.alias("sales_date"),
     )
     shipping = ship_raw.groupBy("order_id", "option_id").agg(
-        F.any_value("vendor_id").alias("vendor_id"),
+        F.min("vendor_id").alias("vendor_id"),
         F.sum(
             F.coalesce("warehousing_fee", F.lit(0))
             - F.coalesce("discount_amount", F.lit(0))
