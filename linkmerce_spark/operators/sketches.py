@@ -29,6 +29,7 @@ __all__ = [
     "cms_point_estimates",
     "histogram_bins",
     "histogram_quantiles",
+    "exact_group_quantiles",
 ]
 
 
@@ -161,4 +162,57 @@ def histogram_quantiles(
             ((F.col("bin") + 1) * bin_width - 1).cast("long").alias("bin_hi"),
             F.col("cum_n").cast("long").alias("cum_n"),
         )
+    )
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    keys: str | list[str],
+    value: Column | str,
+    quantiles: list[int],
+) -> DataFrame:
+    """EXACT per-group discrete quantiles by rank selection.
+
+    For each group and q (percent, 1..100) the output value is the
+    element at 1-indexed rank ``ceil(q * n / 100)`` of the group's
+    ascending value order — the classic lower discrete quantile. The
+    exact counterpart to ``histogram_quantiles`` (bounded-error) when
+    a full per-group sort is affordable.
+
+    Engine-portable by construction: the rank target is pure integer
+    math (``(q*n + 99) div 100``) and row_number ties among equal
+    values all carry the same value, so the selected VALUE is
+    deterministic on any engine, thread count, or partitioning even
+    though the tie-row identity is not.
+
+    Scale shape: ONE shuffle — the row_number and count windows share
+    the same (keys) partitioning, the group-size derivation reuses the
+    window's count (no second aggregate scan), and the quantile list
+    joins as a broadcast literal. No driver collect; output is
+    |groups| x |quantiles| rows.
+    """
+    from pyspark.sql import Window
+
+    from linkmerce_spark.frames import values_df
+
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    c = F.col(value) if isinstance(value, str) else value
+    wg = Window.partitionBy(*key_list)
+    base = df.select(*key_list, c.alias("__v")).select(
+        *key_list,
+        "__v",
+        F.row_number().over(wg.orderBy(F.col("__v").asc())).alias("__rn"),
+        F.count(F.lit(1)).over(wg).alias("__n"),
+    )
+    qdf = values_df(
+        df.sparkSession, [(int(q),) for q in quantiles], "q int"
+    )
+    # broadcast cross + filter, NOT a non-equi join: a |q|-row literal
+    # multiplies each row by len(quantiles) inside the same stage (no
+    # exchange, no BroadcastNestedLoop planning surprise) and the
+    # filter keeps one row per (group, q).
+    return (
+        base.crossJoin(F.broadcast(qdf))
+        .filter(F.expr("__rn = (q * __n + 99) div 100"))
+        .select(*key_list, "q", F.col("__v").alias("qv"))
     )

@@ -5960,3 +5960,19 @@ GROUP BY CUBE (r.r_name, o.o_orderpriority)
 # Same twin as asof_click_attribution: the bucketed Spark variant must
 # be indistinguishable from the plain one to an independent engine.
 ORACLES["asof_bucketed_attribution"] = ORACLES["asof_click_attribution"]
+
+ORACLES["order_value_rank_quantiles"] = """
+WITH v AS (
+  SELECT o_orderpriority AS priority,
+    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+), r AS (
+  SELECT priority, c,
+    ROW_NUMBER() OVER (PARTITION BY priority ORDER BY c ASC) AS rn,
+    COUNT(*) OVER (PARTITION BY priority) AS n
+  FROM v
+), qs(q) AS (VALUES (25), (50), (75), (90), (99))
+SELECT priority, CAST(q AS INT) AS q, CAST(c AS BIGINT) AS qv_cents
+FROM r CROSS JOIN qs
+WHERE rn = (q * n + 99) // 100
+"""

@@ -5827,6 +5827,28 @@ def q_histogram_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(bins, [25, 50, 75, 90, 99], bin_width=1_000_000)
 
 
+def q_order_value_rank_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-priority order-value quantiles (operators/sketches
+    ``exact_group_quantiles``): the exact counterpart to the
+    ``histogram_order_value`` sketch over the SAME integer-cents
+    derivation — rank selection ceil(q*n/100) over one per-group sort
+    shuffle, engine-portable because the rank target is pure integer
+    math and the value at any tied rank is the tie value itself.
+    Parity: the reference's percentile needs are served by ORDER BY +
+    LIMIT probes (dbt_postgres analytics marts); this generalizes them
+    to one declarative operator.
+    """
+    from linkmerce_spark.operators.sketches import exact_group_quantiles
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    out = exact_group_quantiles(cents, "priority", "c", [25, 50, 75, 90, 99])
+    return out.select("priority", "q", F.col("qv").cast("long").alias("qv_cents"))
+
+
 def q_dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality report (operators/quality): the four
     canonical dbt schema tests — not_null, unique, accepted_values,
@@ -6157,4 +6179,5 @@ QUERIES = {
     "date_pruned_orders": q_date_pruned_orders,
     "embedding_ivf_cells": q_embedding_ivf_cells,
     "array_predicates": q_array_predicates,
+    "order_value_rank_quantiles": q_order_value_rank_quantiles,
 }
