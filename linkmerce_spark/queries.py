@@ -6004,24 +6004,28 @@ def q_asof_bucketed_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plus the 4 new round-5 operators rotate in this round). Window
 # composition is documented inline below.
 QUERIES = {
-    # ===== round-5 window (first 50 = the driver's hash-check set) =====
-    # (a) the 10 r03/r04 hash-red rows, re-pinned to measure the
-    # round-5 dtype-parity fix (tools/dtype_audit.py found every red
-    # fetched int64 from Spark but float64 from DuckDB - HUGEINT/
-    # DECIMAL pandas conversion - while all 40 greens matched dtypes);
+    # ===== round-6 window (first 50 = the driver's hash-check set) =====
+    # (a) the 9 round-5 additions that have never had a driver row
+    # (they all passed the judge's independent check + local twins at
+    # two SFs + dtype audit + hostile-env sweep; the driver gate is
+    # still the gate);
+    "interval_overlap_promos": q_interval_overlap_promos,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "bloom_prefilter_revenue": q_bloom_prefilter_revenue,
+    "histogram_order_value": q_histogram_order_value,
+    "dq_orders_checks": q_dq_orders_checks,
+    "scd2_effective_revenue": q_scd2_effective_revenue,
+    "cube_sales_grid": q_cube_sales_grid,
+    "asof_bucketed_attribution": q_asof_bucketed_attribution,
+    "order_value_rank_quantiles": q_order_value_rank_quantiles,
+    # (b) the permanent sentinel;
+    "events_sessions": q_events_sessions,
+    # (c) canaries: the round-5 window minus its 10 former-reds (each
+    # now holds a green r5 driver row) — i.e. the r4 master/report
+    # sweep, embedding_ivf_topk, the r5 curation suite and the 4 r5
+    # operators, all green in CORRECTNESS_r05; mart_profit_mom stays
+    # as the former-red block's representative.
     "mart_profit_mom": q_mart_profit_mom,
-    "searchad_report_merge": q_searchad_report_merge,
-    "searchad_insight_daily": q_searchad_insight_daily,
-    "smartstore_max_delivery_fee": q_smartstore_max_delivery_fee,
-    "smartstore_split_sales": q_smartstore_split_sales,
-    "analytics_order_count": q_analytics_order_count,
-    "sabangnet_total_order": q_sabangnet_total_order,
-    "coupang_total_order": q_coupang_total_order,
-    "cj_invoice": q_cj_invoice,
-    "cj_invoice_order": q_cj_invoice_order,
-    # (b) all 35 queries that have never had a driver row: the
-    # round-4 entity-master/report sweep + embedding_ivf_topk (29)
-    # and the round-5 curation suite (6, below after the sweep);
     "searchad_adgroup_master": q_searchad_adgroup_master,
     "searchad_ad_master": q_searchad_ad_master,
     "meta_adset_master": q_meta_adset_master,
@@ -6058,28 +6062,28 @@ QUERIES = {
     "doc_pii_scan": q_doc_pii_scan,
     "doc_decontam": q_doc_decontam,
     "doc_pack_plan": q_doc_pack_plan,
-    # (c) the 4 new round-5 operators (as-of join, SCD2 builder,
-    # TF-IDF, deterministic HLL sketch) — driver rows on arrival;
+    # (d) the 4 round-5 operators (as-of join, SCD2 builder, TF-IDF,
+    # deterministic HLL sketch) — each green in CORRECTNESS_r05.
     "asof_click_attribution": q_asof_click_attribution,
     "scd2_order_priority": q_scd2_order_priority,
     "doc_tfidf_terms": q_doc_tfidf_terms,
     "hll_distinct_sketch": q_hll_distinct_sketch,
-    # (d) the permanent sentinel.
-    "events_sessions": q_events_sessions,
     # ================= driver 50-row window boundary =================
-    # -- late round-5 additions (twinned on arrival; next rotation's
-    # leads alongside anything the r5 gate flags)
-    "interval_overlap_promos": q_interval_overlap_promos,
-    "cms_heavy_hitters": q_cms_heavy_hitters,
-    "bloom_prefilter_revenue": q_bloom_prefilter_revenue,
-    "histogram_order_value": q_histogram_order_value,
-    "dq_orders_checks": q_dq_orders_checks,
-    "scd2_effective_revenue": q_scd2_effective_revenue,
-    "cube_sales_grid": q_cube_sales_grid,
-    "asof_bucketed_attribution": q_asof_bucketed_attribution,
+    # -- the 9 remaining r03/r04 former-reds rotate out this round
+    # (each holds a green r5 driver row after the dtype-parity fix;
+    # mart_profit_mom represents the block inside the window).
+    "searchad_report_merge": q_searchad_report_merge,
+    "searchad_insight_daily": q_searchad_insight_daily,
+    "smartstore_max_delivery_fee": q_smartstore_max_delivery_fee,
+    "smartstore_split_sales": q_smartstore_split_sales,
+    "analytics_order_count": q_analytics_order_count,
+    "sabangnet_total_order": q_sabangnet_total_order,
+    "coupang_total_order": q_coupang_total_order,
+    "cj_invoice": q_cj_invoice,
+    "cj_invoice_order": q_cj_invoice_order,
     # -- long-green canaries + round-5-modified-but-locally-verified
-    # entries rotate out this round (each holds >=1 green driver row
-    # or two-SF local + hostile-env + dtype-audit evidence).
+    # entries (each holds >=1 green driver row or two-SF local +
+    # hostile-env + dtype-audit evidence).
     "pricing_summary": q_pricing_summary,
     "core_sales_daily": q_core_sales_daily,
     "doc_clean_corpus": q_doc_clean_corpus,
@@ -6179,5 +6183,4 @@ QUERIES = {
     "date_pruned_orders": q_date_pruned_orders,
     "embedding_ivf_cells": q_embedding_ivf_cells,
     "array_predicates": q_array_predicates,
-    "order_value_rank_quantiles": q_order_value_rank_quantiles,
 }
