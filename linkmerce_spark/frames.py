@@ -208,8 +208,14 @@ def values_df(spark: SparkSession, rows: Iterable[tuple], schema: str) -> DataFr
     # + a spark.sql parse per call, ~15-40 ms each, hundreds of times a
     # run). Memoize the immutable DataFrame per (session, schema, rows)
     # — same rationale and lifetime rules as _STAR_CACHE above.
+    # The key carries each value's Python type: 1 == 1.0 == True are
+    # hash-equal but render as distinct SQL literals ('1' / '1.0' /
+    # 'TRUE'), so a value-only key would return the wrong cached frame.
     try:
-        cache_key = (schema, tuple(rows))
+        cache_key = (
+            schema,
+            tuple(tuple((type(v).__name__, v) for v in r) for r in rows),
+        )
         hash(cache_key)
         cache = _VALUES_CACHE.setdefault(spark, {})
     except TypeError:  # unhashable literal or mock session

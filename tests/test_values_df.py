@@ -68,3 +68,19 @@ def test_values_joinable_as_broadcast_dim(spark):
     assert {(r["label"], r["count"]) for r in out.collect()} == {
         ("zero", 2), ("one", 2)
     }
+
+
+def test_values_memo_distinguishes_numeric_types(spark):
+    """1 == 1.0 == True hash-equal in Python, but each renders as a
+    distinct SQL literal ('1' / '1.0' / 'TRUE' -> '1'/'1.0'/'true' as
+    string) — the memo key must carry the value's type so a float row
+    never returns the cached int frame."""
+    a = values_df(spark, [(1,)], "x string")
+    b = values_df(spark, [(1.0,)], "x string")
+    c = values_df(spark, [(True,)], "x string")
+    assert [r["x"] for r in a.collect()] == ["1"]
+    assert [r["x"] for r in b.collect()] == ["1.0"]
+    assert [r["x"] for r in c.collect()] == ["true"]
+    # And the same (schema, rows-with-types) still memoizes.
+    assert values_df(spark, [(1,)], "x string") is a
+    assert values_df(spark, [(1.0,)], "x string") is b

@@ -130,8 +130,21 @@ def main() -> None:
     import pyspark
 
     stamp = f"duckdb={duckdb.__version__}\tpyspark={pyspark.__version__}"
-    with open(os.path.join(DIGEST_DIR, "DIGESTS.txt"), "a") as f:
-        f.write("\n".join(f"{ln}\t{stamp}" for ln in out_lines) + "\n")
+    # Replace any existing stamp per (query, sf) instead of appending a
+    # duplicate line: the file is a registry of current evidence, not a
+    # log (the round-5 re-stamp left byte-identical duplicates).
+    path = os.path.join(DIGEST_DIR, "DIGESTS.txt")
+    existing: dict[tuple, str] = {}
+    if os.path.exists(path):
+        for ln in open(path).read().splitlines():
+            if ln.strip():
+                parts = ln.split("\t")
+                existing[(parts[0], parts[1])] = ln
+    for ln in out_lines:
+        parts = ln.split("\t")
+        existing[(parts[0], parts[1])] = f"{ln}\t{stamp}"
+    with open(path, "w") as f:
+        f.write("\n".join(existing.values()) + "\n")
 
 
 if __name__ == "__main__":
