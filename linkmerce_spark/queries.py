@@ -1984,13 +1984,13 @@ def q_sabangnet_option_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sabangnet OrderDownload option path (models/sabangnet): DISTINCT
     + QUALIFY latest-per-key dedup on both batches, then the 12x
     COALESCE + LEAST/GREATEST upsert (core/sabangnet/admin/order/
-    models.sql:162-198)."""
-    from linkmerce_spark.models.sabangnet import download_option, upsert_options
+    models.sql:162-198) — one scan (the batches mod-2 partition the
+    feed), dedup+merge fused into ONE key shuffle (operators/merge.py
+    merge_deduped_tagged; no join node planned)."""
+    from linkmerce_spark.models.sabangnet import upsert_option_split
 
     raw = _sabangnet_raw(spark, sf_dir)
-    target = download_option(raw.filter(F.col("ok") % 2 == 0))
-    staged = download_option(raw.filter(F.col("ok") % 2 == 1))
-    merged = upsert_options(target, staged)
+    merged = upsert_option_split(raw, F.col("ok") % 2 == 1)
     ts = lambda c: F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss").alias(c)  # noqa: E731
     return merged.select(
         *[c for c in merged.columns if c not in ("first_order_dt", "last_order_dt")],
@@ -3867,22 +3867,63 @@ def _core_item_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _core_product_master_built(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED core product master, dbt-``ref()`` style: every
+    downstream mart in the reference dag selects from the built
+    core__product_master table — it never re-runs the upstream SQL.
+    Consumers use this; ``q_core_product_master`` (the verifier for
+    the mart itself) still builds fresh."""
+    from linkmerce_spark.frames import shared_frame
+    from linkmerce_spark.marts.core_masters import product_master
+
+    return shared_frame(
+        spark,
+        ("core_product_master", sf_dir.rstrip("/")),
+        lambda: product_master(_core_item_feed(spark, sf_dir)),
+    )
+
+
+def _core_brand_master_built(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED core brand master (dbt-``ref()`` semantics, see
+    ``_core_product_master_built``)."""
+    from linkmerce_spark.frames import shared_frame
+    from linkmerce_spark.marts.core_masters import brand_master
+
+    return shared_frame(
+        spark,
+        ("core_brand_master", sf_dir.rstrip("/")),
+        lambda: brand_master(_core_item_feed(spark, sf_dir)),
+    )
+
+
 def q_core_product_master(spark: SparkSession, sf_dir: str) -> DataFrame:
     """core__product_master (marts/core_masters): DISTINCT ON
     (product_id) by item_seq ASC NULLS LAST over the raw item catalog
-    (dbt core__product_master.sql:10-31)."""
+    (dbt core__product_master.sql:10-31). Re-runs the mart SQL and
+    PUBLISHES the build for downstream ``ref()`` consumers."""
+    from linkmerce_spark.frames import publish_frame
     from linkmerce_spark.marts.core_masters import product_master
 
-    return product_master(_core_item_feed(spark, sf_dir))
+    return publish_frame(
+        spark,
+        ("core_product_master", sf_dir.rstrip("/")),
+        product_master(_core_item_feed(spark, sf_dir)),
+    )
 
 
 def q_core_brand_master(spark: SparkSession, sf_dir: str) -> DataFrame:
     """core__brand_master (marts/core_masters): '2'-prefixed branded
     rows, global brand_seq (team DESC NULLS LAST), one row per product
-    AND per brand (dbt core__brand_master.sql:10-34)."""
+    AND per brand (dbt core__brand_master.sql:10-34). Re-runs the mart
+    SQL and PUBLISHES the build for downstream ``ref()`` consumers."""
+    from linkmerce_spark.frames import publish_frame
     from linkmerce_spark.marts.core_masters import brand_master
 
-    return brand_master(_core_item_feed(spark, sf_dir))
+    return publish_frame(
+        spark,
+        ("core_brand_master", sf_dir.rstrip("/")),
+        brand_master(_core_item_feed(spark, sf_dir)),
+    )
 
 
 def _cj_feeds(spark: SparkSession, sf_dir: str):
@@ -4523,7 +4564,7 @@ def q_coupang_option_master(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation = values_df(
         spark, rel_rows, "option_id string, bundle_product_ids string"
     )
-    cpm = product_master(_core_item_feed(spark, sf_dir))
+    cpm = _core_product_master_built(spark, sf_dir)
     return coupang_option_master(option, vendor, relation, cpm)
 
 
@@ -4602,17 +4643,37 @@ def q_sabangnet_product_master(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT ON over the bundle explode, POWER(10)-scaled composed
     sort key, '대표' promotion, brand-master seq fallback — REUSES
     the core product/brand masters (dbt sabangnet__product_master.sql:
-    10-108)."""
-    from linkmerce_spark.marts.core_masters import brand_master, product_master
+    10-108). Re-runs the mart SQL and PUBLISHES the build: the
+    reference dag materializes this model once and
+    sabangnet__option_master selects FROM the built table."""
+    from linkmerce_spark.frames import publish_frame
     from linkmerce_spark.marts.product import sabangnet_product_master
 
     item = _core_item_feed(spark, sf_dir)
-    return sabangnet_product_master(
-        _sbn_product_feed(spark, sf_dir),
-        _sbn_option_feed(spark, sf_dir),
-        item,
-        product_master(item),
-        brand_master(item),
+    return publish_frame(
+        spark,
+        ("sabangnet_product_master", sf_dir.rstrip("/")),
+        sabangnet_product_master(
+            _sbn_product_feed(spark, sf_dir),
+            _sbn_option_feed(spark, sf_dir),
+            item,
+            _core_product_master_built(spark, sf_dir),
+            _core_brand_master_built(spark, sf_dir),
+        ),
+    )
+
+
+def _sbn_product_master_built(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED sabangnet product master: in the reference dag
+    sabangnet__option_master selects FROM the built
+    sabangnet__product_master (a dbt ``ref()``), it never re-runs the
+    explode/window chain (dbt sabangnet__option_master.sql:10-100)."""
+    from linkmerce_spark.frames import shared_frame
+
+    return shared_frame(
+        spark,
+        ("sabangnet_product_master", sf_dir.rstrip("/")),
+        lambda: q_sabangnet_product_master(spark, sf_dir),
     )
 
 
@@ -4620,23 +4681,18 @@ def q_sabangnet_option_master(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sabangnet__option_master (marts/product): per-option primary
     item, ordinality-ordered bundle-name string_agg with the mismatch
     fallback, '대표' passthrough, all-9s sort fallback
-    (dbt sabangnet__option_master.sql:10-100)."""
-    from linkmerce_spark.marts.core_masters import brand_master, product_master
-    from linkmerce_spark.marts.product import (
-        sabangnet_option_master,
-        sabangnet_product_master,
-    )
+    (dbt sabangnet__option_master.sql:10-100). Consumes the
+    MATERIALIZED product master (dbt-``ref()`` semantics)."""
+    from linkmerce_spark.marts.product import sabangnet_option_master
 
     item = _core_item_feed(spark, sf_dir)
-    cpm = product_master(item)
-    pm = sabangnet_product_master(
-        _sbn_product_feed(spark, sf_dir),
+    return sabangnet_option_master(
         _sbn_option_feed(spark, sf_dir),
+        _sbn_product_master_built(spark, sf_dir),
         item,
-        cpm,
-        brand_master(item),
+        _core_product_master_built(spark, sf_dir),
+        materialized=True,
     )
-    return sabangnet_option_master(_sbn_option_feed(spark, sf_dir), pm, item, cpm)
 
 
 # ----------------------------------------- report_daily family
@@ -4735,9 +4791,9 @@ _RD_WINDOW = ("1996-01-01", "1996-06-30")
 
 
 def _rd_product_master(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from linkmerce_spark.marts.core_masters import product_master
-
-    return product_master(_core_item_feed(spark, sf_dir))
+    # dbt-``ref()`` semantics: the report_daily models consume the
+    # MATERIALIZED core product master.
+    return _core_product_master_built(spark, sf_dir)
 
 
 def _rd_searchad_inputs(spark: SparkSession, sf_dir: str):
@@ -4951,10 +5007,9 @@ def q_adreport_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.alias("ymd"),
     )
     shop = values_df(spark, RD_EXTRA_SHOPS, "shop_id string, shop_alias string")
-    # ONE product master shared (persisted) across all six branches —
-    # without it every branch re-derives the DISTINCT ON dedup from the
-    # part scan (6x the same dim subtree per execution).
-    pm = _rd_product_master(spark, sf_dir).persist()
+    # ONE product master shared across all six branches — the
+    # materialized core master (dbt-``ref()``), already checkpointed.
+    pm = _rd_product_master(spark, sf_dir)
     return adreport_daily(
         q_searchad_report_daily(spark, sf_dir, pm),
         q_coupang_report_daily(spark, sf_dir, pm),

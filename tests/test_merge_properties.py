@@ -88,3 +88,46 @@ def test_merge_matches_reference_model(spark, target, source, verb_a, verb_b):
     got = {r["k"]: (r["a"], r["b"]) for r in got_df.select("k", "a", "b").collect()}
     want = _model_merge(tgt_rows, source, verb_a, verb_b)
     assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    target=_rows,
+    source=_rows,
+    verb_a=st.sampled_from(_VERBS),
+    verb_b=st.sampled_from(_VERBS),
+)
+def test_merge_deduped_matches_join_merge(spark, target, source, verb_a, verb_b):
+    """The fused single-shuffle merge (union + tagged window dedup +
+    grouped verb resolution, no join node) must be value-identical to
+    the join-based merge_frames over pre-deduped batches — including
+    duplicate keys in BOTH batches and NULL merge keys."""
+    from linkmerce_spark.operators.dedup import dedupe_keep_first
+    from linkmerce_spark.operators.merge import merge_deduped
+
+    schema = "k int, a int, b int, seq int"
+    t_rows = [(k, a, b, i) for i, (k, a, b) in enumerate(target)]
+    s_rows = [(k, a, b, i) for i, (k, a, b) in enumerate(source)]
+    t = spark.createDataFrame(t_rows or [(None,) * 4], schema)
+    s = spark.createDataFrame(s_rows or [(None,) * 4], schema)
+    if not t_rows:
+        t = t.limit(0)
+    if not s_rows:
+        s = s.limit(0)
+    order = [F.col("seq").asc()]
+    verbs = {"a": verb_a, "b": verb_b, "seq": "target_first"}
+
+    fused = merge_deduped(t, s, ["k"], order, matched=verbs)
+    plain = merge_frames(
+        dedupe_keep_first(t, ["k"], order),
+        dedupe_keep_first(s, ["k"], order),
+        ["k"],
+        matched=verbs,
+    )
+    key = lambda r: (r["k"] is None, r["k"])  # noqa: E731
+    got = sorted((tuple(r) for r in fused.collect()), key=lambda x: (x[0] is None, x[0] or 0))
+    want = sorted((tuple(r) for r in plain.select(*fused.columns).collect()), key=lambda x: (x[0] is None, x[0] or 0))
+    assert got == want
+    # and the fused plan really has no join node
+    p = fused._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p
