@@ -102,15 +102,32 @@ def datetime_range_predicate(
 
 
 def iter_partitions(
-    df: DataFrame, keys: list[str]
+    df: DataFrame, keys: list[str], max_partitions: int = 10_000
 ) -> Iterator[tuple[tuple, DataFrame]]:
     """Yield (key_values, frame) per distinct key combination, ordered.
 
     Driver-side by design: collects only the DISTINCT key tuples
     (cardinality = partition count). Each yielded frame is the input
     filtered to one key — feed it to a per-partition sink load (S16).
+
+    ``max_partitions`` bounds the driver-side collect: the intended
+    keys are date/batch grains (hundreds of values). Aiming this at a
+    high-cardinality column would collect the column to the driver and
+    schedule one job per value — refuse loudly instead of OOMing a
+    100 TB run. Raise the cap explicitly if a grain genuinely exceeds
+    it.
     """
-    rows = df.select(*keys).distinct().orderBy(*keys).collect()
+    rows = (
+        df.select(*keys).distinct().orderBy(*keys).limit(max_partitions + 1).collect()
+    )
+    if len(rows) > max_partitions:
+        raise ValueError(
+            f"iter_partitions: more than {max_partitions} distinct "
+            f"{tuple(keys)} combinations; this driver-side iterator is "
+            "for coarse partition grains (dates, batches). Repartition "
+            "by the key and use a distributed write instead, or pass a "
+            "higher max_partitions explicitly."
+        )
     for r in rows:
         vals = tuple(r[k] for k in keys)
         cond = F.lit(True)

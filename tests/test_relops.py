@@ -71,3 +71,13 @@ def test_groupby_and_unique(spark):
     assert g["x"][0] == 4 and g["y"][0] == 5 and None not in g  # dropna on keys
     u = [r["value"] for r in unique(df, "k").collect()]
     assert u == ["x", "y"] or u == [None, "x", "y"]  # null ordering engine-defined
+
+
+def test_iter_partitions_caps_cardinality(spark):
+    import pytest as _pytest
+
+    df = spark.range(100).select((F.col("id") % 50).alias("k"), "id")
+    with _pytest.raises(ValueError, match="more than 10 distinct"):
+        list(iter_partitions(df, ["k"], max_partitions=10))
+    # at exactly the cap it still yields everything
+    assert len(list(iter_partitions(df, ["k"], max_partitions=50))) == 50
