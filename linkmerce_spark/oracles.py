@@ -740,6 +740,58 @@ SELECT doc_id AS media_id,
 FROM documents
 """
 
+# Twin of the REAL BMP/WAV decode: the Spark side byte-parses genuine
+# container files built from closed-form content (operators/
+# multimodal.py synthesize_media); the oracle recomputes the decoded
+# stats from the same generating formulas. Every double is an exact
+# integer sum divided once (correctly rounded in both engines).
+ORACLES["media_stats_real"] = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind
+  FROM documents
+),
+img AS (
+  SELECT media_id,
+         CAST(4 + media_id % 5 AS INTEGER) AS w,
+         CAST(2 + media_id % 3 AS INTEGER) AS h
+  FROM m WHERE kind = 'image'
+),
+imgstats AS (
+  SELECT media_id, w, h,
+    CAST(SUM((media_id * 7 + 3 * t.i) % 251) AS DOUBLE) / (w * h) AS mean_b,
+    CAST(SUM((media_id * 7 + 3 * t.i + 1) % 251) AS DOUBLE) / (w * h) AS mean_g,
+    CAST(SUM((media_id * 7 + 3 * t.i + 2) % 251) AS DOUBLE) / (w * h) AS mean_r
+  FROM img CROSS JOIN (SELECT unnest(range(0, 32)) AS i) t
+  WHERE t.i < w * h
+  GROUP BY media_id, w, h
+),
+aud AS (
+  SELECT media_id, CAST(32 + media_id % 50 AS INTEGER) AS n
+  FROM m WHERE kind = 'audio'
+),
+audstats AS (
+  SELECT a.media_id, a.n,
+    sqrt(CAST(SUM(((a.media_id * 31 + t.i * 17) % 2048 - 1024)
+                  * ((a.media_id * 31 + t.i * 17) % 2048 - 1024)) AS DOUBLE) / a.n) AS rms
+  FROM aud a CROSS JOIN (SELECT unnest(range(0, 82)) AS i) t
+  WHERE t.i < a.n
+  GROUP BY a.media_id, a.n
+)
+SELECT m.media_id, m.kind,
+  CASE WHEN m.kind = 'image' THEN 'bmp' ELSE 'wav' END AS format,
+  i.w AS width, i.h AS height,
+  CAST(CASE WHEN m.kind = 'image' THEN 3 ELSE 1 END AS INTEGER) AS channels,
+  CAST(CASE WHEN m.kind = 'audio' THEN 8000 END AS INTEGER) AS sample_rate,
+  CAST(CASE WHEN m.kind = 'audio' THEN (a.n * 1000) // 8000 END AS INTEGER) AS duration_ms,
+  i.mean_b, i.mean_g, i.mean_r, s.rms,
+  TRUE AS parse_ok
+FROM m
+LEFT JOIN imgstats i USING (media_id)
+LEFT JOIN aud a USING (media_id)
+LEFT JOIN audstats s USING (media_id)
+"""
+
 # --- marts layer ---------------------------------------------------------
 _MART_DAILY = """
   SELECT CAST(o_orderdate AS DATE) AS ymd, o_orderpriority AS priority,

@@ -1089,6 +1089,47 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode: BMP/WAV container bytes parsed field-by-field.
+
+    ``synthesize_media`` builds genuine files executor-side (24-bit BMP
+    / 16-bit PCM WAV, closed-form content keyed on media_id);
+    ``extract_media_stats`` byte-parses them back (struct unpack, RIFF
+    chunk walk — operators/multimodal.py, no image/audio library). The
+    oracle reproduces the decoded stats from the generating formulas,
+    so a parser bug in EITHER direction breaks the hash. All doubles
+    are exact-integer-sum / count (single correctly-rounded division,
+    engine-portable)."""
+    from linkmerce_spark.operators.multimodal import (
+        extract_media_stats,
+        synthesize_media,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
+        .otherwise(F.lit("audio"))
+        .alias("kind"),
+    )
+    stats = extract_media_stats(synthesize_media(media))
+    return stats.select(
+        "media_id",
+        "kind",
+        "format",
+        "width",
+        "height",
+        "channels",
+        "sample_rate",
+        "duration_ms",
+        "mean_b",
+        "mean_g",
+        "mean_r",
+        "rms",
+        F.col("parse_error").isNull().alias("parse_ok"),
+    )
+
+
 def q_mart_sales_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TVF-style parameterized daily sales fact (marts layer)."""
     from linkmerce_spark.marts import sales_daily
@@ -6073,9 +6114,11 @@ QUERIES = {
     "cube_sales_grid": q_cube_sales_grid,
     "asof_bucketed_attribution": q_asof_bucketed_attribution,
     "order_value_rank_quantiles": q_order_value_rank_quantiles,
-    # (b) the permanent sentinel;
+    # (b) new round-6 operators — driver rows on arrival;
+    "media_stats_real": q_media_stats_real,
+    # (c) the permanent sentinel;
     "events_sessions": q_events_sessions,
-    # (c) canaries: the round-5 window minus its 10 former-reds (each
+    # (d) canaries: the round-5 window minus its 10 former-reds (each
     # now holds a green r5 driver row) — i.e. the r4 master/report
     # sweep, embedding_ivf_topk, the r5 curation suite and the 4 r5
     # operators, all green in CORRECTNESS_r05; mart_profit_mom stays
@@ -6117,13 +6160,15 @@ QUERIES = {
     "doc_pii_scan": q_doc_pii_scan,
     "doc_decontam": q_doc_decontam,
     "doc_pack_plan": q_doc_pack_plan,
-    # (d) the 4 round-5 operators (as-of join, SCD2 builder, TF-IDF,
-    # deterministic HLL sketch) — each green in CORRECTNESS_r05.
+    # (e) the 4 round-5 operators (as-of join, SCD2 builder, TF-IDF,
+    # deterministic HLL sketch) — each green in CORRECTNESS_r05;
+    # hll_distinct_sketch slips past the boundary to make room for
+    # media_stats_real (it holds a green r5 driver row).
     "asof_click_attribution": q_asof_click_attribution,
     "scd2_order_priority": q_scd2_order_priority,
     "doc_tfidf_terms": q_doc_tfidf_terms,
-    "hll_distinct_sketch": q_hll_distinct_sketch,
     # ================= driver 50-row window boundary =================
+    "hll_distinct_sketch": q_hll_distinct_sketch,
     # -- the 9 remaining r03/r04 former-reds rotate out this round
     # (each holds a green r5 driver row after the dtype-parity fix;
     # mart_profit_mom represents the block inside the window).
