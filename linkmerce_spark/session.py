@@ -93,6 +93,14 @@ def get_spark(
         # ANSI off: the reference relies on TRY_CAST/NULL-on-error edges;
         # we use try_* functions explicitly and keep permissive casts.
         "spark.sql.ansi.enabled": "false",
+        # PySpark 4 wraps EVERY DataFrame/Column op in a call-site
+        # capture (getActiveSession + conf.get + JVM origin set/clear =
+        # ~4 extra py4j round trips per op) purely to enrich error
+        # messages. On deep mart chains that is the DOMINANT driver
+        # cost: measured 2.6s -> 1.25s plan-construction time on the
+        # deepest mart with it off. Error messages lose the Python
+        # call-site line only; exceptions themselves are unchanged.
+        "spark.python.sql.dataFrameDebugging.enabled": "false",
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     }
