@@ -174,3 +174,30 @@ def test_sales_daily_timestamp_filter_pushed(spark):
     df = q_smartstore_sales_daily(spark, SF_DIR)
     plan = physical_plan(df, "formatted")
     assert "PushedFilters" in plan
+
+
+def test_option_upsert_single_shuffle_no_join(spark):
+    """The fused dedup+merge (merge_deduped_tagged) plans exactly ONE
+    exchange on the merge key and NO join node — the whole point of
+    the rewrite (was 6 exchanges + a null-safe full-outer join)."""
+    from linkmerce_spark.queries import q_sabangnet_option_upsert
+
+    df = q_sabangnet_option_upsert(spark, SF_DIR)
+    assert count_shuffles(df) == 1
+    plan = physical_plan(df)
+    assert "Join" not in plan
+
+
+def test_bloom_prefilter_fact_side_scan_stage(spark):
+    """The bloom pre-filter must not shuffle or join the fact side:
+    the bitset arrives as a broadcast 1-row array and probes are
+    column expressions in the scan stage."""
+    from linkmerce_spark.operators.bloom import bloom_semi_filter
+    from linkmerce_spark.frames import load_star
+
+    t = load_star(spark, SF_DIR, ["orders", "customer"])
+    hot = t["customer"].filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    pre = bloom_semi_filter(t["orders"], hot, "o_custkey", keys_key="c_custkey")
+    plan = physical_plan(pre)
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row bitset attach
