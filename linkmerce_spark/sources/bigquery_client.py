@@ -9,7 +9,10 @@ module re-expresses that surface against the BigQuery REST API
 ``datasets/{d}/tables/{t}``) through the same injectable transport as
 :mod:`linkmerce_spark.sources.http` — every request/response shape is
 composed and parsed here and tested against a fake transport; a
-production binding supplies a real transport + OAuth token provider.
+production binding supplies a real transport, and
+:class:`linkmerce_spark.sources.oauth.ServiceAccountTokenProvider`
+(pure-stdlib RS256 JWT-bearer grant, round 6) serves as the real
+``token_provider`` — no auth stub remains.
 
 Spark edges: ``load_table_from_df`` stages a DataFrame as parquet
 bytes (sources/warehouse.export_parquet_bytes — the reference's

@@ -9,12 +9,12 @@ through :mod:`linkmerce_spark.sources.http`'s injectable transport —
 so every behavior is testable with a fake transport, and a production
 binding needs only a real transport + OAuth token provider.
 
-Auth boundary (honest): exchanging a service-account private key for
-an access token requires RSA-JWT signing that this sandbox has no
-library for, so the client takes a ``token_provider`` callable
-(production: google-auth / any OAuth2 flow; tests: a lambda). The
-ServiceAccount *parsing* — JSON string / file path / dict with the
-required key fields — is pure and implemented.
+Auth: the client takes a ``token_provider`` callable; since round 6
+:class:`linkmerce_spark.sources.oauth.ServiceAccountTokenProvider`
+is a real, fully tested implementation (pure-stdlib RS256 JWT-bearer
+grant over the same injected transport) — no stub remains in the
+chain. The ServiceAccount *parsing* — JSON string / file path / dict
+with the required key fields — is pure and implemented.
 
 The Spark edge: ``records_to_df`` / ``sheet_dual_load`` move worksheet
 records into DataFrames and the warehouse dual-load policy
