@@ -320,6 +320,46 @@ SELECT doc_id, lang,
 FROM scored
 """
 
+ORACLES["doc_chunk_windows"] = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), s AS (
+  SELECT doc_id, words,
+         UNNEST(range(0, greatest(len(words), 1), 48)) AS chunk_start
+  FROM w
+)
+SELECT doc_id,
+  CAST(chunk_start // 48 AS BIGINT) AS chunk_id,
+  CAST(chunk_start AS BIGINT) AS chunk_start,
+  CAST(least(60, len(words) - chunk_start) AS BIGINT) AS n_tokens,
+  array_to_string(list_slice(words, chunk_start + 1, chunk_start + 60), ' ') AS chunk_text
+FROM s
+"""
+
+ORACLES["doc_boilerplate"] = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), g AS (
+  SELECT doc_id,
+    UNNEST(CASE WHEN len(words) >= 5
+      THEN list_transform(range(1, len(words) - 3),
+                          i -> array_to_string(list_slice(words, i, i + 4), ' '))
+      ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM w
+), gram_df AS (
+  SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1
+), per_doc AS (
+  SELECT g.doc_id, COUNT(*) AS n_grams,
+         COUNT(*) FILTER (WHERE gram_df.df >= 3) AS dup_grams
+  FROM g JOIN gram_df USING (gram) GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(COALESCE(p.dup_grams, 0) AS BIGINT) AS dup_grams,
+  CAST(COALESCE(FLOOR(10000 * p.dup_grams / p.n_grams), 0) AS BIGINT) AS boilerplate_bp
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
 ORACLES["doc_exact_dedup"] = """
 WITH fp AS (
   SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp

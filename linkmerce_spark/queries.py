@@ -763,6 +763,34 @@ def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("fp", F.col("doc_id").alias("keep_id"), "dup_count")
 
 
+def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking (training-data op, round 6).
+
+    window=60 words, stride=48 (20% overlap) — the context-window
+    precursor to tokenization/packing. Pure codegen (split + sequence
+    + explode + slice), zero shuffles; the tail chunk may be short.
+    """
+    from linkmerce_spark.operators.chunking import chunk_by_words
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return chunk_by_words(docs, "text", "doc_id", window=60, stride=48)
+
+
+def q_doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-boilerplate scoring via word-5-gram document frequency
+    (training-data op, round 6, RefinedWeb/CCNet-style).
+
+    A gram is boilerplate when >= 3 distinct documents contain it; the
+    score is the exact basis-point share of a document's gram
+    occurrences that are boilerplate. Shuffles key on the gram hash
+    (uniform); the DF table stays distributed.
+    """
+    from linkmerce_spark.operators.chunking import boilerplate_score
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return boilerplate_score(docs, "text", "doc_id", n=5, min_df=3)
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline (training-data op).
 
@@ -6116,6 +6144,8 @@ QUERIES = {
     "order_value_rank_quantiles": q_order_value_rank_quantiles,
     # (b) new round-6 operators — driver rows on arrival;
     "media_stats_real": q_media_stats_real,
+    "doc_chunk_windows": q_doc_chunk_windows,
+    "doc_boilerplate": q_doc_boilerplate,
     # (c) the permanent sentinel;
     "events_sessions": q_events_sessions,
     # (d) canaries: the round-5 window minus its 10 former-reds (each
@@ -6165,9 +6195,12 @@ QUERIES = {
     # hll_distinct_sketch slips past the boundary to make room for
     # media_stats_real (it holds a green r5 driver row).
     "asof_click_attribution": q_asof_click_attribution,
+    # ================= driver 50-row window boundary =================
+    # (scd2_order_priority and doc_tfidf_terms slip past the boundary
+    # to make room for the two new round-6 curation queries — both
+    # hold green r5 driver rows.)
     "scd2_order_priority": q_scd2_order_priority,
     "doc_tfidf_terms": q_doc_tfidf_terms,
-    # ================= driver 50-row window boundary =================
     "hll_distinct_sketch": q_hll_distinct_sketch,
     # -- the 9 remaining r03/r04 former-reds rotate out this round
     # (each holds a green r5 driver row after the dtype-parity fix;
