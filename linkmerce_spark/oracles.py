@@ -360,6 +360,23 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
+ORACLES["doc_inverted_index"] = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), p AS (
+  SELECT doc_id, words, UNNEST(range(0, len(words))) AS pos FROM w
+), t AS (
+  SELECT words[pos + 1] AS term, doc_id,
+         printf('%08d:%04d', doc_id, pos) AS pstr
+  FROM p
+)
+SELECT term,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+  CAST(COUNT(*) AS BIGINT) AS n_postings,
+  array_to_string(list_slice(list(pstr ORDER BY pstr), 1, 20), ' ') AS postings
+FROM t GROUP BY term
+"""
+
 ORACLES["doc_exact_dedup"] = """
 WITH fp AS (
   SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp

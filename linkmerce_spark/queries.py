@@ -791,6 +791,20 @@ def q_doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_score(docs, "text", "doc_id", n=5, min_df=3)
 
 
+def q_doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (training-data/IR op, round 6).
+
+    term -> (doc_freq, occurrence count, first-20 posting list in
+    (doc, pos) order as zero-padded doc:pos tokens). One term-keyed
+    shuffle with map-side partial agg; the posting cap bounds per-term
+    state for stop-term skew.
+    """
+    from linkmerce_spark.operators.inverted import inverted_index
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return inverted_index(docs, "text", "doc_id", max_postings=20)
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline (training-data op).
 
@@ -6146,6 +6160,7 @@ QUERIES = {
     "media_stats_real": q_media_stats_real,
     "doc_chunk_windows": q_doc_chunk_windows,
     "doc_boilerplate": q_doc_boilerplate,
+    "doc_inverted_index": q_doc_inverted_index,
     # (c) the permanent sentinel;
     "events_sessions": q_events_sessions,
     # (d) canaries: the round-5 window minus its 10 former-reds (each
@@ -6194,11 +6209,11 @@ QUERIES = {
     # deterministic HLL sketch) — each green in CORRECTNESS_r05;
     # hll_distinct_sketch slips past the boundary to make room for
     # media_stats_real (it holds a green r5 driver row).
-    "asof_click_attribution": q_asof_click_attribution,
     # ================= driver 50-row window boundary =================
-    # (scd2_order_priority and doc_tfidf_terms slip past the boundary
-    # to make room for the two new round-6 curation queries — both
-    # hold green r5 driver rows.)
+    # (asof_click_attribution, scd2_order_priority and doc_tfidf_terms
+    # slip past the boundary to make room for the three new round-6
+    # curation queries — all hold green r5 driver rows.)
+    "asof_click_attribution": q_asof_click_attribution,
     "scd2_order_priority": q_scd2_order_priority,
     "doc_tfidf_terms": q_doc_tfidf_terms,
     "hll_distinct_sketch": q_hll_distinct_sketch,
