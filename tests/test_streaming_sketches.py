@@ -1,0 +1,110 @@
+"""Streaming HLL sketch (streaming/sketches.py): cross-batch register
+accumulation, checkpoint resume, and bit-equivalence with the batch
+HLL expressions on the same data."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    yield str(tmp_path)
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def _write(spark, path, rows):
+    spark.createDataFrame(rows, "grp string, k long").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _run(spark, src, ckpt, out, schema):
+    from linkmerce_spark.streaming.sketches import streaming_hll_distinct
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_hll_distinct(stream, "grp", "k", m=64)
+        .writeStream.foreachBatch(
+            lambda df, _id: df.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def _batch_registers(spark, rows, m=64):
+    """The batch operator's register rollup (same expressions as
+    queries.q_hll_distinct_sketch) on the full data."""
+    from linkmerce_spark.queries import _hll_rho
+
+    df = spark.createDataFrame(rows, "grp string, k long")
+    h = F.md5(F.col("k").cast("string"))
+    bucket = F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(m))
+    rho = _hll_rho(F.substring(h, 9, 8))
+    regs = (
+        df.select("grp", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    return {
+        r.grp: (r.nonzero, r.scaled + (m - r.nonzero) * 4294967296)
+        for r in regs.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("nonzero"),
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 32 - max_rho)")).alias("scaled"),
+        )
+        .collect()
+    }
+
+
+def test_streaming_registers_match_batch_and_resume(spark, workdir):
+    src, ckpt, out = f"{workdir}/ev", f"{workdir}/ck", f"{workdir}/out"
+    batch1 = [("a", i) for i in range(0, 300)] + [("b", i) for i in range(0, 50)]
+    batch2 = [("a", i) for i in range(200, 500)] + [("c", i) for i in range(0, 10)]
+
+    _write(spark, src, batch1)
+    schema = spark.read.parquet(src).schema
+    _run(spark, src, ckpt, out, schema)
+    _write(spark, src, batch2)
+    _run(spark, src, ckpt, out, schema)  # resumes from checkpointed state
+
+    # last emitted row per group = final accumulated sketch
+    from pyspark.sql.window import Window
+
+    rows = spark.read.parquet(out)
+    final = {
+        r.group: r
+        for r in rows.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("group").orderBy(F.col("n_updates").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    assert final["a"].n_updates == 600  # 300 + 300 rows (overlap re-counted as updates)
+    want = _batch_registers(spark, batch1 + batch2)
+    for g in ("a", "b", "c"):
+        assert (final[g].nonzero_buckets, final[g].sum_scaled) == want[g], g
+
+
+def test_estimate_quality(spark, workdir):
+    """Raw HLL estimate from the emitted integers lands within 25% of
+    the true distinct count at n >> m."""
+    src, ckpt, out = f"{workdir}/ev", f"{workdir}/ck", f"{workdir}/out"
+    _write(spark, src, [("g", i) for i in range(2000)])
+    schema = spark.read.parquet(src).schema
+    _run(spark, src, ckpt, out, schema)
+    r = spark.read.parquet(out).orderBy(F.col("n_updates").desc()).first()
+    m = r.m
+    alpha = 0.709  # alpha_64
+    estimate = alpha * m * m / (r.sum_scaled / 4294967296)
+    assert abs(estimate - 2000) / 2000 < 0.25
