@@ -33,15 +33,24 @@ def main() -> None:
 
     # Best-of-2 per query: one measurement is hostage to GC pauses and
     # codegen-compile timing; the min of two runs is the standard
-    # steady-state estimator. The catalog cache is cleared before each
-    # run so operators that persist internally (minhash) only benefit
-    # within a single execution — each timed run does ALL its own work;
-    # only the JVM's compiled code stays warm (the warm-cluster regime).
+    # steady-state estimator. Before EACH timed run both the Spark
+    # storage cache AND the catalog's plan memo are cleared — builders
+    # that materialize at build time (localCheckpoint label rounds, IVF
+    # training collects, bloom bitsets) must redo that work per run,
+    # otherwise the min-of-2 would time cached intermediates while the
+    # DuckDB yardstick re-executes from scratch each pass. Each timed
+    # run therefore does ALL its own work (plan build + every job);
+    # only the JVM's compiled code stays warm (the warm-cluster
+    # regime). The plan memo itself remains a real library feature for
+    # repeated API use — the benchmark just refuses to exploit it.
+    from linkmerce_spark.queries import clear_query_cache
+
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         best = float("inf")
         for _ in range(2):
             spark.catalog.clearCache()
+            clear_query_cache(spark)
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)

@@ -5,22 +5,30 @@ already carries (queries doc_tfidf_terms): tokenize + position-explode
 every document, group by term, and emit document frequency, total
 occurrence count, and a deterministic, width-bounded posting string.
 
-Scale shape: ONE shuffle keyed on the term (uniform by construction for
-natural text; a pathological stop-term is bounded by the posting cap),
-with partial aggregation map-side. Postings are zero-padded
-``doc:pos`` strings so lexicographic order == numeric order — the twin
-SQL reproduces the exact same strings with printf, keeping the result
-hashable across engines (no nested struct columns, which pandas-level
-canonicalizers compare unreliably).
+Scale shape: the postings are capped BEFORE aggregation — a
+``row_number`` window per term keeps only the first ``max_postings``
+in (doc, pos) order, so the subsequent ``collect_list`` buffer holds
+at most ``max_postings`` elements per term no matter how pathological
+a stop-term is (counts still aggregate over the full data with
+map-side partials). The window and the final groupBy share the
+term-hash partitioning, so the cap costs a sort but no extra
+exchange.
 
-At 100 TB the same plan holds: the posting cap bounds per-term state,
-and the index lands partitioned by term hash — the standard sharded-
-index layout.
+Postings are zero-padded ``doc:pos`` strings so lexicographic order ==
+numeric order; the twin SQL reproduces the exact same strings with
+printf, keeping the result hashable across engines (no nested struct
+columns, which pandas-level canonicalizers compare unreliably). The
+padding supports non-negative doc ids < 10^12 and positions < 10^6 —
+enforced widths, not assumptions; wider corpora raise the widths in
+one place (and their oracle twin with them).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+
+# non-negative doc_id < 10^12, position < 10^6 — see module docstring
+_POSTING_FMT = "%012d:%06d"
 
 
 def inverted_index(
@@ -30,7 +38,8 @@ def inverted_index(
     max_postings: int = 20,
 ) -> DataFrame:
     """Build the index: term, doc_freq, n_postings, postings (first
-    ``max_postings`` in (doc, pos) order as ``DDDDDDDD:PPPP`` tokens)."""
+    ``max_postings`` in (doc, pos) order as zero-padded doc:pos
+    tokens)."""
     if max_postings <= 0:
         raise ValueError("max_postings must be positive")
     words = F.split(F.col(text_col), " ")
@@ -39,12 +48,20 @@ def inverted_index(
     ).select(
         "term",
         F.col(id_col),
-        F.format_string("%08d:%04d", F.col(id_col), F.col("_pos")).alias("_p"),
+        F.format_string(_POSTING_FMT, F.col(id_col), F.col("_pos")).alias("_p"),
     )
-    return posted.groupBy("term").agg(
+    # cap per-term postings BEFORE collect_list so aggregation state is
+    # bounded by max_postings even for stop-terms
+    ranked = posted.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("term").orderBy("_p"))
+    )
+    return ranked.groupBy("term").agg(
         F.count_distinct(id_col).cast("bigint").alias("doc_freq"),
         F.count(F.lit(1)).cast("bigint").alias("n_postings"),
         F.array_join(
-            F.slice(F.sort_array(F.collect_list("_p")), 1, max_postings), " "
+            F.sort_array(
+                F.collect_list(F.when(F.col("_rn") <= max_postings, F.col("_p")))
+            ),
+            " ",
         ).alias("postings"),
     )

@@ -37,8 +37,11 @@ __all__ = [
 
 QUANT_DEFAULT = 1000
 
-# (df-ref, centroids) per (id(df), params) — see ivf_train.
+# (df-ref, centroids) per (id(df), params) — see ivf_train. Bounded
+# FIFO (strong df refs pin sessions; queries.clear_query_cache also
+# clears this).
 _TRAIN_MEMO: dict[tuple, tuple] = {}
+_TRAIN_MEMO_MAX = 32
 
 
 def _make_kernel(quant: int):
@@ -274,5 +277,7 @@ def ivf_train(
         [by_cell[j + 1][i] for i in range(dim)] if (j + 1) in by_cell else seeds[j]
         for j in range(k)
     ]
+    if len(_TRAIN_MEMO) >= _TRAIN_MEMO_MAX:
+        _TRAIN_MEMO.pop(next(iter(_TRAIN_MEMO)))
     _TRAIN_MEMO[memo_key] = (df, out)
     return out

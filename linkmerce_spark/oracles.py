@@ -367,7 +367,7 @@ WITH w AS (
   SELECT doc_id, words, UNNEST(range(0, len(words))) AS pos FROM w
 ), t AS (
   SELECT words[pos + 1] AS term, doc_id,
-         printf('%08d:%04d', doc_id, pos) AS pstr
+         printf('%012d:%06d', doc_id, pos) AS pstr
   FROM p
 )
 SELECT term,
@@ -5888,7 +5888,7 @@ FROM (
 # same 32 threshold comparisons the Spark side builds in _hll_rho.
 _HLL_RHO_SQL = "CASE " + " ".join(
     f"WHEN v >= {1 << (31 - z)} THEN {z + 1}" for z in range(0, 32)
-) + " ELSE 33 END"
+) + " ELSE 32 END"  # v==0 clamped to 32 (exact-integer contribution; see queries._hll_rho)
 
 ORACLES["hll_distinct_sketch"] = f"""
 WITH hashed AS (

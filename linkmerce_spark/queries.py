@@ -5771,7 +5771,12 @@ def _hll_rho(hex32: Column) -> Column:
     """1 + count of leading zero bits of a 32-bit value given as 8 hex
     chars, via exact integer threshold comparisons (engine-portable)."""
     v = F.conv(hex32, 16, 10).cast("bigint")
-    expr = F.lit(33)  # v == 0: all 32 bits zero
+    # v == 0 (all 32 bits zero) is clamped to 32, not the canonical 33:
+    # the register contribution 2^(32-rho) must stay an exact positive
+    # integer on both engines (shiftleft by -1 is garbage on Spark and
+    # an error in Python). A 2^-32-probability event perturbs the
+    # estimate by at most one half-unit of one register.
+    expr = F.lit(32)
     for z in range(31, -1, -1):
         expr = F.when(v >= (1 << (31 - z)), F.lit(z + 1)).otherwise(expr)
     return expr
@@ -6340,28 +6345,50 @@ QUERIES = {
 # logical plan (a few run deterministic index-build jobs — IVF training,
 # bloom bitsets, dup-cluster rounds). A DataFrame is a reusable plan, so
 # the catalog behaves like a view registry: one build per session, every
-# re-invocation (bench best-of-2 second pass, repeated API use) reuses
-# the analyzed plan and pays only execution. This is the "cache analyzed
-# plans across catalog runs" fix for the measured ~0.2-1 s per-query
-# py4j plan-construction overhead that dominated dim-sized entries;
-# execution itself re-runs in full on every action. Keyed weakly per
-# session (same rationale and lifetime rules as frames._STAR_CACHE).
+# re-invocation (repeated API use) reuses the analyzed plan and pays
+# only execution. This is the "cache analyzed plans across catalog
+# runs" fix for the measured ~0.2-1 s per-query py4j plan-construction
+# overhead that dominated dim-sized entries; execution itself re-runs
+# in full on every action. NOTE: bench.py deliberately calls
+# clear_query_cache() between its timed passes — builders that
+# materialize (localCheckpoint, training collects) do real work at
+# build time, and a timed pass reusing that would not be comparable to
+# the DuckDB yardstick re-executing from scratch.
+#
+# Lifetime: cached frames strongly reference their session (a weak-key
+# map would never evict — the value->key reference defeats it), so the
+# cache is an explicit small LRU over sessions: at most
+# _QUERY_CACHE_MAX_SESSIONS sessions retained, oldest evicted whole.
 
 import functools as _functools
-import weakref as _weakref
 
-_QUERY_CACHE: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
-    _weakref.WeakKeyDictionary()
-)
+_QUERY_CACHE_MAX_SESSIONS = 4
+_QUERY_CACHE: "dict[int, tuple[SparkSession, dict]]" = {}
+
+
+def clear_query_cache(spark: SparkSession | None = None) -> None:
+    """Drop cached catalog plans — for one session, or all. Also clears
+    the IVF-training memo (same build-time-compute lifetime)."""
+    from linkmerce_spark.operators.similarity import _TRAIN_MEMO
+
+    if spark is None:
+        _QUERY_CACHE.clear()
+        _TRAIN_MEMO.clear()
+    else:
+        _QUERY_CACHE.pop(id(spark), None)
+        _TRAIN_MEMO.clear()
 
 
 def _memoize_query(name: str, fn):
     @_functools.wraps(fn)
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
-        try:
-            per_session = _QUERY_CACHE.setdefault(spark, {})
-        except TypeError:  # session not weak-referenceable (mocks)
-            return fn(spark, sf_dir)
+        entry = _QUERY_CACHE.get(id(spark))
+        if entry is None or entry[0] is not spark:
+            if len(_QUERY_CACHE) >= _QUERY_CACHE_MAX_SESSIONS:
+                _QUERY_CACHE.pop(next(iter(_QUERY_CACHE)))
+            entry = (spark, {})
+            _QUERY_CACHE[id(spark)] = entry
+        per_session = entry[1]
         key = (name, sf_dir)
         if key not in per_session:
             per_session[key] = fn(spark, sf_dir)

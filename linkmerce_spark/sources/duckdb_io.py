@@ -114,7 +114,15 @@ def read_duckdb_partitioned(
                     preds.append(f"{partition_column} >= {rec['lo']}")
                 if rec["hi"] is not None and not pd.isna(rec["hi"]):
                     preds.append(f"{partition_column} < {rec['hi']}")
-                where = f" WHERE {' AND '.join(preds)}" if preds else ""
+                if preds and rec["pid"] == 0:
+                    # NULL partition keys fail every range predicate; the
+                    # JDBC-partitioned-read contract routes them to the
+                    # first slice.
+                    where = f" WHERE ({' AND '.join(preds)}) OR {partition_column} IS NULL"
+                elif preds:
+                    where = f" WHERE {' AND '.join(preds)}"
+                else:
+                    where = ""
                 with duckdb.connect(db_path, read_only=True) as con:
                     out = con.execute(f"SELECT * FROM {table}{where}").arrow().to_pandas()
                 yield out
@@ -134,6 +142,17 @@ def write_duckdb(
     existing table is kept under ``ignore``)."""
     if mode not in ("replace", "append", "ignore"):
         raise ValueError("mode must be replace | append | ignore")
+    # existence check FIRST — 'ignore' on an existing table must not pay
+    # for the distributed staging write it would then throw away
+    with _connect(db_path) as con:
+        exists = bool(
+            con.execute(
+                "SELECT 1 FROM information_schema.tables WHERE table_name = ?",
+                [table],
+            ).fetchone()
+        )
+    if exists and mode == "ignore":
+        return 0
     own_tmp = staging_dir is None
     staging = staging_dir or tempfile.mkdtemp(prefix="duckdb_stage_")
     target = os.path.join(staging, "stage")
@@ -141,14 +160,6 @@ def write_duckdb(
     glob = os.path.join(target, "*.parquet")
     try:
         with _connect(db_path) as con:
-            exists = bool(
-                con.execute(
-                    "SELECT 1 FROM information_schema.tables WHERE table_name = ?",
-                    [table],
-                ).fetchone()
-            )
-            if exists and mode == "ignore":
-                return 0
             if exists and mode == "append":
                 con.execute(f"INSERT INTO {table} SELECT * FROM read_parquet('{glob}')")
             else:

@@ -38,18 +38,39 @@ _TWO32 = 1 << 32
 def _bucket_rho(value: Any, m: int) -> tuple[int, int]:
     """Bit-identical to the batch expressions: md5 hex chars 1-8 ->
     bucket (mod m), chars 9-16 as a 32-bit value -> rho = 1 + leading
-    zeros (33 when the value is 0)."""
+    zeros, clamped at 32 exactly like queries._hll_rho (the register
+    contribution 2^(32-rho) must stay a positive integer)."""
     h = hashlib.md5(str(value).encode("utf-8")).hexdigest()
     bucket = int(h[:8], 16) % m
     v = int(h[8:16], 16)
-    rho = 33 if v == 0 else 33 - v.bit_length()
+    rho = 32 if v == 0 else 33 - v.bit_length()
     return bucket, rho
 
 
+def _canonical(value: Any) -> str | None:
+    """Render a pandas cell the way the batch side's
+    ``md5(cast(col as string))`` does: NULL/NaN hashes to nothing
+    (excluded, like SQL md5(NULL)), and integral floats — the dtype
+    Arrow->pandas coerces nullable int64 columns to — render without
+    the trailing '.0' that would silently break bit-equivalence."""
+    if value is None:
+        return None
+    if isinstance(value, float):
+        if value != value:  # NaN (pandas' NULL for coerced numerics)
+            return None
+        if value.is_integer():
+            return str(int(value))
+    return str(value)
+
+
 def hll_update(regs: list[int], values: Any, m: int) -> list[int]:
-    """Fold values into a register vector (element-wise max)."""
+    """Fold values into a register vector (element-wise max); NULL/NaN
+    values are excluded, matching the batch side's md5(NULL) = NULL."""
     for value in values:
-        bucket, rho = _bucket_rho(value, m)
+        rendered = _canonical(value)
+        if rendered is None:
+            continue
+        bucket, rho = _bucket_rho(rendered, m)
         if rho > regs[bucket]:
             regs[bucket] = rho
     return regs

@@ -46,6 +46,22 @@ def test_partitioned_read_matches_plain(spark, db):
     assert part.groupBy("id").count().filter("count > 1").count() == 0
 
 
+def test_partitioned_read_routes_null_keys_to_first_slice(spark, db):
+    """NULL partition keys fail every range predicate; the JDBC
+    contract sends them to slice 0 — no silent row loss."""
+    with duckdb.connect(db) as con:
+        con.execute(
+            "CREATE TABLE with_nulls AS "
+            "SELECT CASE WHEN i % 10 = 0 THEN NULL ELSE i END AS id, i AS v "
+            "FROM range(0, 100) t(i)"
+        )
+    part = read_duckdb_partitioned(spark, db, "with_nulls", "id", num_partitions=4)
+    assert part.count() == 100
+    assert part.filter(F.col("id").isNull()).count() == 10
+    # and no duplication either
+    assert part.groupBy("v").count().filter("count > 1").count() == 0
+
+
 def test_partitioned_read_single_partition_and_empty(spark, db):
     one = read_duckdb_partitioned(spark, db, "sales", "id", num_partitions=1)
     assert one.count() == 1000

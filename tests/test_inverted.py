@@ -14,8 +14,8 @@ def test_postings_order_and_counts(spark):
     out = {r.term: r for r in inverted_index(df, "text", "doc_id").collect()}
     assert out["a"].doc_freq == 2 and out["a"].n_postings == 3
     # (doc, pos) order: doc 1 positions 0,2 then doc 2 position 1
-    assert out["a"].postings == "00000001:0000 00000001:0002 00000002:0001"
-    assert out["b"].postings == "00000001:0001 00000002:0000 00000002:0002"
+    assert out["a"].postings == "000000000001:000000 000000000001:000002 000000000002:000001"
+    assert out["b"].postings == "000000000001:000001 000000000002:000000 000000000002:000002"
 
 
 def test_posting_cap_bounds_stop_terms(spark):

@@ -96,6 +96,20 @@ def test_streaming_registers_match_batch_and_resume(spark, workdir):
         assert (final[g].nonzero_buckets, final[g].sum_scaled) == want[g], g
 
 
+def test_hll_update_canonicalization_and_rho_bound():
+    """Kernel-level pins: rho never exceeds 32 (the shift stays legal),
+    NULL/NaN are excluded like SQL md5(NULL), and integral floats (the
+    Arrow->pandas coercion of nullable int64) hash like their ints."""
+    from linkmerce_spark.streaming.sketches import _bucket_rho, hll_update
+
+    m = 64
+    assert all(1 <= _bucket_rho(v, m)[1] <= 32 for v in range(10_000))
+    ints = hll_update([0] * m, [1, 2, 3], m)
+    floats = hll_update([0] * m, [1.0, 2.0, float("nan"), None, 3.0], m)
+    assert ints == floats  # coerced column == clean column; NULLs ignored
+    assert hll_update([0] * m, [None, float("nan")], m) == [0] * m
+
+
 def test_estimate_quality(spark, workdir):
     """Raw HLL estimate from the emitted integers lands within 25% of
     the true distinct count at n >> m."""
