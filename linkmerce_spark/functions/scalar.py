@@ -37,6 +37,7 @@ __all__ = [
     "money",
     "int_div",
     "date_spine",
+    "md5_hash32",
 ]
 
 
@@ -125,3 +126,15 @@ def date_spine(
     return spark.range(1).select(
         F.explode(F.sequence(s, e, F.expr("interval 1 day"))).alias(col_name)
     )
+
+
+def md5_hash32(col):
+    """Portable 32-bit hash: md5 hex prefix -> BIGINT — bit-identical in
+    Spark and DuckDB (``CAST('0x'||substr(md5(x),1,8) AS BIGINT)``).
+    The single definition behind MinHash signatures and winnowing
+    fingerprints; salted variants (count-min rows, sampling buckets)
+    compose it with a prefix.
+    """
+    from pyspark.sql import functions as F
+
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")

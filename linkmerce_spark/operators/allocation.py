@@ -47,7 +47,10 @@ def allocate_proportional(
     ``round(total * weight / sum(weight), scale)``; the first row by
     ``order_by`` absorbs ``total - sum(rounded shares)`` so the group
     sum is exactly ``total``. Zero-weight groups allocate everything to
-    the first row.
+    the first row. NULL weights count as 0 — without that coercion a
+    NULL-weight row's share (and, if it sorts first, the whole group's
+    residue row) would be NULL and the conservation invariant would
+    silently break.
     """
     weight = F.col(weight) if isinstance(weight, str) else weight
     total = F.col(total) if isinstance(total, str) else total
@@ -55,7 +58,7 @@ def allocate_proportional(
     wg = Window.partitionBy(*group)
     wo = Window.partitionBy(*group).orderBy(*order_by)
 
-    w_exact = weight.cast(f"decimal(18,{weight_scale})")
+    w_exact = F.coalesce(weight, F.lit(0)).cast(f"decimal(18,{weight_scale})")
     wsum = F.sum(w_exact).over(wg)
     ratio = total.cast("double") * w_exact.cast("double") / wsum.cast("double")
     # Portable half-up rounding: floor(x*10^s + 0.5) is bit-identical

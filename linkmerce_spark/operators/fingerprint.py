@@ -41,8 +41,7 @@ __all__ = [
 ]
 
 
-def _hash32(col: Column) -> Column:
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+from linkmerce_spark.functions.scalar import md5_hash32 as _hash32  # noqa: E402
 
 
 def winnow_fingerprints(

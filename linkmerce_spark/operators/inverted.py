@@ -43,13 +43,28 @@ def inverted_index(
     if max_postings <= 0:
         raise ValueError("max_postings must be positive")
     words = F.split(F.col(text_col), " ")
+    in_bounds = (
+        (F.col(id_col) >= 0)
+        & (F.col(id_col) < F.lit(10**12))
+        & (F.col("_pos") < F.lit(10**6))
+    )
+    posting = F.when(
+        in_bounds, F.format_string(_POSTING_FMT, F.col(id_col), F.col("_pos"))
+    ).otherwise(
+        # executed-time enforcement of the documented widths — an
+        # out-of-range id would silently break lexicographic ordering
+        F.raise_error(
+            F.concat(
+                F.lit("inverted_index: doc id/pos out of posting bounds: "),
+                F.col(id_col).cast("string"),
+                F.lit(":"),
+                F.col("_pos").cast("string"),
+            )
+        )
+    )
     posted = df.select(
         F.col(id_col), F.posexplode(words).alias("_pos", "term")
-    ).select(
-        "term",
-        F.col(id_col),
-        F.format_string(_POSTING_FMT, F.col(id_col), F.col("_pos")).alias("_p"),
-    )
+    ).select("term", F.col(id_col), posting.alias("_p"))
     # cap per-term postings BEFORE collect_list so aggregation state is
     # bounded by max_postings even for stop-terms
     ranked = posted.withColumn(

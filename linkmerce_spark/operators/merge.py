@@ -104,8 +104,17 @@ def merge_frames(
     insert_new = not_matched == "insert_all"
 
     for c in data_cols:
-        tgt_c, src_c = t[c], s[c] if c in src.columns else F.lit(None)
-        both = _resolve(verb_of[c], tgt_c, src_c)
+        if c not in src.columns:
+            # A target column the source batch doesn't carry behaves as
+            # 'ignore' (SQL MERGE cannot even reference it): matched
+            # rows KEEP their target value. Substituting NULL here
+            # would make 'replace'/'replace_all' silently wipe existing
+            # data on every routine partial-column upsert.
+            tgt_c, src_c = t[c], F.lit(None)
+            both = _resolve("ignore", tgt_c, src_c)
+        else:
+            tgt_c, src_c = t[c], s[c]
+            both = _resolve(verb_of[c], tgt_c, src_c)
         expr = (
             F.when(has_t & has_s, both)
             .when(has_t & ~has_s, tgt_c)

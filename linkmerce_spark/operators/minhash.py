@@ -88,8 +88,7 @@ def minhash_perm_consts(k: int) -> list[tuple[int, int]]:
     ]
 
 
-def _hash32(col: Column) -> Column:
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+from linkmerce_spark.functions.scalar import md5_hash32 as _hash32  # noqa: E402
 
 
 def minhash_signature(
@@ -129,7 +128,8 @@ def minhash_signature(
         for i, (a, b) in enumerate(minhash_perm_consts(k))
     ]
     sig = ex.groupBy(id_col).agg(*mins).select(
-        F.col(id_col), F.array(*[F.col(f"__m{i}") for i in range(k)]).alias("sig")
+        F.col(id_col),
+        F.array(*[F.col(f"__m{i}") for i in range(k)]).alias("sig", metadata={"k": k}),
     )
     return sh.join(sig, id_col)
 
@@ -146,7 +146,19 @@ def lsh_candidate_pairs(
     One shuffle on the band key. ``max_bucket`` drops buckets larger
     than the cap before the self-join — the skew guard for boilerplate
     clusters (a 1M-doc bucket would otherwise emit 5*10^11 pairs).
+
+    ``bands * rows_per_band`` must not exceed the signature length:
+    an out-of-range band would slice to an empty array, hash every
+    document to the same constant band key, and detonate the exact
+    all-pairs explosion this function exists to prevent — so it is
+    validated against the signature column's array length up front.
     """
+    sig_len = signed.schema["sig"].metadata.get("k") if "sig" in signed.columns else None
+    if sig_len is not None and bands * rows_per_band > int(sig_len):
+        raise ValueError(
+            f"bands*rows_per_band = {bands * rows_per_band} exceeds "
+            f"signature length {sig_len}"
+        )
     band_entries = []
     for j in range(bands):
         band_entries.append(
@@ -263,11 +275,20 @@ def jaccard_pairs(
     text_col: str = "text",
     shingle_words: int = 2,
     min_jaccard: float = 0.0,
+    dedup_symmetric: bool = False,
 ) -> DataFrame:
     """Blocked n-gram Jaccard: probes x candidates within a blocking key.
 
     ``join_on`` is the blocking key (e.g. source bucket) — the scale
     lever that keeps this from being O(n^2).
+
+    Pair semantics: every (probe, candidate) pair with distinct ids is
+    emitted. ``dedup_symmetric=True`` keeps only ``id_a < id_b`` — ONLY
+    correct when probes and candidates are the SAME set (full symmetric
+    self-join); with a probe subset or disjoint sets it would silently
+    drop every pair whose probe id exceeds the candidate id. Callers
+    whose probes are a subset of candidates dedup the probe-probe
+    duplicates themselves (e.g. ``id_b not probe OR id_a < id_b``).
     """
     p = _with_shingles(_fanout(probes), text_col, shingle_words, "sh_a", require=True).select(
         *join_on, F.col(id_col).alias("id_a"), "sh_a"
@@ -275,9 +296,14 @@ def jaccard_pairs(
     c = _with_shingles(_fanout(candidates), text_col, shingle_words, "sh_b", require=True).select(
         *join_on, F.col(id_col).alias("id_b"), "sh_b"
     )
+    pair_cond = (
+        (F.col("id_a") < F.col("id_b"))
+        if dedup_symmetric
+        else (F.col("id_a") != F.col("id_b"))
+    )
     out = (
         p.join(c, join_on)
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(pair_cond)
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",

@@ -308,8 +308,12 @@ def extract_media_stats(df: DataFrame, content_col: str = "content") -> DataFram
                         row.pop("flipped", None)
                     else:
                         row.update(decode_wav(content))
-                except ValueError as e:
-                    row["parse_error"] = str(e)
+                except Exception as e:  # noqa: BLE001 — the contract is
+                    # "a bad file must never fail a 100 TB stage": malformed
+                    # headers raise struct.error / ZeroDivisionError /
+                    # IndexError, not just ValueError, and ALL of them must
+                    # land in parse_error rather than kill the task.
+                    row["parse_error"] = f"{type(e).__name__}: {e}"
                 out.append(row)
             yield pd.DataFrame(out, columns=cols)
 

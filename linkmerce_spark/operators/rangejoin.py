@@ -41,6 +41,7 @@ def effective_dated_join(
     end_col: str = "end_date",
     how: str = "left",
     broadcast_relation: bool = True,
+    suffix: str | None = None,
 ) -> DataFrame:
     """Join ``fact`` to an effective-dated ``relation``.
 
@@ -49,6 +50,10 @@ def effective_dated_join(
     strategy; the interval predicate is part of the join condition so
     non-matching intervals produce NULLs (not dropped rows) under
     ``how='left'``.
+
+    Payload columns the relation shares with the fact are renamed with
+    ``suffix`` (mirroring asof_join); without a suffix a collision
+    raises instead of silently emitting a duplicate column name.
     """
     point = F.col(point) if isinstance(point, str) else point
     rel = broadcast(relation) if broadcast_relation else relation
@@ -56,8 +61,16 @@ def effective_dated_join(
     cond = [f[k] == r[k] for k in keys]
     cond.append(point.between(r[start_col], r[end_col]))
     joined = f.join(r, cond, how)
+    payload = [c for c in relation.columns if c not in set(keys) | {start_col, end_col}]
+    collisions = [c for c in payload if c in fact.columns]
+    if collisions and suffix is None:
+        raise ValueError(
+            f"relation payload columns {collisions} collide with fact "
+            "columns; pass suffix= to rename them"
+        )
     keep = [f[c] for c in fact.columns] + [
-        r[c] for c in relation.columns if c not in set(keys) | {start_col, end_col}
+        r[c].alias(c + suffix) if (suffix and c in fact.columns) else r[c]
+        for c in payload
     ]
     return joined.select(*keep)
 

@@ -698,8 +698,9 @@ WITH toks AS (
     CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
     / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
   FROM sh a JOIN sh b
-    ON a.source = b.source AND a.doc_id < b.doc_id
+    ON a.source = b.source AND a.doc_id <> b.doc_id
   WHERE a.doc_id % 97 = 0 AND len(a.shingles) > 0 AND len(b.shingles) > 0
+    AND (b.doc_id % 97 <> 0 OR a.doc_id < b.doc_id)
 )
 SELECT source, id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.02
 """

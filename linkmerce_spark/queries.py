@@ -1038,12 +1038,18 @@ def q_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked n-gram Jaccard similarity (probe docs vs same-source).
 
     The blocking key (source) is the scale lever: O(block^2), never
-    O(n^2) over the corpus.
+    O(n^2) over the corpus. Pair coverage is complete (round 6): every
+    probe-candidate pair regardless of id order, with probe-probe
+    duplicates deduped canonically — the old ``id_a < id_b``-only form
+    silently dropped pairs whose probe id exceeded the candidate id.
     """
     (docs,) = _t(spark, sf_dir, "documents")
     probes = docs.filter(F.col("doc_id") % 97 == 0)
-    return jaccard_pairs(
+    pairs = jaccard_pairs(
         probes, docs, join_on=["source"], shingle_words=2, min_jaccard=0.02
+    )
+    return pairs.filter(
+        (F.col("id_b") % 97 != 0) | (F.col("id_a") < F.col("id_b"))
     )
 
 

@@ -52,16 +52,22 @@ def run_incremental_batch(
     parquet target with per-batch dynamic partition overwrite."""
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        out = transform(batch)
-        if out.isEmpty():  # empty-input short-circuit (load.py:378-381)
-            return
-        validate_partitions(out, partition_col, allowed_partitions)
-        (
-            out.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(partition_col)
-            .parquet(target_path)
-        )
+        # Persist the transformed frame: without it the transform DAG
+        # executes three times per batch (emptiness probe, partition
+        # validation aggregate, parquet write).
+        out = transform(batch).persist()
+        try:
+            if out.isEmpty():  # empty-input short-circuit (load.py:378-381)
+                return
+            validate_partitions(out, partition_col, allowed_partitions)
+            (
+                out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(partition_col)
+                .parquet(target_path)
+            )
+        finally:
+            out.unpersist()
 
     stream = (
         spark.readStream.format(source_format)

@@ -169,7 +169,17 @@ def last_click_attribution(
             return
         last_us, last_id = (state.get if state.exists else (None, None))
         out: dict[str, list] = {f.name: [] for f in out_schema.fields}
-        for pdf in pdfs:
+        # A large group arrives as MULTIPLE Arrow chunks with no global
+        # order — sorting each chunk independently would process a late
+        # chunk's early click after an early chunk's later purchase.
+        # Buffer the whole group (bounded by the micro-batch's rows for
+        # this key) and sort ONCE.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            merged = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        else:
+            merged = None
+        for pdf in ([merged] if merged is not None else []):
             pdf = pdf.sort_values(ts_col, kind="stable")
             for row in pdf.itertuples(index=False):
                 us = int(getattr(row, ts_col).value // 1000)

@@ -106,20 +106,32 @@ def test_malformed_media_degrades_to_parse_error(spark):
     )
 
     good = encode_bmp([10, 20, 30], 1, 1)
+    zero_width = bytearray(good)
+    zero_width[18:22] = (0).to_bytes(4, "little")  # width=0 -> div by zero
+    short_fmt = (  # 'fmt ' chunk declares 8 bytes -> struct.error
+        b"RIFF" + (24).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (8).to_bytes(4, "little") + b"\x00" * 8
+    )
     rows = [
         (1, "image", good, "image/bmp", 1, 1, None),
         (2, "image", good[:20], "image/bmp", None, None, None),  # truncated
         (3, "audio", b"RIFFxxxxJUNK", "audio/wav", None, None, None),
         (4, "image", None, "image/bmp", None, None, None),
+        (5, "image", bytes(zero_width), "image/bmp", None, None, None),
+        (6, "audio", short_fmt, "audio/wav", None, None, None),
     ]
     out = extract_media_stats(spark.createDataFrame(rows, MEDIA_SCHEMA))
     got = {r["media_id"]: r for r in out.collect()}
     assert got[1]["parse_error"] is None and got[1]["mean_b"] == 10.0
     assert got[2]["parse_error"] is not None
     assert got[3]["parse_error"] is not None
-    assert got[4]["parse_error"] == "null content"
-    # a bad file never fails the stage - all four rows came back
-    assert len(got) == 4
+    assert "null content" in got[4]["parse_error"]
+    # non-ValueError decoder failures (ZeroDivisionError, struct.error)
+    # must degrade to parse_error too, never fail the stage
+    assert got[5]["parse_error"] is not None
+    assert got[6]["parse_error"] is not None
+    # a bad file never fails the stage - all six rows came back
+    assert len(got) == 6
 
 
 def test_synthesize_media_emits_real_parseable_files(spark):

@@ -330,3 +330,93 @@ def test_pack_sequences_positional_binning(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         pack_sequences(df, "n", budget=0)
+
+
+# ------------------------------------------------ round-6 review-fix pins
+def test_merge_absent_source_column_keeps_target_values(spark):
+    """A target column the source batch doesn't carry behaves as
+    'ignore' — replace_all must NOT wipe it to NULL."""
+    from linkmerce_spark.operators.merge import merge_frames
+
+    target = spark.createDataFrame([(1, 10, "keep"), (2, 20, "also")],
+                                   "k long, a long, b string")
+    source = spark.createDataFrame([(1, 99), (3, 33)], "k long, a long")
+    out = {r.k: (r.a, r.b) for r in
+           merge_frames(target, source, ["k"], matched="replace_all").collect()}
+    assert out[1] == (99, "keep")     # a replaced, b preserved
+    assert out[2] == (20, "also")     # unmatched target untouched
+    assert out[3] == (33, None)       # inserted row has no b
+
+
+def test_allocation_null_weight_conserves_total(spark):
+    """NULL weights count as 0; the group still sums exactly to total
+    even when the NULL-weight row sorts first (the residue row)."""
+    from pyspark.sql import functions as F
+
+    from linkmerce_spark.operators.allocation import allocate_proportional
+
+    df = spark.createDataFrame(
+        [("g", 1, None), ("g", 2, 5)], "grp string, ord long, w long"
+    )
+    out = allocate_proportional(
+        df, ["grp"], weight="w", total=F.lit(100), order_by=["ord"], scale=0
+    )
+    rows = {r.ord: r.allocated for r in out.collect()}
+    assert rows[1] is not None and rows[2] is not None
+    assert int(rows[1]) + int(rows[2]) == 100
+    assert int(rows[2]) == 100        # all weight on row 2
+
+
+def test_jaccard_pairs_complete_when_probe_id_larger(spark):
+    """Probe ids larger than candidate ids must still pair (the old
+    id_a<id_b-only form silently dropped them)."""
+    from linkmerce_spark.operators.minhash import jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(970, "s", "alpha beta gamma delta"), (5, "s", "alpha beta gamma delta")],
+        "doc_id long, source string, text string",
+    )
+    probes = df.filter("doc_id = 970")
+    out = jaccard_pairs(probes, df, join_on=["source"], shingle_words=2).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(970, 5)]
+    assert out[0].jaccard == 1.0
+    # symmetric self-join mode still dedupes by id order
+    sym = jaccard_pairs(df, df, join_on=["source"], shingle_words=2,
+                        dedup_symmetric=True).collect()
+    assert [(r.id_a, r.id_b) for r in sym] == [(5, 970)]
+
+
+def test_effective_dated_join_collision_raises_and_suffix_renames(spark):
+    import datetime as dt
+
+    from linkmerce_spark.operators.rangejoin import effective_dated_join
+
+    fact = spark.createDataFrame(
+        [(1, dt.date(2026, 1, 5), 100)], "k long, d date, price long"
+    )
+    rel = spark.createDataFrame(
+        [(1, dt.date(2026, 1, 1), dt.date(2026, 12, 31), 7)],
+        "k long, start_date date, end_date date, price long",
+    )
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="price"):
+        effective_dated_join(fact, rel, ["k"], point="d")
+    out = effective_dated_join(fact, rel, ["k"], point="d", suffix="_rel")
+    assert set(out.columns) == {"k", "d", "price", "price_rel"}
+    row = out.first()
+    assert (row.price, row.price_rel) == (100, 7)
+
+
+def test_lsh_rejects_bands_exceeding_signature(spark):
+    from linkmerce_spark.operators.minhash import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")], "doc_id long, text string"
+    )
+    signed = minhash_signature(df, "text", "doc_id", k=16, shingle_words=2)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="exceeds"):
+        lsh_candidate_pairs(signed, bands=8, rows_per_band=4)

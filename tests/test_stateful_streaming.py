@@ -168,3 +168,44 @@ def test_last_click_attribution_matches_batch_asof(spark, workdir):
     assert got[(1, 13)][0] == 12  # same-run later click wins
     assert got[(3, 31)][0] is None  # carried click outside tolerance
     assert got[(2, 22)][0] == 21
+
+
+def test_attribution_correct_across_arrow_chunk_splits(spark, workdir):
+    """A group larger than the Arrow batch size arrives as MULTIPLE
+    pandas chunks with no global order guarantee — the kernel must
+    buffer and sort the whole group once, or clicks in a later chunk
+    would process after purchases from an earlier chunk."""
+    import datetime as dt
+
+    from linkmerce_spark.streaming.stateful import last_click_attribution
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0)
+    rows = []
+    # 60 alternating click/purchase events for ONE user; with
+    # maxRecordsPerBatch=7 the group spans ~9 chunks
+    for i in range(30):
+        rows.append((1, t0 + dt.timedelta(minutes=2 * i), "click", 100 + i))
+        rows.append((1, t0 + dt.timedelta(minutes=2 * i + 1), "purchase", 200 + i))
+    schema = "user_id long, ts timestamp, event_type string, event_id long"
+    src, ckpt, out = f"{workdir}/ev", f"{workdir}/ck", f"{workdir}/at"
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        q = (
+            last_click_attribution(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = {r.purchase_id: r.click_id for r in spark.read.parquet(out).collect()}
+    # every purchase 200+i must attribute to its immediately preceding
+    # click 100+i — any chunk-order processing scrambles this mapping
+    assert got == {200 + i: 100 + i for i in range(30)}
