@@ -296,7 +296,18 @@ def values_df(spark: SparkSession, rows: Iterable[tuple], schema: str) -> DataFr
             return "NULL"
         if isinstance(v, bool):
             return "TRUE" if v else "FALSE"
-        if isinstance(v, (int, float)):
+        if isinstance(v, float):
+            # repr of non-finite floats is a bare identifier ('nan',
+            # 'inf') that the SQL parser reads as a column reference —
+            # render the typed literal forms instead.
+            if v != v:
+                return "CAST('NaN' AS DOUBLE)"
+            if v == float("inf"):
+                return "CAST('Infinity' AS DOUBLE)"
+            if v == float("-inf"):
+                return "CAST('-Infinity' AS DOUBLE)"
+            return repr(v)
+        if isinstance(v, int):
             return repr(v)
         s = str(v).replace("\\", "\\\\").replace("'", "\\'")
         return f"'{s}'"

@@ -24,6 +24,16 @@ capabilities match:
   ``{"operationName", "variables", "query"}``;
 - per-section ``linebreak`` toggles, ``prefix``/``suffix``, and a
   ``replace`` post-map — the knobs the reference's call sites use.
+
+Two deliberate reference-parity quirks (kept because the contract is
+to reproduce the payloads the reference's clients send in production,
+verified against utils/graphql.py:172 and :70-78): an alias renders as
+``name: alias`` exactly as the reference does, and empty variable
+lists render ``()`` exactly as the reference's ``_add_brackets`` does
+— the reference's call sites never hit either edge with a server that
+would reject them. Nested-fragment extraction, by contrast, goes
+beyond the reference (its extractor stops at the first level, which
+would reference an inner fragment without defining it).
 """
 
 from __future__ import annotations
@@ -168,13 +178,33 @@ class Selection:
 
 
 def _collect_fragments(tree: Any) -> list[Fragment]:
-    if isinstance(tree, Fragment):
-        return [tree]
-    if isinstance(tree, Mapping):
-        return [f for v in tree.values() for f in _collect_fragments(v)]
-    if isinstance(tree, (list, tuple)):
-        return [f for v in tree for f in _collect_fragments(v)]
-    return []
+    """Extract every Fragment in the tree, INCLUDING fragments nested
+    inside another fragment's own field tree (the reference's extractor
+    stops at the first level, which would reference '...Inner' without
+    ever defining it — a query every server rejects; recursing here is
+    purely additive, flat cases render identically). Deduplicated by
+    fragment name, first definition wins."""
+    found: list[Fragment] = []
+
+    def walk(node: Any) -> None:
+        if isinstance(node, Fragment):
+            found.append(node)
+            walk(node.fields)
+        elif isinstance(node, Mapping):
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                walk(v)
+
+    walk(tree)
+    seen: set[str] = set()
+    out = []
+    for f in found:
+        if f.name not in seen:
+            seen.add(f.name)
+            out.append(f)
+    return out
 
 
 @dataclass(frozen=True)

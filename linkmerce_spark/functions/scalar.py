@@ -70,8 +70,12 @@ def str_prefix(c: Column | str, prefix: str) -> Column:
 
 
 def split_part(c: Column | str, sep: str, n: int) -> Column:
-    """1-indexed split_part; NULL-safe like the Postgres function."""
-    return F.element_at(F.split(_col(c), sep), n)
+    """1-indexed split_part with Postgres semantics: the separator is a
+    LITERAL (``F.split`` would treat it as a Java regex — ``'.'`` split
+    on every character) and out-of-range parts return ``''``, not NULL.
+    Delegates to Spark's native ``split_part``, which implements exactly
+    that contract."""
+    return F.split_part(_col(c), F.lit(sep), F.lit(n))
 
 
 def enum_code(

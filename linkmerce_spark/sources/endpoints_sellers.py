@@ -398,6 +398,14 @@ class CoupangAdsApi(HttpClient):
         """(reference report/extract.py:71-74 ``pageInfo.totalCount``)."""
         return (response.get("pageInfo") or {}).get("totalCount")
 
+    @staticmethod
+    def _is_timeout(error: Exception) -> bool:
+        """requests' Timeout is NOT a builtin TimeoutError subclass —
+        match both the builtin and any transport exception whose type
+        name carries 'Timeout' (requests.Timeout/ConnectTimeout/
+        ReadTimeout, urllib3 variants)."""
+        return isinstance(error, TimeoutError) or "Timeout" in type(error).__name__
+
     def request_json_with_retry(
         self, path: str, payload: Mapping[str, Any], max_retries: int = 5
     ) -> Any:
@@ -405,8 +413,8 @@ class CoupangAdsApi(HttpClient):
         for retry_count in range(1, max_retries + 1):
             try:
                 return self.request_json("POST", path, json=payload)
-            except TimeoutError:
-                if retry_count == max_retries:
+            except Exception as error:  # noqa: BLE001 — filtered below
+                if not self._is_timeout(error) or retry_count == max_retries:
                     raise
                 self._sleep(retry_count)
 

@@ -73,14 +73,21 @@ def _to_python(value: Any) -> Any:
         if re.match(r"^\d+(\.\d*)?%$", value):
             return float(value[:-1]) / 100
         if re.match(r"^\d{4}-\d{2}-\d{2}", value):
+            # FULL-match patterns + a parse guard: a prefix match with a
+            # full-string strptime raised on date-like free text
+            # ('2024-01-02 123456') and on invalid calendar dates
+            # ('2024-01-32') — such cells stay strings.
             for pat, fmt in (
                 (r"^\d{4}-\d{2}-\d{2}$", "%Y-%m-%d"),
-                (r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}", "%Y-%m-%d %H:%M:%S"),
-                (r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}", "%Y-%m-%d %H:%M"),
-                (r"^\d{4}-\d{2}-\d{2} \d{2}", "%Y-%m-%d %H"),
+                (r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}$", "%Y-%m-%d %H:%M:%S"),
+                (r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}$", "%Y-%m-%d %H:%M"),
+                (r"^\d{4}-\d{2}-\d{2} \d{2}$", "%Y-%m-%d %H"),
             ):
-                if re.match(pat, value):
-                    parsed = dt.datetime.strptime(value, fmt)
+                if re.fullmatch(pat, value):
+                    try:
+                        parsed = dt.datetime.strptime(value, fmt)
+                    except ValueError:
+                        return value
                     return parsed.date() if fmt == "%Y-%m-%d" else parsed
     return value
 
@@ -115,7 +122,10 @@ def py_to_sheet(
     if not records:
         return []
     headers = list(expected_headers or records[0].keys())
-    rows = [[_to_serial(r[c]) for c in headers if c in r] for r in records]
+    # A record missing a column MUST emit None in that position —
+    # skipping it would shift every later value left under the wrong
+    # header, silently corrupting the sheet.
+    rows = [[_to_serial(r.get(c)) for c in headers] for r in records]
     return [headers, *rows] if include_header else rows
 
 

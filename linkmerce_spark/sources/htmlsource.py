@@ -61,6 +61,11 @@ class _TableParser(HTMLParser):
             self._cell.append(data)
 
 
+_VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+
 class _SelectParser(HTMLParser):
     """Minimal selector: collect text of elements matching tag and/or
     class name (the subset the reference's selectors actually use)."""
@@ -81,6 +86,11 @@ class _SelectParser(HTMLParser):
         return True
 
     def handle_starttag(self, tag, attrs):
+        # Void elements (<br>, <img>, ...) never fire handle_endtag —
+        # counting them would leave the depth permanently unbalanced and
+        # silently swallow the current and all following matches.
+        if tag in _VOID_ELEMENTS:
+            return
         if self._depth:
             self._depth += 1
         elif self._is_match(tag, attrs):

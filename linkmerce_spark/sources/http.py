@@ -263,9 +263,11 @@ class Response:
 Transport = Callable[[Request], Response]
 
 
-def requests_transport(session: Any = None) -> Transport:
+def requests_transport(session: Any = None, timeout: float | tuple = 30.0) -> Transport:
     """Bind a real ``requests``-backed transport (import-gated: the
-    sandbox has no requests/network; production environments do)."""
+    sandbox has no requests/network; production environments do).
+    ``timeout`` defaults to 30 s — requests' own default is NO timeout,
+    which can hang an ingestion task indefinitely."""
     import requests  # noqa: PLC0415 — optional dependency by design
 
     sess = session or requests.Session()
@@ -278,6 +280,7 @@ def requests_transport(session: Any = None) -> Transport:
             data=req.data,
             json=req.json,
             headers=req.headers,
+            timeout=timeout,
         )
         return Response(
             status=r.status_code,

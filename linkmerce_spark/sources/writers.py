@@ -58,6 +58,21 @@ def validate_partitions(
             raise ValueError(f"partitions outside allowed set: {sorted(extra)}")
 
 
+def _is_path_not_found(e: Exception) -> bool:
+    """PATH_NOT_FOUND check across pyspark 4 (getCondition) and older
+    (getErrorClass) error APIs."""
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(e, attr, None)
+        if fn is not None:
+            try:
+                if fn() == "PATH_NOT_FOUND":
+                    return True
+                break
+            except Exception:  # noqa: BLE001 — fall back to the message
+                break
+    return "PATH_NOT_FOUND" in str(e)
+
+
 def write_append(
     df: DataFrame,
     path: str,
@@ -73,12 +88,13 @@ def write_append(
         try:
             existing = spark.read.parquet(path).select(*keys).distinct()
             df = df.join(existing, on=list(keys), how="left_anti")
-        except AnalysisException:
-            # First write: target doesn't exist yet. Only PATH_NOT_FOUND
-            # is treated as "no prior data" — a transient read error must
-            # propagate, or the anti-join silently drops and duplicates
-            # land in a keyed table.
-            pass
+        except AnalysisException as e:
+            # First write: target doesn't exist yet. ONLY PATH_NOT_FOUND
+            # means "no prior data" — any other analysis error (schema
+            # drift dropping a key column, corrupt metadata) must
+            # propagate, or duplicates silently land in a keyed table.
+            if not _is_path_not_found(e):
+                raise
     writer = df.write.mode("append")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -120,11 +136,13 @@ def write_merge(
     spark = df.sparkSession
     try:
         target = spark.read.parquet(path)
-    except AnalysisException:
-        # First write: target doesn't exist yet. Only AnalysisException
-        # (PATH_NOT_FOUND) means "no prior data" — any other read error
-        # must propagate, or a transient IO failure silently downgrades
+    except AnalysisException as e:
+        # First write: target doesn't exist yet. ONLY PATH_NOT_FOUND
+        # means "no prior data" — any other analysis error must
+        # propagate, or a corrupt/unreadable target silently downgrades
         # the merge to an append and drops the matched-update semantics.
+        if not _is_path_not_found(e):
+            raise
         write_append(df, path, partition_by, keys)
         return
     merged = merge_frames(target, df, keys, matched, not_matched)
