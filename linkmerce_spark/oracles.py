@@ -386,6 +386,84 @@ SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
 FROM fp GROUP BY fp
 """
 
+ORACLES["doc_dup_spans"] = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), g AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(words, pos, pos + 7), ' ') AS gram
+  FROM (
+    SELECT doc_id, words,
+      UNNEST(CASE WHEN len(words) >= 8 THEN range(1, len(words) - 6)
+             ELSE CAST([] AS BIGINT[]) END) AS pos
+    FROM w
+  )
+), occ AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+), cov AS (
+  SELECT doc_id, COUNT(DISTINCT cpos) AS covered_words FROM (
+    SELECT g.doc_id, UNNEST(range(g.pos, g.pos + 8)) AS cpos
+    FROM g JOIN occ USING (gram)
+  ) GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+  CAST(COALESCE(c.covered_words, 0) AS BIGINT) AS covered_words,
+  CAST(CASE WHEN len(string_split(d.text, ' ')) > 0
+       THEN FLOOR(10000 * COALESCE(c.covered_words, 0)
+                  / len(string_split(d.text, ' ')))
+       ELSE 0 END AS BIGINT) AS dup_span_bp
+FROM documents d LEFT JOIN cov c USING (doc_id)
+"""
+
+ORACLES["doc_unigram_lm"] = """
+WITH t AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+), tf AS (
+  SELECT tok, COUNT(*) AS tf FROM t GROUP BY 1
+), s AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens,
+         SUM(length(bin(tf.tf)) - 1) AS sum_ilog2
+  FROM t JOIN tf USING (tok) GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(s.sum_ilog2, 0) AS BIGINT) AS sum_ilog2,
+  CAST(CASE WHEN s.n_tokens > 0
+       THEN FLOOR(10000 * s.sum_ilog2 / s.n_tokens)
+       ELSE 0 END AS BIGINT) AS lm_score_bp
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
+def _interleave_sql(a: str, b: str, bits: int) -> str:
+    # Keep the oracle self-contained (no engine imports): the identical
+    # Morton-key expression as operators/zorder.interleave_bits_sql.
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return "(" + " | ".join(terms) + ")"
+
+
+ORACLES["zorder_extents"] = f"""
+WITH c AS (
+  SELECT ((o_custkey % 256) + 256) % 256 AS a,
+         ((date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256)
+          + 256) % 256 AS b
+  FROM orders
+), z AS (
+  SELECT ({_interleave_sql('a', 'b', 8)} >> 8) AS z_bucket, a, b FROM c
+)
+SELECT CAST(z_bucket AS BIGINT) AS z_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(MIN(a) AS BIGINT) AS cust_min, CAST(MAX(a) AS BIGINT) AS cust_max,
+  CAST(MIN(b) AS BIGINT) AS day_min, CAST(MAX(b) AS BIGINT) AS day_max
+FROM z GROUP BY 1
+"""
+
 _QVEC = "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
 
 ORACLES["embedding_topk"] = f"""

@@ -805,6 +805,76 @@ def q_doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(docs, "text", "doc_id", max_postings=20)
 
 
+def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate-span coverage (training-data op,
+    round 6; Lee et al. 2022 ExactSubstr at word-8-gram grain).
+
+    A word position is covered when a corpus-duplicated 8-gram
+    overlaps it; output is the exact basis-point share of covered
+    positions per document. Two shuffles: gram-hash (uniform) and
+    doc_id; the covered-position expansion is bounded by n and only
+    fires for duplicated grams.
+    """
+    from linkmerce_spark.operators.dupspans import dup_span_coverage
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dup_span_coverage(docs, "text", "doc_id", n=8, min_count=2)
+
+
+def q_doc_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM corpus-likelihood scoring (training-data op, round 6;
+    the CCNet/Gopher perplexity-filter shape).
+
+    Corpus term frequencies (one token-keyed shuffle) joined back per
+    token occurrence; the per-document score is the mean
+    floor(log2(tf)) in exact basis points — ilog2 comes from the
+    binary-string length, so no transcendental enters the loop and the
+    DuckDB twin is hash-exact.
+    """
+    from linkmerce_spark.operators.lmscore import unigram_lm_score
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return unigram_lm_score(docs, "text", "doc_id")
+
+
+def q_zorder_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key + per-bucket extent audit
+    (scale-layout op, round 6; the Delta OPTIMIZE ZORDER / Iceberg
+    z-sort layout step).
+
+    Interleaves 8-bit bucket coordinates of (o_custkey, order date)
+    into a 16-bit Morton key; the query reports, per z-bucket of 256
+    keys, the row count and the min/max extent of BOTH coordinates —
+    the exact statistics a file-skipping scan would read from parquet
+    footers, demonstrating two-dimensional locality. Pure integer
+    shift/or/and codegen; one groupBy shuffle.
+    """
+    from linkmerce_spark.operators.zorder import interleave_bits
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    a = F.pmod(F.col("o_custkey"), F.lit(256))
+    b = F.pmod(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")),
+        F.lit(256),
+    )
+    z = interleave_bits(a, b, bits=8)
+    return (
+        orders.select(
+            F.shiftright(z, 8).cast("bigint").alias("z_bucket"),
+            a.cast("bigint").alias("_a"),
+            b.cast("bigint").alias("_b"),
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("_a").alias("cust_min"),
+            F.max("_a").alias("cust_max"),
+            F.min("_b").alias("day_min"),
+            F.max("_b").alias("day_max"),
+        )
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline (training-data op).
 
@@ -6172,6 +6242,9 @@ QUERIES = {
     "doc_chunk_windows": q_doc_chunk_windows,
     "doc_boilerplate": q_doc_boilerplate,
     "doc_inverted_index": q_doc_inverted_index,
+    "doc_dup_spans": q_doc_dup_spans,
+    "doc_unigram_lm": q_doc_unigram_lm,
+    "zorder_extents": q_zorder_extents,
     # (c) the permanent sentinel;
     "events_sessions": q_events_sessions,
     # (d) canaries: the round-5 window minus its 10 former-reds (each
