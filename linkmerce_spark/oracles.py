@@ -6164,3 +6164,101 @@ SELECT priority, CAST(q AS INT) AS q, CAST(c AS BIGINT) AS qv_cents
 FROM r CROSS JOIN qs
 WHERE rn = (q * n + 99) // 100
 """
+
+ORACLES["doc_line_dedup"] = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), s AS (
+  SELECT doc_id, seg,
+         array_to_string(list_slice(words, seg * 6 + 1, seg * 6 + 6), ' ') AS seg_text
+  FROM (
+    SELECT doc_id, words,
+      UNNEST(range(0, (len(words) + 5) // 6)) AS seg
+    FROM w
+  )
+), r AS (
+  SELECT doc_id, seg, seg_text,
+    ROW_NUMBER() OVER (PARTITION BY seg_text ORDER BY doc_id, seg) AS rn,
+    COUNT(*) OVER (PARTITION BY seg_text) AS occ
+  FROM s
+), rb AS (
+  SELECT doc_id, COUNT(*) AS n_segments,
+    SUM(CASE WHEN occ >= 2 AND rn > 1 THEN 1 ELSE 0 END) AS n_dropped,
+    COALESCE(string_agg(CASE WHEN occ < 2 OR rn = 1 THEN seg_text END,
+                        ' ' ORDER BY seg), '') AS text_clean
+  FROM r GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(COALESCE(rb.n_segments, 0) AS BIGINT) AS n_segments,
+  CAST(COALESCE(rb.n_dropped, 0) AS BIGINT) AS n_dropped,
+  COALESCE(rb.text_clean, '') AS text_clean
+FROM documents d LEFT JOIN rb USING (doc_id)
+"""
+
+ORACLES["doc_incremental_dedup"] = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_DTOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, source, {_shingle_sql(3)} AS shingles FROM toks
+), hashed AS (
+  SELECT doc_id, source,
+         list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hs
+  FROM sh WHERE len(shingles) > 0
+), sig AS (
+  SELECT doc_id, source, [{_SIG16}] AS sig FROM hashed
+), bands AS (
+  SELECT doc_id, source, b.band_id,
+         md5(array_to_string(list_slice(sig, b.band_id * 4 + 1, b.band_id * 4 + 4), '|')) AS band_key
+  FROM sig, (SELECT UNNEST([0, 1, 2, 3]) AS band_id) b
+), idx AS (
+  SELECT * FROM bands WHERE CAST(substr(source, 4, 10) AS INT) < 10
+), keptb AS (
+  SELECT band_id, band_key FROM idx GROUP BY 1, 2 HAVING COUNT(*) <= 500
+), idxc AS (
+  SELECT idx.* FROM idx JOIN keptb USING (band_id, band_key)
+), newb AS (
+  SELECT * FROM bands WHERE CAST(substr(source, 4, 10) AS INT) >= 10
+), hits AS (
+  SELECT n.doc_id, COUNT(DISTINCT i.doc_id) AS n_index_matches
+  FROM newb n JOIN idxc i USING (band_id, band_key) GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(COALESCE(h.n_index_matches, 0) AS BIGINT) AS n_index_matches,
+  CAST(CASE WHEN COALESCE(h.n_index_matches, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE CAST(substr(d.source, 4, 10) AS INT) >= 10
+"""
+
+ORACLES["doc_bpe_pairs"] = """
+WITH t AS (
+  SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+), v AS (
+  SELECT tok, COUNT(*) AS wc FROM t WHERE tok <> '' GROUP BY 1
+), p AS (
+  SELECT substr(tok, i, 2) AS pair, wc FROM (
+    SELECT tok, wc, UNNEST(range(1, len(tok))) AS i FROM v WHERE len(tok) >= 2
+  )
+)
+SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
+FROM p GROUP BY 1 ORDER BY pair_count DESC, pair LIMIT 50
+"""
+
+ORACLES["compaction_plan"] = """
+WITH b AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS part_month,
+         29 + length(o_orderpriority) AS rb
+  FROM orders
+), a AS (
+  SELECT part_month, COUNT(*) AS n_rows, SUM(rb) AS est_bytes FROM b GROUP BY 1
+), f AS (
+  SELECT part_month, n_rows, est_bytes,
+         GREATEST(1, (est_bytes + 262143) // 262144) AS n_files
+  FROM a
+)
+SELECT part_month,
+  CAST(n_rows AS BIGINT) AS n_rows,
+  CAST(est_bytes AS BIGINT) AS est_bytes,
+  CAST(n_files AS BIGINT) AS n_files,
+  CAST((n_rows + n_files - 1) // n_files AS BIGINT) AS rows_per_file
+FROM f
+"""

@@ -875,6 +875,78 @@ def q_zorder_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus line-dedup with text rewrite (training-data op, round 6;
+    the CCNet/RefinedWeb paragraph-dedup REWRITE step).
+
+    Six-word segments duplicated corpus-wide are removed everywhere
+    except their first (doc_id, seg) occurrence and each document's
+    text is re-assembled in order. Two shuffles: segment text (the
+    canonical-rank window) and doc_id (re-assembly).
+    """
+    from linkmerce_spark.operators.linededup import line_dedup_rewrite
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return line_dedup_rewrite(docs, "text", "doc_id", seg_words=6, min_count=2)
+
+
+def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup check of an ingestion batch against an
+    indexed corpus (training-data op, round 6).
+
+    Sources src0-src9 are the standing index, src10-src19 the new
+    batch; a batch document is flagged when it shares any MinHash LSH
+    band with an indexed document. Only (id, band_id, band_key) rows
+    flow from the index side — the join cost is independent of
+    document size, which is what makes the shape ingestion-scalable.
+    """
+    from linkmerce_spark.operators.incdedup import incremental_near_dups
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    index_df = docs.where(src_num < 10)
+    batch_df = docs.where(src_num >= 10)
+    return incremental_near_dups(index_df, batch_df, "text", "doc_id")
+
+
+def q_doc_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE first-merge pair statistics (tokenizer vocabulary induction,
+    round 6; Sennrich et al. 2016).
+
+    Word-frequency-weighted adjacent character-pair counts, top 50 by
+    (count DESC, pair ASC). The pair expansion runs on the DISTINCT
+    vocabulary, not the corpus — the property that keeps BPE training
+    one corpus scan at 100 TB.
+    """
+    from linkmerce_spark.operators.bpe import bpe_pair_counts
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, "text", top_n=50)
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-compaction plan over month-partitioned orders (table
+    maintenance, round 6; the Delta OPTIMIZE / Iceberg rewrite shape).
+
+    One aggregation keyed on the partition month; per-partition file
+    counts from integer-exact ceil-division against a 256 KiB target.
+    """
+    from linkmerce_spark.operators.compaction import plan_compaction
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    row_bytes = (
+        F.lit(29)  # fixed-width cols: 2 int64 + date + double + status char + overhead
+        + F.length("o_orderpriority")
+    ).cast("bigint")
+    return plan_compaction(
+        orders,
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM"),
+        row_bytes,
+        target_bytes=256 * 1024,
+        part_name="part_month",
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline (training-data op).
 
@@ -6245,6 +6317,10 @@ QUERIES = {
     "doc_dup_spans": q_doc_dup_spans,
     "doc_unigram_lm": q_doc_unigram_lm,
     "zorder_extents": q_zorder_extents,
+    "doc_line_dedup": q_doc_line_dedup,
+    "doc_incremental_dedup": q_doc_incremental_dedup,
+    "doc_bpe_pairs": q_doc_bpe_pairs,
+    "compaction_plan": q_compaction_plan,
     # (c) the permanent sentinel;
     "events_sessions": q_events_sessions,
     # (d) canaries: the round-5 window minus its 10 former-reds (each

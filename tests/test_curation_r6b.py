@@ -1,0 +1,155 @@
+"""Round-6 batch 2: line-dedup rewrite, incremental near-dup,
+BPE pair statistics, compaction planning (operators/linededup.py,
+incdedup.py, bpe.py, compaction.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkmerce_spark.operators.bpe import bpe_pair_counts
+from linkmerce_spark.operators.compaction import plan_compaction
+from linkmerce_spark.operators.incdedup import band_keys, incremental_near_dups
+from linkmerce_spark.operators.linededup import line_dedup_rewrite
+from linkmerce_spark.operators.minhash import minhash_signature
+
+
+# ------------------------------------------------------ line dedup rewrite
+def test_line_dedup_removes_non_canonical(spark):
+    boiler = "x1 x2 x3"  # one full 3-word segment, repeated across docs
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " a b c"),        # segs: boiler (canonical), "a b c"
+            (2, boiler + " d e f"),        # segs: boiler (dropped), "d e f"
+            (3, "u v w p q"),              # segs: "u v w", "p q" (tail < W)
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in line_dedup_rewrite(docs, "text", "doc_id", seg_words=3).collect()
+    }
+    assert (out[1].n_segments, out[1].n_dropped) == (2, 0)
+    assert out[1].text_clean == boiler + " a b c"
+    # doc 2 loses the duplicated boiler segment but keeps its own tail
+    assert (out[2].n_segments, out[2].n_dropped) == (2, 1)
+    assert out[2].text_clean == "d e f"
+    # doc 3 untouched; short tail segment survives as its own text
+    assert (out[3].n_dropped, out[3].text_clean) == (0, "u v w p q")
+
+
+def test_line_dedup_all_dropped_and_intra_doc(spark):
+    # the same segment repeated WITHIN one doc: first occurrence kept
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b z z")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in line_dedup_rewrite(docs, "text", "doc_id", seg_words=2).collect()
+    }
+    # "a b" occurs at (1,0), (1,1), (2,0): canonical is (1,0)
+    assert out[1].text_clean == "a b"
+    assert out[1].n_dropped == 1
+    assert out[2].text_clean == "z z"
+
+
+def test_line_dedup_rejects_bad_params(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        line_dedup_rewrite(docs, "text", "doc_id", seg_words=0)
+    with pytest.raises(ValueError):
+        line_dedup_rewrite(docs, "text", "doc_id", min_count=1)
+
+
+# ------------------------------------------------------- incremental dedup
+@pytest.fixture(scope="module")
+def inc_corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    idx = spark.createDataFrame(
+        [(100, base), (101, "completely different indexed content here okay")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (200, base),                                  # exact dup of 100
+            (201, "novel text that matches nothing in the index at all"),
+            (202, "zz"),                                  # too short to shingle
+        ],
+        "doc_id long, text string",
+    )
+    return idx, batch
+
+
+def test_incremental_flags_dup_and_passes_novel(inc_corpus):
+    idx, batch = inc_corpus
+    out = {r.doc_id: r for r in incremental_near_dups(idx, batch).collect()}
+    assert set(out) == {200, 201, 202}
+    assert out[200].is_dup == 1 and out[200].n_index_matches >= 1
+    assert out[201].is_dup == 0 and out[201].n_index_matches == 0
+    # shingle-less doc reports cleanly instead of vanishing
+    assert out[202].is_dup == 0
+
+
+def test_band_keys_match_index_and_batch_sides(spark):
+    # the SAME text signed on both sides must produce identical band keys
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven")], "doc_id long, text string"
+    )
+    signed = minhash_signature(df, "text", "doc_id").select("doc_id", "sig")
+    a = {(r.band_id, r.band_key) for r in band_keys(signed).collect()}
+    b = {(r.band_id, r.band_key) for r in band_keys(signed).collect()}
+    assert a == b and len(a) == 4
+
+
+def test_band_keys_rejects_overlong_bands(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven")], "doc_id long, text string"
+    )
+    signed = minhash_signature(df, "text", "doc_id").select("doc_id", "sig")
+    with pytest.raises(ValueError):
+        band_keys(signed, bands=5, rows_per_band=4)
+
+
+# -------------------------------------------------------------- BPE pairs
+def test_bpe_pair_counts_exact(spark):
+    # "ab" x3 (from 'abc' twice? no: corpus = 'abc abc xy') ->
+    # vocab: abc(wc=2) -> pairs ab, bc each weight 2; xy(wc=1) -> xy 1
+    docs = spark.createDataFrame([(1, "abc abc xy")], "doc_id long, text string")
+    out = bpe_pair_counts(docs, "text", top_n=10).collect()
+    got = {r.pair: r.pair_count for r in out}
+    assert got == {"ab": 2, "bc": 2, "xy": 1}
+    # deterministic rank: count DESC then pair ASC
+    assert [r.pair for r in out] == ["ab", "bc", "xy"]
+
+
+def test_bpe_top_n_truncates_deterministically(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd")], "doc_id long, text string"
+    )
+    out = bpe_pair_counts(docs, "text", top_n=2).collect()
+    assert [r.pair for r in out] == ["aa", "bb"]
+    with pytest.raises(ValueError):
+        bpe_pair_counts(docs, "text", top_n=0)
+
+
+# ------------------------------------------------------- compaction plan
+def test_plan_compaction_file_math(spark):
+    # partition p1: 10 rows x 100B = 1000B -> 4 files @ 300B target
+    # partition p2: 1 row x 50B -> floor to 1 file
+    rows = [("p1", 100)] * 10 + [("p2", 50)]
+    df = spark.createDataFrame(rows, "pk string, b long")
+    out = {
+        r.part_key: r
+        for r in plan_compaction(df, "pk", F.col("b"), target_bytes=300).collect()
+    }
+    assert (out["p1"].n_rows, out["p1"].est_bytes) == (10, 1000)
+    assert out["p1"].n_files == 4          # ceil(1000/300)
+    assert out["p1"].rows_per_file == 3    # ceil(10/4)
+    assert (out["p2"].n_files, out["p2"].rows_per_file) == (1, 1)
+
+
+def test_plan_compaction_rejects_bad_target(spark):
+    df = spark.createDataFrame([("p", 1)], "pk string, b long")
+    with pytest.raises(ValueError):
+        plan_compaction(df, "pk", F.col("b"), target_bytes=0)
