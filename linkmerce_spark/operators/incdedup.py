@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from linkmerce_spark.operators.minhash import minhash_signature
+from linkmerce_spark.operators.minhash import minhash_sigs
 
 
 def band_keys(
@@ -92,9 +92,7 @@ def incremental_near_dups(
     and report 0 matches.
     """
     idx = band_keys(
-        minhash_signature(index_df, text_col, id_col, k, shingle_words).select(
-            id_col, "sig"
-        ),
+        minhash_sigs(index_df, text_col, id_col, k, shingle_words),
         id_col,
         bands,
         rows_per_band,
@@ -106,9 +104,7 @@ def incremental_near_dups(
             ["band_id", "band_key"],
         )
     new = band_keys(
-        minhash_signature(batch_df, text_col, id_col, k, shingle_words).select(
-            id_col, "sig"
-        ),
+        minhash_sigs(batch_df, text_col, id_col, k, shingle_words),
         id_col,
         bands,
         rows_per_band,

@@ -134,6 +134,37 @@ def minhash_signature(
     return sh.join(sig, id_col)
 
 
+def minhash_sigs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Signatures only: ``(id_col, sig)``, identical values to
+    ``minhash_signature`` but WITHOUT joining the shingle sets back.
+
+    This is the right input for band-only consumers (LSH banding,
+    incremental index matching) that never verify Jaccard — it saves
+    the shingle join and the shingle-frame persist that exist solely
+    for the verify step. One shuffle total (the per-doc hash-min
+    aggregation); shingle-less docs are absent, as in
+    ``minhash_signature``.
+    """
+    toks = _with_shingles(_fanout(df), text_col, shingle_words, "shingles")
+    ex = toks.select(id_col, F.explode("shingles").alias("__s")).withColumn(
+        "__h", _hash32(F.col("__s"))
+    )
+    mins = [
+        F.min((F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"__m{i}")
+        for i, (a, b) in enumerate(minhash_perm_consts(k))
+    ]
+    return ex.groupBy(id_col).agg(*mins).select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{i}") for i in range(k)]).alias("sig", metadata={"k": k}),
+    )
+
+
 def lsh_candidate_pairs(
     signed: DataFrame,
     id_col: str = "doc_id",

@@ -201,3 +201,63 @@ def test_bloom_prefilter_fact_side_scan_stage(spark):
     plan = physical_plan(pre)
     assert "Exchange hashpartitioning" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row bitset attach
+
+
+def test_r6_curation_ops_shuffle_budgets(spark):
+    """Round-6 curation/layout ops: pin the exact static shuffle
+    budgets that make them 100 TB-credible (gram/segment/token keys
+    are hash-uniform; anything beyond the pinned count would mean a
+    lost map-side combine or an accidental re-shuffle)."""
+    from linkmerce_spark.queries import (
+        q_compaction_plan,
+        q_doc_bpe_pairs,
+        q_doc_dup_spans,
+        q_doc_line_dedup,
+        q_doc_unigram_lm,
+        q_zorder_extents,
+    )
+
+    budgets = {
+        q_zorder_extents: 1,     # one groupBy on the z-bucket
+        q_compaction_plan: 1,    # one groupBy on the partition key
+        q_doc_unigram_lm: 2,     # tf agg + per-doc rollup
+        q_doc_bpe_pairs: 2,      # vocab agg + pair agg (limit is local)
+        q_doc_line_dedup: 2,     # seg-text window + doc rebuild
+        q_doc_dup_spans: 3,      # gram occ agg + covered agg + base join
+    }
+    for fn, budget in budgets.items():
+        df = fn(spark, SF_DIR)
+        got = count_shuffles(df)
+        assert got <= budget, (fn.__name__, got, budget)
+
+
+def test_r6_curation_ops_no_pathological_joins(spark):
+    """None of the round-6 ops may plan a BroadcastNestedLoopJoin or
+    CartesianProduct — the blowup shapes that static range/inequality
+    joins degenerate to."""
+    from linkmerce_spark.queries import (
+        q_doc_incremental_dedup,
+        q_doc_line_dedup,
+        q_doc_dup_spans,
+    )
+
+    for fn in (q_doc_incremental_dedup, q_doc_line_dedup, q_doc_dup_spans):
+        plan = physical_plan(fn(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_incremental_dedup_index_side_is_narrow(spark):
+    """The index side of the incremental band join must flow only
+    (id, band_id, band_key) — never text/shingles — so its cost is
+    independent of document size."""
+    from linkmerce_spark.operators.incdedup import band_keys
+    from linkmerce_spark.operators.minhash import minhash_sigs
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six")], "doc_id long, text string"
+    )
+    idx = band_keys(minhash_sigs(docs, "text", "doc_id"))
+    assert set(idx.columns) == {"doc_id", "band_id", "band_key"}
+    # sigs-only path plans exactly ONE shuffle (the per-doc hash-min agg)
+    assert count_shuffles(minhash_sigs(docs, "text", "doc_id")) <= 2
