@@ -1,0 +1,132 @@
+"""Streaming incremental near-dup (streaming/incdedup.py): the
+row-wise band computation must be bit-identical to the batch path,
+and the band index must persist across checkpointed restarts."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    yield str(tmp_path)
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog today"),
+    (2, "completely different document content with other words here"),
+    (3, "the quick brown fox jumps over the lazy dog today"),  # dup of 1
+]
+
+
+def test_rowwise_bands_match_batch_bands(spark):
+    """Same constants, same digests: the streaming (array_min) and
+    batch (groupBy-min) signature paths must emit identical band keys,
+    or a checkpointed stream index could never match a batch-built
+    warehouse index."""
+    from linkmerce_spark.operators.incdedup import band_keys
+    from linkmerce_spark.operators.minhash import minhash_sigs
+    from linkmerce_spark.streaming.incdedup import band_keys_rowwise
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.band_id, r.band_key)
+        for r in band_keys_rowwise(df).collect()
+    }
+    exp = {
+        (r.doc_id, r.band_id, r.band_key)
+        for r in band_keys(minhash_sigs(df, "text", "doc_id")).collect()
+    }
+    assert got == exp and len(got) == 12  # 3 docs x 4 bands
+
+
+def test_rowwise_bands_drop_short_docs_and_validate(spark):
+    from linkmerce_spark.streaming.incdedup import band_keys_rowwise
+
+    df = spark.createDataFrame(
+        [(1, "zz"), (2, "one two three four")], "doc_id long, text string"
+    )
+    out = band_keys_rowwise(df).collect()
+    assert {r.doc_id for r in out} == {2}
+    with pytest.raises(ValueError):
+        band_keys_rowwise(df, bands=5, rows_per_band=4)
+
+
+def test_streaming_index_grows_across_runs(spark, workdir):
+    """Batch 1 seeds the index; batch 2 (after a restart from the
+    checkpoint) contains a dup of a batch-1 doc and a novel doc — the
+    dup must hit the CHECKPOINTED band owners."""
+    from linkmerce_spark.streaming.incdedup import streaming_incremental_dedup
+
+    src, ckpt, out = f"{workdir}/docs", f"{workdir}/ckpt", f"{workdir}/out"
+
+    def write(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run():
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_incremental_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write(DOCS[:2])  # docs 1, 2 — all bands novel
+    run()
+    rows = spark.read.parquet(out).collect()
+    verdict = {}
+    for r in rows:
+        verdict[r.doc_id] = max(verdict.get(r.doc_id, 0), r.is_hit)
+    assert verdict == {1: 0, 2: 0}
+
+    # restart: doc 3 duplicates doc 1, doc 4 is novel
+    write([DOCS[2], (4, "yet another brand new never seen text body words")])
+    run()
+    rows = spark.read.parquet(out).collect()
+    verdict, owners = {}, {}
+    for r in rows:
+        verdict[r.doc_id] = max(verdict.get(r.doc_id, 0), r.is_hit)
+        if r.is_hit:
+            owners.setdefault(r.doc_id, set()).add(r.owner_id)
+    assert verdict[3] == 1 and owners[3] == {1}  # hit the checkpointed owner
+    assert verdict[4] == 0
+
+
+def test_batch_internal_first_writer_wins(spark, workdir):
+    """Two identical docs in the SAME micro-batch: the smaller doc_id
+    claims, the larger hits it."""
+    from linkmerce_spark.streaming.incdedup import streaming_incremental_dedup
+
+    src, ckpt, out = f"{workdir}/d2", f"{workdir}/ck2", f"{workdir}/o2"
+    spark.createDataFrame(
+        [(7, DOCS[0][1]), (5, DOCS[0][1])], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_incremental_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add((r.owner_id, r.is_hit))
+    assert by_doc[5] == {(5, 0)}
+    assert by_doc[7] == {(5, 1)}
