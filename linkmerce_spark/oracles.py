@@ -6262,3 +6262,51 @@ SELECT part_month,
   CAST((n_rows + n_files - 1) // n_files AS BIGINT) AS rows_per_file
 FROM f
 """
+
+ORACLES["domain_mixture_weights"] = """
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(len(string_split(text, ' '))) AS tokens
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT SUM(tokens) AS tt, COUNT(*) AS nd FROM per
+)
+SELECT source,
+  CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(tokens AS BIGINT) AS tokens,
+  CAST((10000 * tokens) // tt AS BIGINT) AS share_bp,
+  CAST(CASE WHEN tokens > 0 THEN (10000 * tt) // (nd * tokens)
+       ELSE 0 END AS BIGINT) AS weight_bp
+FROM per, tot
+"""
+
+ORACLES["doc_curation_gate"] = f"""
+WITH ds AS ({ORACLES["doc_dup_spans"].strip()}),
+sig AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+    CAST(CASE WHEN len(string_split(text, ' ')) > 0
+      THEN FLOOR(10000 * len(list_distinct(string_split(text, ' ')))
+                 / len(string_split(text, ' ')))
+      ELSE 0 END AS BIGINT) AS distinct_share_bp,
+    CAST(CASE WHEN len(string_split(text, ' ')) > 0
+      THEN FLOOR(100 * length(replace(text, ' ', ''))
+                 / len(string_split(text, ' ')))
+      ELSE 0 END AS BIGINT) AS mean_wlen_centi
+  FROM documents
+), g AS (
+  SELECT s.doc_id, s.n_words, s.distinct_share_bp, ds.dup_span_bp,
+         s.mean_wlen_centi,
+    CASE WHEN s.n_words < 10 THEN 'too_short'
+         WHEN s.n_words > 5000 THEN 'too_long'
+         WHEN s.distinct_share_bp < 2000 THEN 'repetitive'
+         WHEN ds.dup_span_bp >= 5000 THEN 'dup_heavy'
+         WHEN s.mean_wlen_centi < 200 OR s.mean_wlen_centi > 1200
+           THEN 'weird_words'
+         ELSE 'ok' END AS reason
+  FROM sig s JOIN ds USING (doc_id)
+)
+SELECT doc_id, n_words, distinct_share_bp, dup_span_bp, mean_wlen_centi,
+  reason, CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM g
+"""

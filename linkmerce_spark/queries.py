@@ -947,6 +947,63 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting per domain (training-data op,
+    round 6; the DoReMi/Pile domain-balancing shape).
+
+    Per source domain: token mass, its basis-point share of the
+    corpus, and the sampling weight that would equalize domains
+    (uniform target). One shuffle (domain agg) + a 1-row broadcast
+    cross join for the totals; all div-exact integer arithmetic.
+    """
+    (docs,) = _t(spark, sf_dir, "documents")
+    per = (
+        docs.select(
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("_nw"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_nw").cast("bigint").alias("tokens"),
+        )
+    )
+    tot = per.agg(
+        F.sum("tokens").cast("bigint").alias("_tt"),
+        F.count(F.lit(1)).cast("bigint").alias("_nd"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.expr("(10000 * tokens) div _tt").cast("bigint").alias("share_bp"),
+        F.when(
+            F.col("tokens") > 0,
+            F.expr("(10000 * _tt) div (_nd * tokens)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("weight_bp"),
+    )
+
+
+def q_doc_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation verdict per document (training-data op,
+    round 6): the composed keep/drop gate a corpus pipeline runs,
+    stringing the round-5/6 signals into one ordered rule cascade —
+    length bounds, vocabulary-repetition share, duplicate-span
+    coverage, mean word length. First failing rule names the reason.
+
+    All signals are integer-exact basis points; the dup-span signal
+    reuses operators/dupspans.py (its shuffles dominate; the rest is
+    scan-stage expression work).
+    """
+    from linkmerce_spark.operators.curation import curation_gate
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return curation_gate(docs, "text", "doc_id")
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline (training-data op).
 
@@ -6321,6 +6378,8 @@ QUERIES = {
     "doc_incremental_dedup": q_doc_incremental_dedup,
     "doc_bpe_pairs": q_doc_bpe_pairs,
     "compaction_plan": q_compaction_plan,
+    "domain_mixture_weights": q_domain_mixture_weights,
+    "doc_curation_gate": q_doc_curation_gate,
     # (c) the permanent sentinel;
     "events_sessions": q_events_sessions,
     # (d) canaries: the round-5 window minus its 10 former-reds (each

@@ -153,3 +153,66 @@ def test_plan_compaction_rejects_bad_target(spark):
     df = spark.createDataFrame([("p", 1)], "pk string, b long")
     with pytest.raises(ValueError):
         plan_compaction(df, "pk", F.col("b"), target_bytes=0)
+
+
+# -------------------------------------------------------- curation gate
+def test_curation_gate_rule_cascade(spark):
+    from linkmerce_spark.operators.curation import curation_gate
+
+    long_ok = " ".join(f"w{i}" for i in range(20))           # 20 distinct words
+    repet = " ".join(["x"] * 30)                             # 30 words, 1 distinct
+    # 12 DISTINCT 15-char words: passes the repetition rule, fails
+    # the mean-word-length bound
+    weird = " ".join(f"abcdefghijklm{i:02d}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, long_ok),
+            (2, "tiny doc"),                                 # too_short (2 words)
+            (3, repet),                                      # repetitive
+            (4, weird),                                      # weird_words (len 15)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in curation_gate(docs).collect()}
+    assert (out[1].reason, out[1].keep) == ("ok", 1)
+    assert (out[2].reason, out[2].keep) == ("too_short", 0)
+    # doc 3 is both repetitive AND dup-heavy ("x"*30 self-repeats its
+    # 8-grams): the cascade must name the EARLIER rule
+    assert (out[3].reason, out[3].keep) == ("repetitive", 0)
+    assert out[3].distinct_share_bp == 10000 // 30
+    assert (out[4].reason, out[4].keep) == ("weird_words", 0)
+    assert out[4].mean_wlen_centi == 1500
+
+
+def test_curation_gate_dup_heavy_and_bounds(spark):
+    from linkmerce_spark.operators.curation import curation_gate
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, shared + " uniq one two"), (2, shared + " other tail words")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in curation_gate(docs, max_dup_span_bp=5000).collect()}
+    # the shared 12-word prefix dominates both 15-word docs: 12/15 = 80%
+    assert out[1].reason == "dup_heavy" and out[2].reason == "dup_heavy"
+    # raising the cap lets them through
+    out2 = {r.doc_id: r for r in curation_gate(docs, max_dup_span_bp=9000).collect()}
+    assert out2[1].reason == "ok" and out2[2].reason == "ok"
+
+
+# ------------------------------------------------- domain mixture weights
+def test_domain_mixture_weights_math(spark, tmp_path):
+    import pyspark.sql.functions as F
+    from linkmerce_spark.queries import q_domain_mixture_weights
+
+    # 2 domains: a has 30 tokens, b has 10 -> total 40, uniform target 20
+    rows = [(i, "w " * 9 + "w", "a") for i in range(3)] + [(100, "t " * 9 + "t", "b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+    out = {r.source: r for r in q_domain_mixture_weights(spark, str(tmp_path)).collect()}
+    assert (out["a"].tokens, out["b"].tokens) == (30, 10)
+    assert out["a"].share_bp == 7500 and out["b"].share_bp == 2500
+    # weight = 10000 * total / (n_domains * tokens)
+    assert out["a"].weight_bp == 10000 * 40 // (2 * 30)
+    assert out["b"].weight_bp == 10000 * 40 // (2 * 10)
