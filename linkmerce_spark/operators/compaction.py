@@ -71,3 +71,100 @@ def plan_compaction(
             "rows_per_file"
         ),
     )
+
+
+def _murmur3_int(x: int, seed: int = 42) -> int:
+    """Spark's ``hash()`` of a 32-bit int (Murmur3 x86_32, seed 42).
+
+    Matches ``org.apache.spark.sql.catalyst.expressions.Murmur3Hash``
+    on an IntegerType column, which is also what HashPartitioning uses
+    to place rows: ``pmod(hash(col), numPartitions)``.
+    """
+    m = 0xFFFFFFFF
+    k = (x * 0xCC9E2D51) & m
+    k = ((k << 15) | (k >> 17)) & m
+    k = (k * 0x1B873593) & m
+    h = (seed & m) ^ k
+    h = ((h << 13) | (h >> 19)) & m
+    h = (h * 5 + 0xE6546B64) & m
+    h ^= 4  # total byte length of the hashed input
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & m
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & m
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _slot_magics(n: int) -> list[int]:
+    """For each shuffle-partition index ``s`` in [0, n), a small int
+    ``v`` with ``pmod(hash(v), n) == s``. Expected O(n ln n) probes.
+    """
+    magic: list[int | None] = [None] * n
+    found, v = 0, 0
+    while found < n:
+        s = _murmur3_int(v) % n  # Python % is floored == pmod
+        if magic[s] is None:
+            magic[s] = v
+            found += 1
+        v += 1
+    return magic  # type: ignore[return-value]
+
+
+def apply_compaction(
+    df: DataFrame,
+    plan: DataFrame,
+    part_col: Column | str,
+    path: str,
+    bucket_cols: list[str],
+    part_name: str = "part_key",
+) -> None:
+    """Execute a ``plan_compaction`` plan: write ``df`` partitioned by
+    the plan's key with exactly ``n_files`` files per partition.
+
+    Each planned output file gets a global slot id (partition offset +
+    in-partition bucket from ``xxhash64(bucket_cols) mod n_files``),
+    and each slot a "magic" int whose Spark hash lands exactly on that
+    shuffle-partition index — so ``repartition(T, magic)`` routes every
+    file's rows to its own write task deterministically. A plain
+    ``repartition(part, bucket)`` cannot promise that: AQE coalesces
+    it and hash collisions merge buckets. One shuffle total; the only
+    driver-side artifacts are the plan (partition-count-sized) and the
+    slot map (file-count-sized) — both metadata-scale at 100 TB.
+    """
+    from pyspark.sql import types as T
+
+    part = F.col(part_col) if isinstance(part_col, str) else part_col
+    prows = plan.select(part_name, "n_files").collect()
+    total = int(sum(r["n_files"] for r in prows))
+    if total == 0:
+        raise ValueError("apply_compaction: empty plan")
+    magic = _slot_magics(total)
+    slots, off = [], 0
+    for r in prows:
+        for b in range(int(r["n_files"])):
+            slots.append((r[part_name], b, magic[off + b]))
+        off += int(r["n_files"])
+    spark = df.sparkSession
+    key_field = plan.schema[part_name]
+    slot_df = spark.createDataFrame(
+        slots,
+        T.StructType(
+            [
+                T.StructField(part_name, key_field.dataType),
+                T.StructField("_fb", T.IntegerType()),
+                T.StructField("_magic", T.IntegerType()),
+            ]
+        ),
+    )
+    tagged = df.withColumn(part_name, part).join(
+        F.broadcast(plan.select(part_name, "n_files")), part_name
+    )
+    bucket = F.pmod(F.xxhash64(*bucket_cols), F.col("n_files")).cast("int")
+    out = (
+        tagged.withColumn("_fb", bucket)
+        .join(F.broadcast(slot_df), [part_name, "_fb"])
+        .repartition(total, F.col("_magic"))
+        .drop("n_files", "_fb", "_magic")
+    )
+    out.write.mode("overwrite").partitionBy(part_name).parquet(path)

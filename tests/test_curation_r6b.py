@@ -216,3 +216,32 @@ def test_domain_mixture_weights_math(spark, tmp_path):
     # weight = 10000 * total / (n_domains * tokens)
     assert out["a"].weight_bp == 10000 * 40 // (2 * 30)
     assert out["b"].weight_bp == 10000 * 40 // (2 * 10)
+
+
+def test_apply_compaction_writes_planned_file_counts(spark, tmp_path):
+    import os
+    from linkmerce_spark.operators.compaction import apply_compaction, plan_compaction
+
+    # p1: 4000 bytes -> 4 files @ 1000B; p2: 900 bytes -> 1 file
+    rows = [("p1", i, 40) for i in range(100)] + [("p2", i, 30) for i in range(30)]
+    df = spark.createDataFrame(rows, "pk string, k long, b long")
+    plan = plan_compaction(df, "pk", F.col("b"), target_bytes=1000)
+    out = str(tmp_path / "compacted")
+    apply_compaction(df, plan, "pk", out, bucket_cols=["k"])
+    for part, want in (("p1", 4), ("p2", 1)):
+        d = os.path.join(out, f"part_key={part}")
+        got = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+        assert got == want, (part, got, want)
+    # and nothing was lost
+    assert spark.read.parquet(out).count() == 130
+
+
+def test_murmur3_int_matches_spark_hash(spark):
+    from linkmerce_spark.operators.compaction import _murmur3_int
+
+    vals = list(range(0, 64)) + [-1, -7, 2**31 - 1, -(2**31), 123456789]
+    rows = spark.createDataFrame([(v,) for v in vals], "v int").select(
+        "v", F.hash("v").alias("h")
+    ).collect()
+    for r in rows:
+        assert _murmur3_int(r.v) == r.h, r.v
