@@ -6310,3 +6310,45 @@ SELECT doc_id, n_words, distinct_share_bp, dup_span_bp, mean_wlen_centi,
   reason, CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM g
 """
+
+ORACLES["doc_mixture_sample"] = """
+WITH per AS (
+  SELECT source, SUM(len(string_split(text, ' '))) AS tokens
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT SUM(tokens) AS tt, COUNT(*) AS nd FROM per
+), w AS (
+  SELECT source,
+    CAST(CASE WHEN tokens > 0 THEN (10000 * tt) // (nd * tokens)
+         ELSE 0 END AS BIGINT) AS weight_bp
+  FROM per, tot
+), k AS (
+  SELECT d.source, d.doc_id
+  FROM documents d JOIN w ON d.source = w.source
+  WHERE CAST('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        % 10000 < LEAST(w.weight_bp, 10000)
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+  CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM k GROUP BY source
+"""
+
+ORACLES["embedding_semdedup"] = f"""
+WITH {_IVF_TRAIN_CTE.strip()},
+e AS (
+  SELECT vec_id, {_QVEC} AS q,
+         sqrt(CAST(list_sum(list_transform({_QVEC}, x -> x * x)) AS DOUBLE)) AS nrm
+  FROM embeddings
+), c AS (
+  SELECT e.vec_id, e.q AS v, e.nrm, CAST(ic.cell AS INTEGER) AS cell
+  FROM e JOIN ivf_cells ic ON e.vec_id = ic.vec_id
+), doomed AS (
+  SELECT DISTINCT b.vec_id
+  FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE FLOOR(CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS DOUBLE)
+        / NULLIF(a.nrm * b.nrm, 0.0) * 1000000.0 + 0.5) / 1000000.0 >= 0.35
+)
+SELECT c.vec_id, c.cell FROM c
+WHERE NOT EXISTS (SELECT 1 FROM doomed d WHERE d.vec_id = c.vec_id)
+"""

@@ -987,6 +987,73 @@ def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture resampling (round 6): apply the
+    ``domain_mixture_weights`` plan as per-document keep decisions.
+
+    A doc survives iff its portable md5 hash bucket (the same
+    ``hash_bucket`` primitive behind ``doc_hash_splits``) falls below
+    the domain's capped sampling weight — i.e. downweighted domains
+    are thinned to ``weight_bp``/10000 of their docs, deterministic
+    under reshuffling/restarts (no RNG state). Weights are a
+    domain-count-sized broadcast; the only shuffle is the final
+    per-source rollup. Upweighting (weight_bp > 10000) means
+    repetition at the loader, not row duplication here — hence the
+    LEAST cap, documented in the mixture-weights op.
+    """
+    from linkmerce_spark.operators.sampling import hash_bucket
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    w = q_domain_mixture_weights(spark, sf_dir).select("source", "weight_bp")
+    kept = (
+        docs.join(F.broadcast(w), "source")
+        .withColumn("_bkt", hash_bucket(F.col("doc_id"), 10000, salt="mix"))
+        .filter(F.col("_bkt") < F.least(F.col("weight_bp"), F.lit(10000)))
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_docs"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    )
+
+
+def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    dedup inside coarse k-means cells.
+
+    Within each IVF cell, a vector is dropped iff some LOWER-id
+    cell-mate clears the cosine threshold — the kept set is the
+    greedy lowest-id representative of every semantic group, computed
+    without materializing groups. Same blocking economics as
+    ``embedding_near_dups``: pair count is O(sum(cell²)), controlled
+    by k, and the survivor anti-join is one hash join on vec_id.
+    """
+    from linkmerce_spark.operators.similarity import (
+        ivf_assign,
+        ivf_train,
+        quantized_cosine,
+    )
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    cents = ivf_train(emb, "vec_id", "embedding", dim=64, k=8)
+    cells = ivf_assign(emb, "embedding", dim=64, k=8, centroids=cents)
+    a = cells.select("cell", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = cells.select("cell", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = quantized_cosine("va", "vb")
+    doomed = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.floor(cos * 1000000.0 + 0.5) / 1000000.0)
+        .filter(F.col("cosine") >= 0.35)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        cells.join(doomed, "vec_id", "left_anti")
+        .select("vec_id", F.col("cell").cast("int").alias("cell"))
+    )
+
+
 def q_doc_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation verdict per document (training-data op,
     round 6): the composed keep/drop gate a corpus pipeline runs,
@@ -6380,6 +6447,8 @@ QUERIES = {
     "compaction_plan": q_compaction_plan,
     "domain_mixture_weights": q_domain_mixture_weights,
     "doc_curation_gate": q_doc_curation_gate,
+    "doc_mixture_sample": q_doc_mixture_sample,
+    "embedding_semdedup": q_embedding_semdedup,
     # (c) the permanent sentinel;
     "events_sessions": q_events_sessions,
     # (d) canaries: the round-5 window minus its 10 former-reds (each
