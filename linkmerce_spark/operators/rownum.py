@@ -58,18 +58,22 @@ def global_row_number(
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # `ranged` feeds two jobs (the offsets collect and the final join).
-    # localCheckpoint (eager) MATERIALIZES the partitions and truncates
+    # localCheckpoint MATERIALIZES the partitions and truncates
     # lineage, so monotonically_increasing_id() is assigned exactly once:
     # unlike persist(), a cache eviction cannot silently recompute (and
     # renumber) partitions between the two jobs — block loss becomes a
     # loud failure instead of wrong row numbers. Blocks are freed by the
     # ContextCleaner once the returned DataFrame is unreferenced.
+    # eager=False: the stats collect below is the first (sequential)
+    # action, so materialization folds into it — one job instead of
+    # two, with the identical pinning guarantee (no concurrent
+    # consumer exists before that collect returns).
     ranged = (
         df.repartitionByRange(n, *cols)
         .sortWithinPartitions(*cols)
         .withColumn(_PID, F.spark_partition_id())
         .withColumn(_MID, F.monotonically_increasing_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     stats = (
         ranged.groupBy(_PID)

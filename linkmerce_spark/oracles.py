@@ -6352,3 +6352,15 @@ e AS (
 SELECT c.vec_id, c.cell FROM c
 WHERE NOT EXISTS (SELECT 1 FROM doomed d WHERE d.vec_id = c.vec_id)
 """
+
+ORACLES["embedding_cluster_stats"] = f"""
+WITH {_IVF_TRAIN_CTE.strip()},
+tot AS (SELECT COUNT(*) AS n FROM ivf_cells)
+SELECT CAST(cell AS INTEGER) AS cell,
+  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST(SUM(dist2) AS BIGINT) AS inertia,
+  CAST(MAX(dist2) AS BIGINT) AS max_dist2,
+  CAST((10000 * COUNT(*)) // MIN(tot.n) AS BIGINT) AS share_bp,
+  CAST(SUM(dist2) // COUNT(*) AS BIGINT) AS mean_dist2
+FROM ivf_cells, tot GROUP BY cell
+"""

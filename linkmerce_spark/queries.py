@@ -1054,6 +1054,41 @@ def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means cluster diagnostics over the trained IVF quantizer
+    (round 6): per-cell population, corpus share, and integer-exact
+    inertia — the balance/compactness dashboard an embedding-curation
+    pipeline watches to decide when to retrain or re-shard an index.
+
+    ``dist2`` comes exact from the quantized assignment, so every
+    aggregate is int64 arithmetic (engine-portable, no doubles). One
+    shuffle (the k-sized cell rollup) + a 1-row broadcast for totals.
+    """
+    from linkmerce_spark.operators.similarity import ivf_assign, ivf_train
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    cents = ivf_train(emb, "vec_id", "embedding", dim=64, k=8)
+    cells = ivf_assign(emb, "embedding", dim=64, k=8, centroids=cents)
+    tot = cells.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    return (
+        cells.groupBy(F.col("cell").cast("int").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("dist2").cast("bigint").alias("inertia"),
+            F.max("dist2").cast("bigint").alias("max_dist2"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            "n_vecs",
+            "inertia",
+            "max_dist2",
+            F.expr("(10000 * n_vecs) div _n").cast("bigint").alias("share_bp"),
+            F.expr("inertia div n_vecs").cast("bigint").alias("mean_dist2"),
+        )
+    )
+
+
 def q_doc_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation verdict per document (training-data op,
     round 6): the composed keep/drop gate a corpus pipeline runs,
@@ -6449,6 +6484,7 @@ QUERIES = {
     "doc_curation_gate": q_doc_curation_gate,
     "doc_mixture_sample": q_doc_mixture_sample,
     "embedding_semdedup": q_embedding_semdedup,
+    "embedding_cluster_stats": q_embedding_cluster_stats,
     # (c) the permanent sentinel;
     "events_sessions": q_events_sessions,
     # (d) canaries: the round-5 window minus its 10 former-reds (each
