@@ -29,6 +29,7 @@ from pyspark.sql.functions import pandas_udf
 
 __all__ = [
     "quantized_cosine",
+    "cell_pair_cosines",
     "QUANT_DEFAULT",
     "ivf_centroids",
     "ivf_assign",
@@ -85,6 +86,91 @@ def quantized_cosine(
         F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
     )
     return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c)
+
+
+def cell_pair_cosines(
+    cells,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    quant: int = QUANT_DEFAULT,
+    min_cosine: float = 0.0,
+    round_scale: float = 1000000.0,
+):
+    """All-pairs quantized cosine WITHIN each cell: one matmul per
+    cell instead of a pair join that ships both vectors per candidate.
+
+    The self-join form materializes O(sum(cell²)) rows each carrying
+    TWO dim-length arrays through the shuffle and the scoring kernel —
+    at dim=64 that is ~1 KB per pair, and serialization dominates. This
+    shape ships each cell's vectors ONCE (applyInPandas on the cell
+    key), builds the (n, dim) quantized matrix, and scores every pair
+    with a single BLAS matmul; only the above-threshold (id_a, id_b,
+    cosine) triples come back. Float64 matmul is EXACT here: quantized
+    components are ≤ quant in magnitude, so every partial dot sum is
+    ≤ dim·quant² ≪ 2^53 — integer-exact regardless of BLAS summation
+    order, bit-identical to the SQL oracle's int64 arithmetic.
+
+    Pair volume and per-call memory are both controlled by the cell
+    size (the IVF k): the per-cell matrix is n_cell × dim floats, the
+    cosine matrix n_cell² doubles — size k so cells fit an executor,
+    exactly the contract the join form already carried. Returns
+    ``(cell, id_a, id_b, cosine)`` with ``id_a < id_b``, cosine
+    rounded via floor(x·round_scale + 0.5)/round_scale, rows with
+    cosine < ``min_cosine`` (or NaN — zero-norm vectors) dropped.
+    """
+    from linkmerce_spark.shipping import ensure_shipped
+
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        ensure_shipped(active)
+    id_type = dict(cells.dtypes)[id_col]
+    schema = f"{cell_col} int, id_a {id_type}, id_b {id_type}, cosine double"
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        cell = int(pdf[cell_col].iloc[0])
+        if n < 2:
+            empty_ids = pdf[id_col].to_numpy()[:0]
+            return pd.DataFrame(
+                {
+                    cell_col: np.array([], dtype="int32"),
+                    "id_a": empty_ids,
+                    "id_b": empty_ids,
+                    "cosine": np.array([], dtype="float64"),
+                }
+            )
+        A = np.array([np.asarray(x, dtype="float64") for x in pdf[vec_col]])
+        Aq = np.floor(A * quant + 0.5)  # float64-exact integers
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        Aq, ids = Aq[order], ids[order]
+        dot = Aq @ Aq.T
+        nrm = np.sqrt((Aq * Aq).sum(axis=1))
+        denom = np.outer(nrm, nrm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dot / denom
+        ia, ib = np.triu_indices(n, k=1)
+        c = np.floor(cos[ia, ib] * round_scale + 0.5) / round_scale
+        keep = c >= min_cosine  # NaN compares False: zero-norm pairs drop
+        return pd.DataFrame(
+            {
+                cell_col: np.full(int(keep.sum()), cell, dtype="int32"),
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cosine": c[keep],
+            }
+        )
+
+    return (
+        cells.select(cell_col, id_col, vec_col)
+        .groupBy(cell_col)
+        .applyInPandas(_pairs, schema)
+    )
 
 
 def _nearest_centroid_kernel(cents: list[list[int]], quant: int | None):

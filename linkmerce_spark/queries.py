@@ -1029,22 +1029,16 @@ def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     by k, and the survivor anti-join is one hash join on vec_id.
     """
     from linkmerce_spark.operators.similarity import (
+        cell_pair_cosines,
         ivf_assign,
         ivf_train,
-        quantized_cosine,
     )
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     cents = ivf_train(emb, "vec_id", "embedding", dim=64, k=8)
     cells = ivf_assign(emb, "embedding", dim=64, k=8, centroids=cents)
-    a = cells.select("cell", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = cells.select("cell", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    cos = quantized_cosine("va", "vb")
     doomed = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.floor(cos * 1000000.0 + 0.5) / 1000000.0)
-        .filter(F.col("cosine") >= 0.35)
+        cell_pair_cosines(cells, min_cosine=0.35)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
@@ -1365,23 +1359,18 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force baseline is q_embedding_topk.
     """
     from linkmerce_spark.operators.similarity import (
+        cell_pair_cosines,
         ivf_assign,
         ivf_train,
-        quantized_cosine,
     )
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     cents = ivf_train(emb, "vec_id", "embedding", dim=64, k=8)
     cells = ivf_assign(emb, "embedding", dim=64, k=8, centroids=cents)
-    a = cells.select(F.col("cell"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = cells.select(F.col("cell"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    cos = quantized_cosine("va", "vb")
-    return (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.floor(cos * 1000000.0 + 0.5) / 1000000.0)
-        .filter(F.col("cosine") >= 0.25)
-        .select("cell", "id_a", "id_b", "cosine")
+    # One matmul per cell (vectors shipped once) instead of a pair
+    # join carrying two arrays per candidate — see cell_pair_cosines.
+    return cell_pair_cosines(cells, min_cosine=0.25).select(
+        "cell", "id_a", "id_b", "cosine"
     )
 
 

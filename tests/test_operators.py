@@ -420,3 +420,39 @@ def test_lsh_rejects_bands_exceeding_signature(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="exceeds"):
         lsh_candidate_pairs(signed, bands=8, rows_per_band=4)
+
+
+def test_cell_pair_cosines_matches_join_form(spark):
+    from pyspark.sql import functions as F
+
+    from linkmerce_spark.operators.similarity import (
+        cell_pair_cosines,
+        quantized_cosine,
+    )
+
+    rows = [
+        (i, (i * 7) % 3, [((i * 31 + j * 17) % 200 - 100) / 100.0 for j in range(8)])
+        for i in range(40)
+    ] + [(99, 0, [0.0] * 8)]  # zero-norm vector: NaN cosine must drop
+    cells = spark.createDataFrame(
+        rows, "vec_id long, cell int, embedding array<double>"
+    )
+    got = (
+        cell_pair_cosines(cells, min_cosine=0.1)
+        .orderBy("cell", "id_a", "id_b")
+        .collect()
+    )
+    a = cells.select("cell", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = cells.select("cell", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = quantized_cosine("va", "vb")
+    want = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.floor(cos * 1000000.0 + 0.5) / 1000000.0)
+        .filter(F.col("cosine") >= 0.1)
+        .select("cell", "id_a", "id_b", "cosine")
+        .orderBy("cell", "id_a", "id_b")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert all(r.id_a != 99 and r.id_b != 99 for r in got)
