@@ -6364,3 +6364,31 @@ SELECT CAST(cell AS INTEGER) AS cell,
   CAST(SUM(dist2) // COUNT(*) AS BIGINT) AS mean_dist2
 FROM ivf_cells, tot GROUP BY cell
 """
+
+ORACLES["doc_rare_grams"] = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), g AS (
+  SELECT doc_id,
+         array_to_string(list_slice(words, pos, pos + 7), ' ') AS gram
+  FROM (
+    SELECT doc_id, words,
+      UNNEST(CASE WHEN len(words) >= 8 THEN range(1, len(words) - 6)
+             ELSE CAST([] AS BIGINT[]) END) AS pos
+    FROM w
+  )
+), occ AS (
+  SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram
+), per AS (
+  SELECT g.doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN occ.cnt <= 1 THEN 1 ELSE 0 END) AS rare_grams
+  FROM g JOIN occ USING (gram) GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(COALESCE(p.rare_grams, 0) AS BIGINT) AS rare_grams,
+  CAST(CASE WHEN COALESCE(p.n_grams, 0) > 0
+       THEN FLOOR(10000 * p.rare_grams / p.n_grams)
+       ELSE 0 END AS BIGINT) AS rare_share_bp
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""

@@ -1048,6 +1048,18 @@ def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_rare_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-n-gram memorization-risk screen (round 6): per document,
+    how much of it is corpus-UNIQUE 8-grams — the sequences a model
+    could only emit by memorizing this document (Carlini et al. 2022).
+    Mirror image of ``doc_dup_spans``; same two uniform shuffles.
+    """
+    from linkmerce_spark.operators.raregram import rare_gram_stats
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return rare_gram_stats(docs, "text", "doc_id", n=8, max_count=1)
+
+
 def q_embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means cluster diagnostics over the trained IVF quantizer
     (round 6): per-cell population, corpus share, and integer-exact
@@ -6474,6 +6486,7 @@ QUERIES = {
     "doc_mixture_sample": q_doc_mixture_sample,
     "embedding_semdedup": q_embedding_semdedup,
     "embedding_cluster_stats": q_embedding_cluster_stats,
+    "doc_rare_grams": q_doc_rare_grams,
     # (c) the permanent sentinel;
     "events_sessions": q_events_sessions,
     # (d) canaries: the round-5 window minus its 10 former-reds (each
