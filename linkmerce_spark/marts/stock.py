@@ -584,11 +584,20 @@ def with_empty_fallback(primary: DataFrame, fallback: DataFrame) -> DataFrame:
     The primary pipeline feeds both the emptiness guard and the union
     branch — checkpoint it so a heavy report builds once, not twice
     (stock_report_ds would otherwise evaluate the full report chain
-    for the guard count AND the output)."""
+    for the guard count AND the output). The guard itself is decided
+    at build time: the primary is already materialized, so
+    ``limit(1)`` over its blocks is a metadata-cheap probe, and in the
+    common (non-empty) case the fallback chain is DROPPED from the
+    plan instead of being fully executed and then filtered away — the
+    same data-dependent plan choice AQE makes, done one level up.
+    """
     primary = primary.localCheckpoint(eager=True)
-    guard = broadcast(primary.agg(F.count(F.lit(1)).alias("__n")))
-    fb = fallback.crossJoin(guard).filter(F.col("__n") == 0).drop("__n")
-    return primary.unionByName(fb)
+    if primary.limit(1).count() > 0:
+        return primary
+    # Primary is empty (and stays so — it is materialized): the
+    # result is exactly the fallback, shaped through the union so
+    # column order/types come from the primary side as before.
+    return primary.unionByName(fallback)
 
 
 def _time_ds_shape(df: DataFrame) -> DataFrame:

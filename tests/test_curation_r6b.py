@@ -245,3 +245,16 @@ def test_murmur3_int_matches_spark_hash(spark):
     ).collect()
     for r in rows:
         assert _murmur3_int(r.v) == r.h, r.v
+
+
+def test_with_empty_fallback_both_branches(spark):
+    from linkmerce_spark.marts.stock import with_empty_fallback
+
+    p = spark.createDataFrame([(1, "a")], "k long, v string")
+    fb = spark.createDataFrame([(9, "z")], "k long, v string")
+    got = with_empty_fallback(p, fb).collect()
+    assert [tuple(r) for r in got] == [(1, "a")]
+
+    empty = p.filter("k < 0")
+    got2 = with_empty_fallback(empty, fb).collect()
+    assert [tuple(r) for r in got2] == [(9, "z")]
