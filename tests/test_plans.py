@@ -261,3 +261,31 @@ def test_incremental_dedup_index_side_is_narrow(spark):
     assert set(idx.columns) == {"doc_id", "band_id", "band_key"}
     # sigs-only path plans exactly ONE shuffle (the per-doc hash-min agg)
     assert count_shuffles(minhash_sigs(docs, "text", "doc_id")) <= 2
+
+
+def test_core_sales_daily_never_sort_merge_join(spark):
+    """Round-6: the brand-day shop lookup is broadcast (it is a strict
+    subset of the broadcast product master's grain) — a SortMergeJoin
+    reappearing in either ad channel is a plan regression."""
+    from linkmerce_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["core_sales_daily"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
+
+
+def test_cell_pair_cosines_single_shuffle_no_join(spark):
+    """The in-cell matmul scorer plans ONE exchange (the cell key for
+    applyInPandas) and no join node at all — the pair volume never
+    materializes as rows before the kernel."""
+    from linkmerce_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["embedding_near_dups"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # cell shuffle (+AQE read)
