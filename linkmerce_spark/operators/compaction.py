@@ -157,8 +157,25 @@ def apply_compaction(
             ]
         ),
     )
-    tagged = df.withColumn(part_name, part).join(
-        F.broadcast(plan.select(part_name, "n_files")), part_name
+    # Left join + assert: a partition key present in the data but
+    # absent from the plan would otherwise be dropped SILENTLY by an
+    # inner join — at 100 TB that is unnoticed data loss on a rewrite.
+    # The guard costs one codegen expression and fails the write loudly.
+    tagged = (
+        df.withColumn(part_name, part)
+        .join(F.broadcast(plan.select(part_name, "n_files")), part_name, "left")
+        .withColumn(
+            "n_files",
+            F.when(
+                F.col("n_files").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("apply_compaction: partition missing from plan: "),
+                        F.col(part_name).cast("string"),
+                    )
+                ).cast("bigint"),
+            ).otherwise(F.col("n_files")),
+        )
     )
     bucket = F.pmod(F.xxhash64(*bucket_cols), F.col("n_files")).cast("int")
     out = (

@@ -258,3 +258,16 @@ def test_with_empty_fallback_both_branches(spark):
     empty = p.filter("k < 0")
     got2 = with_empty_fallback(empty, fb).collect()
     assert [tuple(r) for r in got2] == [(9, "z")]
+
+
+def test_apply_compaction_unplanned_partition_fails_loudly(spark, tmp_path):
+    import pytest
+
+    from linkmerce_spark.operators.compaction import apply_compaction, plan_compaction
+
+    df = spark.createDataFrame(
+        [("p1", 1, 10), ("p2", 2, 10)], "pk string, k long, b long"
+    )
+    plan = plan_compaction(df.filter("pk = 'p1'"), "pk", F.col("b"), target_bytes=100)
+    with pytest.raises(Exception, match="partition missing from plan"):
+        apply_compaction(df, plan, "pk", str(tmp_path / "o"), bucket_cols=["k"])
