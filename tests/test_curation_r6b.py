@@ -271,3 +271,55 @@ def test_apply_compaction_unplanned_partition_fails_loudly(spark, tmp_path):
     plan = plan_compaction(df.filter("pk = 'p1'"), "pk", F.col("b"), target_bytes=100)
     with pytest.raises(Exception, match="partition missing from plan"):
         apply_compaction(df, plan, "pk", str(tmp_path / "o"), bucket_cols=["k"])
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),  # cell
+            st.lists(
+                st.floats(-1.0, 1.0, allow_nan=False, width=32), min_size=4, max_size=4
+            ),
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_cell_pair_cosines_property_vs_join_form(spark, rows):
+    from pyspark.sql import functions as F
+
+    from linkmerce_spark.operators.similarity import (
+        cell_pair_cosines,
+        quantized_cosine,
+    )
+
+    data = [(i, c, [float(x) for x in v]) for i, (c, v) in enumerate(rows)]
+    cells = spark.createDataFrame(
+        data, "vec_id long, cell int, embedding array<double>"
+    ) if data else spark.createDataFrame([], "vec_id long, cell int, embedding array<double>")
+    got = sorted(
+        tuple(r)
+        for r in cell_pair_cosines(cells, min_cosine=-2.0).collect()
+    )
+    a = cells.select("cell", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = cells.select("cell", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = quantized_cosine("va", "vb")
+    want = sorted(
+        tuple(r)
+        for r in a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.floor(cos * 1000000.0 + 0.5) / 1000000.0)
+        .filter(F.col("cosine") >= -2.0)
+        .select("cell", "id_a", "id_b", "cosine")
+        .collect()
+    )
+    assert got == want
