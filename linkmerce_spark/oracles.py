@@ -6392,3 +6392,37 @@ SELECT d.doc_id,
        ELSE 0 END AS BIGINT) AS rare_share_bp
 FROM documents d LEFT JOIN per p USING (doc_id)
 """
+
+ORACLES["doc_fuzzy_decontam"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_DTOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, {_shingle_sql(3)} AS shingles FROM toks
+), hashed AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hs
+  FROM sh WHERE len(shingles) > 0
+), sig AS (
+  SELECT doc_id, [{_SIG16}] AS sig FROM hashed
+), bands AS (
+  SELECT doc_id, b.band_id,
+         md5(array_to_string(list_slice(sig, b.band_id * 4 + 1, b.band_id * 4 + 4), '|')) AS band_key
+  FROM sig, (SELECT UNNEST([0, 1, 2, 3]) AS band_id) b
+), idx AS (
+  SELECT * FROM bands WHERE doc_id % 10 = 0
+), keptb AS (
+  SELECT band_id, band_key FROM idx GROUP BY 1, 2 HAVING COUNT(*) <= 500
+), idxc AS (
+  SELECT idx.* FROM idx JOIN keptb USING (band_id, band_key)
+), newb AS (
+  SELECT * FROM bands WHERE doc_id % 10 <> 0
+), hits AS (
+  SELECT n.doc_id, COUNT(DISTINCT i.doc_id) AS n_bench_matches
+  FROM newb n JOIN idxc i USING (band_id, band_key) GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(COALESCE(h.n_bench_matches, 0) AS BIGINT) AS n_bench_matches,
+  CAST(CASE WHEN COALESCE(h.n_bench_matches, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 10 <> 0
+"""

@@ -1048,6 +1048,28 @@ def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination (round 6): MinHash-LSH a
+    held-out benchmark set (doc_id % 10 == 0, a 10% eval split)
+    against the rest of the corpus, flagging TRAINING
+    documents that near-duplicate a benchmark item — the
+    paraphrase-level contamination tier exact n-gram scrubbing
+    misses. Same economics as ``doc_incremental_dedup``: only
+    (id, band_id, band_key) rows flow from the benchmark side, so
+    the check costs one banded hash join however large the corpus.
+    """
+    from linkmerce_spark.operators.incdedup import incremental_near_dups
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return incremental_near_dups(bench, corpus, "text", "doc_id").select(
+        "doc_id",
+        F.col("n_index_matches").alias("n_bench_matches"),
+        F.col("is_dup").alias("is_contaminated"),
+    )
+
+
 def q_doc_rare_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rare-n-gram memorization-risk screen (round 6): per document,
     how much of it is corpus-UNIQUE 8-grams — the sequences a model
@@ -6487,6 +6509,7 @@ QUERIES = {
     "embedding_semdedup": q_embedding_semdedup,
     "embedding_cluster_stats": q_embedding_cluster_stats,
     "doc_rare_grams": q_doc_rare_grams,
+    "doc_fuzzy_decontam": q_doc_fuzzy_decontam,
     # (c) the permanent sentinel;
     "events_sessions": q_events_sessions,
     # (d) canaries: the round-5 window minus its 10 former-reds (each
