@@ -6426,3 +6426,37 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN hits h USING (doc_id)
 WHERE d.doc_id % 10 <> 0
 """
+
+ORACLES["doc_group_splits"] = """
+WITH b AS (
+  SELECT doc_id, source,
+    CAST('0x' || substr(md5('grp' || source), 1, 8) AS BIGINT) % 10000 AS bkt
+  FROM documents
+), s AS (
+  SELECT doc_id, source, CASE WHEN bkt < 8000 THEN 'train'
+                              WHEN bkt < 9000 THEN 'val'
+                              ELSE 'test' END AS split
+  FROM b
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+  CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM s GROUP BY split
+"""
+
+ORACLES["sample_star_consistent"] = """
+WITH ko AS (
+  SELECT * FROM orders
+  WHERE CAST('0x' || substr(md5('star' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
+        % 10000 < 1000
+), kl AS (
+  SELECT l.* FROM lineitem l WHERE EXISTS (
+    SELECT 1 FROM ko WHERE ko.o_orderkey = l.l_orderkey)
+)
+SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS kept_rows,
+  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS kept_keys FROM ko
+UNION ALL
+SELECT 'lineitem' AS tbl, CAST(COUNT(*) AS BIGINT) AS kept_rows,
+  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS kept_keys FROM kl
+"""

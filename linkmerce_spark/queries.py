@@ -1048,6 +1048,58 @@ def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_group_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (round 6): the split key is
+    the SOURCE DOMAIN, not the document — every doc of a domain lands
+    in the same split, so near-duplicate and boilerplate siblings
+    cannot straddle train and eval (the GroupKFold discipline;
+    doc-keyed splits like ``doc_hash_splits`` leak via within-domain
+    duplication). Same portable md5 ranges, keyed one level up; one
+    rollup shuffle.
+    """
+    from linkmerce_spark.operators.sampling import hash_split
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    s = hash_split(
+        docs, F.col("source"), {"train": 0.8, "val": 0.1, "test": 0.1}, salt="grp"
+    )
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    )
+
+
+def q_sample_star_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity-preserving downsample (round 6): sample
+    the PARENT table by key hash and semi-join children — every kept
+    lineitem still has its order, so a dev-scale slice of a 100 TB
+    star schema stays joinable (per-table independent sampling would
+    orphan ~90% of child rows at 10%). The child filter is a hash
+    semi-join on the sampled parent keys — no shuffle of the parent
+    beyond its scan, deterministic under restarts.
+    """
+    from linkmerce_spark.operators.sampling import hash_bucket
+
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    kept_orders = orders.where(hash_bucket(F.col("o_orderkey"), 10000, "star") < 1000)
+    kept_li = li.join(
+        kept_orders.select(F.col("o_orderkey").alias("__ok")),
+        F.col("l_orderkey") == F.col("__ok"),
+        "left_semi",
+    )
+    o = kept_orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_rows"),
+        F.count_distinct("o_orderkey").cast("bigint").alias("kept_keys"),
+    ).select(F.lit("orders").alias("tbl"), "kept_rows", "kept_keys")
+    l = kept_li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_rows"),
+        F.count_distinct("l_orderkey").cast("bigint").alias("kept_keys"),
+    ).select(F.lit("lineitem").alias("tbl"), "kept_rows", "kept_keys")
+    return o.unionByName(l)
+
+
 def q_doc_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy benchmark decontamination (round 6): MinHash-LSH a
     held-out benchmark set (doc_id % 10 == 0, a 10% eval split)
@@ -6510,6 +6562,8 @@ QUERIES = {
     "embedding_cluster_stats": q_embedding_cluster_stats,
     "doc_rare_grams": q_doc_rare_grams,
     "doc_fuzzy_decontam": q_doc_fuzzy_decontam,
+    "doc_group_splits": q_doc_group_splits,
+    "sample_star_consistent": q_sample_star_consistent,
     # (c) the permanent sentinel;
     "events_sessions": q_events_sessions,
     # (d) canaries: the round-5 window minus its 10 former-reds (each
