@@ -22,7 +22,13 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "stable_sample", "hash_split", "stratified_topn"]
+__all__ = [
+    "hash_bucket",
+    "stable_sample",
+    "hash_split",
+    "stratified_topn",
+    "priority_sample",
+]
 
 _BUCKETS = 10_000  # split-resolution: 0.01% granularity
 
@@ -73,6 +79,62 @@ def hash_split(
     # reversed + otherwise-chaining makes the FIRST matching (smallest)
     # bound win, i.e. ranges [0,b1), [b1,b2), ...
     return df.withColumn(out, expr)
+
+
+def priority_sample(
+    df: DataFrame,
+    weight: Column | str,
+    key: Column | str,
+    n: int,
+    salt: str = "",
+    out_priority: str = "priority",
+    out_estimate: str = "w_hat",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (priority
+    sampling, Duffield-Lund-Thorup): keep the ``n`` rows with the
+    largest priority ``q = w / u``, where ``u`` is a uniform hash of
+    the (salted) key. Higher-weight rows are proportionally more
+    likely in; the same corpus always yields the same sample.
+
+    Also emits the unbiased weight estimate ``w_hat = max(w, tau)``
+    (``tau`` = the (n+1)-th priority), so downstream aggregates over
+    the sample estimate corpus totals: SUM(w_hat) over the sample is
+    an unbiased estimator of SUM(w) over the population — the property
+    that makes a 0.1% sample of a 100 TB corpus usable for quality
+    dashboards.
+
+    Exactness across engines: ``u`` is an md5-derived integer in
+    [1, 2^32], and ``q = w * 2^32 / u`` multiplies exact ints below
+    2^53 before one IEEE division — bit-identical float64 in any
+    engine, so the selected SET is engine-independent (a DuckDB twin
+    re-derives it from the same expression).
+
+    Scale shape: ``orderBy().limit(n+1)`` plans TakeOrderedAndProject —
+    a per-partition top-k merged once, NO global sort or single-reducer
+    window; ``tau`` is a 1-row broadcast crossJoin. Rows at the tau
+    boundary (md5 collisions) are dropped on both engines identically.
+    """
+    w = (F.col(weight) if isinstance(weight, str) else weight).cast("double")
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), k.cast("string"))), 1, 8), 16, 10
+    ).cast("bigint")
+    q = (w * F.lit(4294967296.0)) / (h + F.lit(1)).cast("double")
+    top = df.withColumn(out_priority, q).orderBy(
+        F.col(out_priority).desc(), k.cast("string").asc()
+    )
+    boundary = (
+        top.limit(n + 1)
+        .agg(
+            F.min(out_priority).alias("__tau"),
+            F.count(F.lit(1)).alias("__cnt"),
+        )
+        .withColumn("__full", F.col("__cnt") > n)
+    )
+    kept = top.limit(n + 1).crossJoin(F.broadcast(boundary))
+    kept = kept.filter(~F.col("__full") | (F.col(out_priority) > F.col("__tau")))
+    w_hat = F.when(F.col("__full"), F.greatest(w, F.col("__tau"))).otherwise(w)
+    return kept.withColumn(out_estimate, w_hat).drop("__tau", "__cnt", "__full")
 
 
 def stratified_topn(

@@ -6460,3 +6460,28 @@ UNION ALL
 SELECT 'lineitem' AS tbl, CAST(COUNT(*) AS BIGINT) AS kept_rows,
   CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS kept_keys FROM kl
 """
+
+# Priority sampling (Duffield-Lund-Thorup): q = w * 2^32 / u with an
+# md5-derived u in [1, 2^32] — exact ints below 2^53 into one IEEE
+# division, so the float64 priorities (and the top-n SET) are
+# bit-identical to the Spark operator's. tau = the (n+1)-th priority;
+# w_hat = max(w, tau) is the unbiased subset-sum estimator.
+ORACLES["doc_priority_sample"] = """
+WITH base AS (
+  SELECT doc_id, GREATEST(n_chars, 1) AS w,
+    CAST(GREATEST(n_chars, 1) AS DOUBLE) * 4294967296.0
+      / (CAST('0x' || substr(md5('pri' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1)
+      AS priority
+  FROM documents
+), top AS (
+  SELECT * FROM base ORDER BY priority DESC, CAST(doc_id AS VARCHAR) LIMIT 121
+), b AS (
+  SELECT MIN(priority) AS tau, COUNT(*) AS cnt FROM top
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id, CAST(t.w AS BIGINT) AS w,
+  t.priority,
+  CASE WHEN b.cnt > 120 THEN GREATEST(CAST(t.w AS DOUBLE), b.tau)
+       ELSE CAST(t.w AS DOUBLE) END AS w_hat
+FROM top t, b
+WHERE b.cnt <= 120 OR t.priority > b.tau
+"""

@@ -1100,6 +1100,31 @@ def q_sample_star_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.unionByName(l)
 
 
+def q_doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample (round 6): priority sampling
+    (Duffield-Lund-Thorup) of 120 documents with inclusion odds
+    proportional to length — the curation move for "oversample long
+    documents without collecting the corpus". Emits the unbiased
+    ``w_hat = max(w, tau)`` estimator, so SUM(w_hat) over the sample
+    estimates total corpus chars. TakeOrderedAndProject top-k (no
+    global sort/window); md5-exact priorities make the DuckDB twin
+    re-derive the identical set.
+    """
+    from linkmerce_spark.operators.sampling import priority_sample
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.greatest(F.col("n_chars"), F.lit(1)).alias("w")
+    )
+    s = priority_sample(base, "w", "doc_id", 120, salt="pri")
+    return s.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("w").cast("bigint").alias("w"),
+        F.col("priority").cast("double").alias("priority"),
+        F.col("w_hat").cast("double").alias("w_hat"),
+    )
+
+
 def q_doc_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy benchmark decontamination (round 6): MinHash-LSH a
     held-out benchmark set (doc_id % 10 == 0, a 10% eval split)
@@ -6564,6 +6589,7 @@ QUERIES = {
     "doc_fuzzy_decontam": q_doc_fuzzy_decontam,
     "doc_group_splits": q_doc_group_splits,
     "sample_star_consistent": q_sample_star_consistent,
+    "doc_priority_sample": q_doc_priority_sample,
     # (c) the permanent sentinel;
     "events_sessions": q_events_sessions,
     # (d) canaries: the round-5 window minus its 10 former-reds (each

@@ -252,6 +252,40 @@ def test_stratified_topn_quota_and_determinism(spark):
     assert ids1 != ids3
 
 
+def test_priority_sample_determinism_estimator_and_plan(spark):
+    from linkmerce_spark.operators.sampling import priority_sample
+
+    df = spark.createDataFrame(
+        [(i, 1 if i < 190 else 1000) for i in range(200)], "id long, w long"
+    )
+    out = priority_sample(df, "w", "id", 50, salt="t")
+    got = out.collect()
+    assert len(got) == 50
+    # deterministic across runs and partitionings
+    ids1 = sorted(r["id"] for r in got)
+    ids2 = sorted(
+        r["id"] for r in priority_sample(df.repartition(7), "w", "id", 50, salt="t").collect()
+    )
+    assert ids1 == ids2
+    # weight-proportional: the 10 heavy rows (1000x weight) are near-certain in
+    heavy_in = sum(1 for i in ids1 if i >= 190)
+    assert heavy_in == 10
+    # unbiased subset-sum estimator: w_hat >= w, and the estimate of the
+    # population total should be within a loose band of the true total
+    assert all(r["w_hat"] >= r["w"] for r in got)
+    true_total = 190 * 1 + 10 * 1000
+    est = sum(r["w_hat"] for r in got)
+    assert 0.5 * true_total < est < 2.0 * true_total
+    # population <= n passes through whole with w_hat == w
+    small = spark.createDataFrame([(i, i + 1) for i in range(5)], "id long, w long")
+    whole = priority_sample(small, "w", "id", 50).collect()
+    assert len(whole) == 5 and all(r["w_hat"] == float(r["w"]) for r in whole)
+    # scale shape: distributed top-k, never a global sort or single-reducer window
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "WindowExec" not in plan
+
+
 def test_repetition_and_pii_helpers(spark):
     from linkmerce_spark.functions.text import (
         pii_counts,
