@@ -74,3 +74,52 @@ def test_dable_report_through_distributed_fetch(spark):
     df = distributed_fetch(spark, dates, fetch, "campaign string, cost long")
     rows = sorted((r.campaign, r.cost) for r in df.collect())
     assert rows == [(f"c-202608{d:02d}", 5) for d in range(1, 5)]
+
+
+def test_cj_eflexs_stock_through_distributed_fetch(spark):
+    """One executor task per customer; each composes the real Websquare
+    stock payload through CjEflexsApi and parses the dsRealTime scope
+    into columns (the reference transform's field set)."""
+
+    def fetch(rec):
+        import datetime as dt
+        import json
+
+        from linkmerce_spark.sources.endpoints_logistics import CjEflexsApi
+        from linkmerce_spark.sources.http import Response
+
+        def transport(req):
+            # the request must carry the composed Websquare data map
+            assert req.data["pgmId"] == "IMSI0002M"
+            assert req.data["@d1#fromCloseDate"] == "20260807"
+            cid = req.data["@d1#strrId"]
+            body = {
+                "dsRealTime": [
+                    {"itemCd": f"I-{cid}-{i}", "strrId": cid, "invnQty": 10 * i}
+                    for i in range(3)
+                ]
+            }
+            return Response(status=200, content=json.dumps(body).encode())
+
+        api = CjEflexsApi(transport)
+        (resp,) = api.fetch_stock(
+            rec["customer_id"], ":last_week:", ":today:", today=dt.date(2026, 8, 14)
+        )
+        return [
+            {
+                "item_code": row["itemCd"],
+                "customer_id": int(row["strrId"]),
+                "total_quantity": row["invnQty"],
+            }
+            for row in resp["dsRealTime"]
+        ]
+
+    customers = [{"customer_id": c} for c in (101, 202)]
+    df = distributed_fetch(
+        spark, customers, fetch, "item_code string, customer_id long, total_quantity long"
+    )
+    got = sorted((r.item_code, r.customer_id, r.total_quantity) for r in df.collect())
+    assert got == [
+        ("I-101-0", 101, 0), ("I-101-1", 101, 10), ("I-101-2", 101, 20),
+        ("I-202-0", 202, 0), ("I-202-1", 202, 10), ("I-202-2", 202, 20),
+    ]
