@@ -30,7 +30,13 @@ __all__ = [
     "histogram_bins",
     "histogram_quantiles",
     "exact_group_quantiles",
+    "kmv_hash",
+    "kmv_sketch",
+    "kmv_estimates",
+    "kmv_pair_overlap",
 ]
+
+_KMV_SPACE = 4_294_967_296.0  # 2^32 — the kmv_hash value space
 
 
 def cms_hash(key: Column | str, row: int, width: int) -> Column:
@@ -215,4 +221,126 @@ def exact_group_quantiles(
         base.crossJoin(F.broadcast(qdf))
         .filter(F.expr("__rn = (q * __n + 99) div 100"))
         .select(*key_list, "q", F.col("__v").alias("qv"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — the set-operation sketch
+# ---------------------------------------------------------------------------
+#
+# HLL-style register sketches union cleanly but cannot estimate
+# INTERSECTIONS. KMV (Bar-Yossef et al. 2002) can: keep the k smallest
+# hash values of the distinct keys per group; the k-th smallest value
+# estimates the distinct count ((k-1) * space / h_k), the union of two
+# sketches re-ranked to k is the union's sketch, and the fraction of
+# the union sketch present in both sides estimates Jaccard — giving
+# |A ∩ B| ≈ J(A,B) · |A ∪ B| without ever touching the raw sets again.
+#
+# Exactness across engines: hashes are 32-bit md5 prefixes, so every
+# estimator operand ((k-1)·2^32 ≤ ~5.5e11, h_k < 2^32, small counts)
+# is exactly representable in float64 and each estimate is ONE
+# correctly-rounded IEEE division — bit-identical in any engine.
+# Hash collisions conflate the same two keys on every engine, so
+# sketches stay engine-equal even when a collision occurs.
+#
+# Scale shape: one distinct shuffle + one per-group window over ≤
+# (groups × distinct) rows; the sketch is ≤ k rows per group forever
+# after. Merge across shards = union + re-rank + keep k (associative,
+# pytest-pinned), which is what makes the sketch usable as a
+# pre-aggregated 100 TB table statistic.
+
+
+def kmv_hash(key: Column | str, salt: str = "kmv") -> Column:
+    """32-bit md5 hash of the (salted) key — same portable idiom as
+    ``cms_hash``/``sampling.hash_bucket``."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group: Column | str,
+    key: Column | str,
+    k: int = 128,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest hash values of the
+    group's distinct keys, as rows ``(g, h)``. Groups with fewer than
+    ``k`` distinct keys keep them all (the exact regime)."""
+    from pyspark.sql import Window
+
+    g = F.col(group) if isinstance(group, str) else group
+    c = F.col(key) if isinstance(key, str) else key
+    d = df.select(g.alias("g"), c.alias("__k")).distinct()
+    h = d.withColumn("h", kmv_hash("__k", salt))
+    w = Window.partitionBy("g").orderBy(F.col("h").asc(), F.col("__k").cast("string").asc())
+    return (
+        h.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select("g", "h")
+    )
+
+
+def kmv_estimates(sketch: DataFrame, k: int = 128) -> DataFrame:
+    """Distinct-count estimate per group: exact below ``k``, else
+    ``(k-1) * 2^32 / h_k`` (h_k = the largest retained hash)."""
+    agg = sketch.groupBy("g").agg(
+        F.count(F.lit(1)).alias("__cnt"), F.max("h").alias("__hk")
+    )
+    est = F.when(F.col("__cnt") < k, F.col("__cnt").cast("double")).otherwise(
+        F.lit((k - 1) * _KMV_SPACE) / F.col("__hk").cast("double")
+    )
+    return agg.select("g", F.col("__cnt").alias("sketch_size"), est.alias("distinct_est"))
+
+
+def kmv_pair_overlap(sketch: DataFrame, k: int = 128) -> DataFrame:
+    """Pairwise set-overlap estimates between every two groups of one
+    sketch table: union distinct count, Jaccard, and intersection.
+
+    For each pair the k smallest hashes of the UNION of both sketches
+    form the union's own KMV sketch; the fraction of those present in
+    BOTH sides estimates Jaccard. Costs one self-join on k-sized
+    sketches — independent of the original data size.
+    """
+    from pyspark.sql import Window
+
+    groups = sketch.select("g").distinct()
+    pairs = (
+        groups.alias("a")
+        .join(groups.alias("b"), F.col("a.g") < F.col("b.g"))
+        .select(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"))
+    )
+    # every pair's union-hash pool (distinct h across both sides)
+    pool = (
+        pairs.join(sketch.alias("s"), (F.col("s.g") == F.col("ga")) | (F.col("s.g") == F.col("gb")))
+        .select("ga", "gb", "h")
+        .distinct()
+    )
+    w = Window.partitionBy("ga", "gb").orderBy(F.col("h").asc())
+    union_k = pool.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") <= k)
+    in_a = sketch.select(F.col("g").alias("ga"), F.col("h").alias("h"))
+    in_b = sketch.select(F.col("g").alias("gb"), F.col("h").alias("h"))
+    flagged = (
+        union_k.join(in_a.withColumn("__ina", F.lit(1)), ["ga", "h"], "left")
+        .join(in_b.withColumn("__inb", F.lit(1)), ["gb", "h"], "left")
+    )
+    stats = flagged.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("__ucnt"),
+        F.max("h").alias("__uhk"),
+        F.sum(
+            F.when(F.col("__ina").isNotNull() & F.col("__inb").isNotNull(), 1).otherwise(0)
+        ).alias("__both"),
+    )
+    union_est = F.when(F.col("__ucnt") < k, F.col("__ucnt").cast("double")).otherwise(
+        F.lit((k - 1) * _KMV_SPACE) / F.col("__uhk").cast("double")
+    )
+    jacc = F.col("__both").cast("double") / F.col("__ucnt").cast("double")
+    return stats.select(
+        "ga",
+        "gb",
+        union_est.alias("union_est"),
+        jacc.alias("jaccard_est"),
+        (jacc * union_est).alias("intersection_est"),
     )

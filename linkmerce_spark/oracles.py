@@ -6485,3 +6485,55 @@ SELECT CAST(t.doc_id AS BIGINT) AS doc_id, CAST(t.w AS BIGINT) AS w,
 FROM top t, b
 WHERE b.cnt <= 120 OR t.priority > b.tau
 """
+
+# KMV set-operation sketch: per-priority k smallest 32-bit md5 hashes
+# of distinct customers; for each priority pair, the k smallest of the
+# union pool are the union's own sketch, (k-1)*2^32/h_k estimates its
+# distinct count, and the fraction present in BOTH sides estimates
+# Jaccard. All estimator operands are exact in float64 (h < 2^32,
+# (k-1)*2^32 ~ 5.5e11 < 2^53), so the estimates are bit-identical to
+# the Spark operator's.
+ORACLES["kmv_priority_overlap"] = """
+WITH d AS (
+  SELECT DISTINCT o_orderpriority AS g, o_custkey AS k FROM orders
+), h AS (
+  SELECT g, k,
+    CAST('0x' || substr(md5('kmv' || CAST(k AS VARCHAR)), 1, 8) AS BIGINT) AS h
+  FROM d
+), sk AS (
+  SELECT g, h FROM (
+    SELECT g, h,
+      ROW_NUMBER() OVER (PARTITION BY g ORDER BY h, CAST(k AS VARCHAR)) AS r
+    FROM h
+  ) WHERE r <= 128
+), pairs AS (
+  SELECT a.g AS ga, b.g AS gb
+  FROM (SELECT DISTINCT g FROM sk) a
+  JOIN (SELECT DISTINCT g FROM sk) b ON a.g < b.g
+), pool AS (
+  SELECT DISTINCT p.ga, p.gb, s.h
+  FROM pairs p JOIN sk s ON s.g = p.ga OR s.g = p.gb
+), union_k AS (
+  SELECT ga, gb, h FROM (
+    SELECT ga, gb, h, ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS r
+    FROM pool
+  ) WHERE r <= 128
+), stats AS (
+  SELECT u.ga, u.gb,
+    COUNT(*) AS ucnt,
+    MAX(u.h) AS uhk,
+    SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END) AS n_both
+  FROM union_k u
+  LEFT JOIN sk a ON a.g = u.ga AND a.h = u.h
+  LEFT JOIN sk b ON b.g = u.gb AND b.h = u.h
+  GROUP BY u.ga, u.gb
+)
+SELECT ga, gb,
+  CASE WHEN ucnt < 128 THEN CAST(ucnt AS DOUBLE)
+       ELSE 127 * 4294967296.0 / CAST(uhk AS DOUBLE) END AS union_est,
+  CAST(n_both AS DOUBLE) / CAST(ucnt AS DOUBLE) AS jaccard_est,
+  (CAST(n_both AS DOUBLE) / CAST(ucnt AS DOUBLE)) *
+  (CASE WHEN ucnt < 128 THEN CAST(ucnt AS DOUBLE)
+        ELSE 127 * 4294967296.0 / CAST(uhk AS DOUBLE) END) AS intersection_est
+FROM stats
+"""

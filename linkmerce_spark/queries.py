@@ -1125,6 +1125,30 @@ def q_doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_priority_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation sketch (round 6): the sketch family's missing
+    capability — HLL registers union but cannot INTERSECT; k-minimum-
+    values sketches estimate union, Jaccard, and intersection between
+    any two pre-sketched sets (here: which order priorities share
+    customers) from k-row summaries alone. 32-bit md5 hashes keep every
+    estimator operand exactly float64-representable, so the DuckDB twin
+    reproduces each estimate bit-for-bit; sketch merge is re-rank-keep-k
+    (associative — the shard-parallel 100 TB property, pytest-pinned).
+    """
+    from linkmerce_spark.operators.sketches import kmv_pair_overlap, kmv_sketch
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    sk = kmv_sketch(orders, "o_orderpriority", "o_custkey", k=128)
+    out = kmv_pair_overlap(sk, k=128)
+    return out.select(
+        F.col("ga").alias("ga"),
+        F.col("gb").alias("gb"),
+        F.col("union_est").cast("double").alias("union_est"),
+        F.col("jaccard_est").cast("double").alias("jaccard_est"),
+        F.col("intersection_est").cast("double").alias("intersection_est"),
+    )
+
+
 def q_doc_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy benchmark decontamination (round 6): MinHash-LSH a
     held-out benchmark set (doc_id % 10 == 0, a 10% eval split)
@@ -6590,6 +6614,7 @@ QUERIES = {
     "doc_group_splits": q_doc_group_splits,
     "sample_star_consistent": q_sample_star_consistent,
     "doc_priority_sample": q_doc_priority_sample,
+    "kmv_priority_overlap": q_kmv_priority_overlap,
     # (c) the permanent sentinel;
     "events_sessions": q_events_sessions,
     # (d) canaries: the round-5 window minus its 10 former-reds (each

@@ -116,3 +116,50 @@ class TestHistogramQuantiles:
         assert sorted(map(tuple, whole.collect())) == sorted(
             map(tuple, merged.collect())
         )
+
+
+class TestKmvSketch:
+    def test_estimates_exact_below_k_and_banded_above(self, spark):
+        from linkmerce_spark.operators.sketches import kmv_estimates, kmv_sketch
+
+        # group "small": 40 distinct (< k, exact); "big": 5000 (estimated)
+        small = spark.range(40).select(F.lit("small").alias("g"), F.col("id").alias("k"))
+        big = spark.range(5000).select(
+            F.lit("big").alias("g"), (F.col("id") + 1_000_000).alias("k")
+        )
+        sk = kmv_sketch(small.unionByName(big), "g", "k", k=128)
+        est = {r.g: (r.sketch_size, r.distinct_est) for r in kmv_estimates(sk, k=128).collect()}
+        assert est["small"] == (40, 40.0)
+        size, e = est["big"]
+        assert size == 128 and 3500 < e < 6500  # ~1/sqrt(k) relative error band
+
+    def test_shard_merge_is_rerank_keep_k(self, spark):
+        from pyspark.sql import Window
+
+        from linkmerce_spark.operators.sketches import kmv_sketch
+
+        a = spark.range(0, 3000).select(F.lit("g1").alias("g"), F.col("id").alias("k"))
+        b = spark.range(1500, 6000).select(F.lit("g1").alias("g"), F.col("id").alias("k"))
+        whole = kmv_sketch(a.unionByName(b), "g", "k", k=64)
+        merged = (
+            kmv_sketch(a, "g", "k", k=64)
+            .unionByName(kmv_sketch(b, "g", "k", k=64))
+            .distinct()
+            .withColumn("__r", F.row_number().over(Window.partitionBy("g").orderBy("h")))
+            .filter(F.col("__r") <= 64)
+            .drop("__r")
+        )
+        assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+    def test_pair_overlap_recovers_known_jaccard(self, spark):
+        from linkmerce_spark.operators.sketches import kmv_pair_overlap, kmv_sketch
+
+        # A = [0, 4000), B = [2000, 6000): |A∩B| = 2000, |A∪B| = 6000, J = 1/3
+        a = spark.range(0, 4000).select(F.lit("A").alias("g"), F.col("id").alias("k"))
+        b = spark.range(2000, 6000).select(F.lit("B").alias("g"), F.col("id").alias("k"))
+        sk = kmv_sketch(a.unionByName(b), "g", "k", k=256)
+        (row,) = kmv_pair_overlap(sk, k=256).collect()
+        assert (row.ga, row.gb) == ("A", "B")
+        assert 4500 < row.union_est < 7500
+        assert 0.2 < row.jaccard_est < 0.47
+        assert 1200 < row.intersection_est < 3000
