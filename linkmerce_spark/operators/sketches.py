@@ -301,8 +301,12 @@ def kmv_pair_overlap(sketch: DataFrame, k: int = 128) -> DataFrame:
 
     For each pair the k smallest hashes of the UNION of both sketches
     form the union's own KMV sketch; the fraction of those present in
-    BOTH sides estimates Jaccard. Costs one self-join on k-sized
-    sketches — independent of the original data size.
+    BOTH sides estimates Jaccard. Costs are independent of the original
+    data size: every data-bearing join is a hash join on k-sized
+    sketch rows; the one nested-loop node is the |G|^2 pair enumeration
+    over bare group labels, which is the operator's output domain by
+    definition (cap the group set upstream if |G|^2 pairs is not what
+    you want).
     """
     from pyspark.sql import Window
 
@@ -312,12 +316,14 @@ def kmv_pair_overlap(sketch: DataFrame, k: int = 128) -> DataFrame:
         .join(groups.alias("b"), F.col("a.g") < F.col("b.g"))
         .select(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"))
     )
-    # every pair's union-hash pool (distinct h across both sides)
-    pool = (
-        pairs.join(sketch.alias("s"), (F.col("s.g") == F.col("ga")) | (F.col("s.g") == F.col("gb")))
-        .select("ga", "gb", "h")
-        .distinct()
-    )
+    # every pair's union-hash pool (distinct h across both sides).
+    # Two equi-joins + union, NOT one OR-condition join: the OR form
+    # plans a BroadcastNestedLoopJoin, which is fine at 5 groups but
+    # quadratic work at 10k groups; the equi-joins stay hash joins at
+    # any group count.
+    side_a = pairs.join(sketch, pairs["ga"] == sketch["g"]).select("ga", "gb", "h")
+    side_b = pairs.join(sketch, pairs["gb"] == sketch["g"]).select("ga", "gb", "h")
+    pool = side_a.unionByName(side_b).distinct()
     w = Window.partitionBy("ga", "gb").orderBy(F.col("h").asc())
     union_k = pool.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") <= k)
     in_a = sketch.select(F.col("g").alias("ga"), F.col("h").alias("h"))
