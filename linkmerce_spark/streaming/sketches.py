@@ -30,7 +30,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["streaming_hll_distinct", "hll_update"]
+__all__ = ["streaming_hll_distinct", "hll_update", "streaming_kmv_sketch", "kmv_update"]
 
 _TWO32 = 1 << 32
 
@@ -128,6 +128,93 @@ def streaming_hll_distinct(
                 "m": [m],
                 "nonzero_buckets": [nonzero],
                 "sum_scaled": [sum_scaled],
+                "n_updates": [n],
+            }
+        )
+
+    ensure_shipped(events.sparkSession)
+    return (
+        events.groupBy(group_col)
+        .applyInPandasWithState(fn, out_schema, state_schema, "update", "NoTimeout")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV: per-group k-minimum-values sketch with bounded state
+# ---------------------------------------------------------------------------
+
+
+def kmv_update(sketch: list[int], values: Any, k: int, salt: str = "kmv") -> list[int]:
+    """Fold values into a KMV sketch (sorted list of the k smallest
+    32-bit hashes): hash, merge, truncate — the associative merge that
+    makes the sketch legal as streaming state. Hash construction is
+    bit-identical to the batch ``operators.sketches.kmv_hash``
+    (md5 of salt||str(value), first 8 hex chars), via the same
+    ``_canonical`` rendering as the streaming HLL."""
+    pool = set(sketch)
+    for value in values:
+        rendered = _canonical(value)
+        if rendered is None:
+            continue
+        pool.add(int(hashlib.md5((salt + rendered).encode("utf-8")).hexdigest()[:8], 16))
+    return sorted(pool)[:k]
+
+
+def streaming_kmv_sketch(
+    events: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 128,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Per-group streaming KMV distinct sketch (update semantics).
+
+    State is the k smallest hashes seen so far — k longs per group,
+    independent of stream length (the same bounded-state argument as
+    the streaming HLL, but for the sketch that can also INTERSECT:
+    checkpointed streaming sketches merge with batch shards or each
+    other via ``operators.sketches``' re-rank-keep-k).
+
+    Emits one row per touched group per micro-batch:
+    (group, sketch_size, max_h, n_updates) — ``sketch_size`` and
+    ``max_h`` (= h_k once full) are exactly what the batch
+    ``kmv_estimates`` reads, so the client-side estimate is the same
+    ``(k-1) * 2^32 / h_k`` formula, drift-free across batch/stream.
+    """
+    import pandas as pd
+
+    from linkmerce_spark.shipping import ensure_shipped
+
+    out_schema = StructType(
+        [
+            StructField("group", StringType(), True),
+            StructField("sketch_size", LongType(), True),
+            StructField("max_h", LongType(), True),
+            StructField("n_updates", LongType(), True),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("hs", ArrayType(LongType()), True),
+            StructField("n", LongType(), True),
+        ]
+    )
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            stored = state.get
+            hs, n = list(stored[0]), int(stored[1])
+        else:
+            hs, n = [], 0
+        for pdf in pdfs:
+            n += len(pdf)
+            hs = kmv_update(hs, pdf[key_col].tolist(), k, salt)
+        state.update((hs, n))
+        yield pd.DataFrame(
+            {
+                "group": [str(key[0])],
+                "sketch_size": [len(hs)],
+                "max_h": [max(hs) if hs else 0],
                 "n_updates": [n],
             }
         )

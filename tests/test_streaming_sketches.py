@@ -122,3 +122,65 @@ def test_estimate_quality(spark, workdir):
     alpha = 0.709  # alpha_64
     estimate = alpha * m * m / (r.sum_scaled / 4294967296)
     assert abs(estimate - 2000) / 2000 < 0.25
+
+
+# ----------------------------------------------------------------- KMV
+def _run_kmv(spark, src, ckpt, out, schema, k=16):
+    from linkmerce_spark.streaming.sketches import streaming_kmv_sketch
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_kmv_sketch(stream, "grp", "k", k=k)
+        .writeStream.foreachBatch(
+            lambda df, _id: df.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_streaming_kmv_matches_batch_and_resumes(spark, workdir):
+    from linkmerce_spark.operators.sketches import kmv_sketch
+
+    src, ckpt, out = (
+        f"{workdir}/ksrc",
+        f"{workdir}/kckpt",
+        f"{workdir}/kout",
+    )
+    schema = "grp string, k long"
+    batch1 = [("a", i) for i in range(40)] + [("b", i) for i in range(5)]
+    batch2 = [("a", i) for i in range(20, 70)]  # overlaps batch1: dedup across batches
+
+    _write(spark, src, batch1)
+    _run_kmv(spark, src, ckpt, out, schema, k=16)
+    _write(spark, src, batch2)
+    _run_kmv(spark, src, ckpt, out, schema, k=16)  # resume from checkpoint
+
+    import pyspark.sql.functions as SF
+
+    latest = (
+        spark.read.parquet(out)
+        .orderBy(SF.col("n_updates").desc())
+        .dropDuplicates(["group"])
+        .collect()
+    )
+    got = {r.group: (r.sketch_size, r.max_h, r.n_updates) for r in latest}
+
+    # the batch operator on ALL the data is the ground truth
+    all_rows = spark.createDataFrame(batch1 + batch2, schema)
+    bsk = kmv_sketch(all_rows, "grp", "k", k=16)
+    expect = {
+        r.g: (r.cnt, r.mx)
+        for r in bsk.groupBy("g").agg(
+            SF.count(SF.lit(1)).alias("cnt"), SF.max("h").alias("mx")
+        ).collect()
+    }
+    assert got["a"][:2] == expect["a"] and got["a"][2] == 40 + 50
+    assert got["b"][:2] == expect["b"] and got["b"][2] == 5
+    # group a saw 70 distinct > k: the sketch is full
+    assert got["a"][0] == 16
+    # group b is in the exact regime (5 < k)
+    assert got["b"][0] == 5
