@@ -593,7 +593,11 @@ def with_empty_fallback(primary: DataFrame, fallback: DataFrame) -> DataFrame:
     """
     primary = primary.localCheckpoint(eager=True)
     if primary.limit(1).count() > 0:
-        return primary
+        # Shape through the same unionByName (with an empty fallback
+        # slice) as the empty branch, so the output schema — type
+        # widening and nullability reconciliation included — is
+        # invariant to whether the primary had rows.
+        return primary.unionByName(fallback.limit(0))
     # Primary is empty (and stays so — it is materialized): the
     # result is exactly the fallback, shaped through the union so
     # column order/types come from the primary side as before.

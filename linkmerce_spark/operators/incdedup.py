@@ -46,19 +46,34 @@ def band_keys(
     This is the storable index representation — at scale it is written
     bucketed by ``band_key`` so tomorrow's batch join is co-located.
     """
+    needed = bands * rows_per_band
     sig_len = signed.schema["sig"].metadata.get("k") if "sig" in signed.columns else None
-    if sig_len is not None and bands * rows_per_band > int(sig_len):
+    if sig_len is not None and needed > int(sig_len):
         raise ValueError(
-            f"bands*rows_per_band = {bands * rows_per_band} exceeds "
-            f"signature length {sig_len}"
+            f"bands*rows_per_band = {needed} exceeds signature length {sig_len}"
         )
+    # Signatures rehydrated from storage may have lost the 'k' column
+    # metadata; guard at runtime then (assert_true fails the job loudly
+    # instead of letting an oversized band config silently hash short/
+    # empty slices into degenerate band keys).
+    sig = (
+        F.col("sig")
+        if sig_len is not None
+        else F.when(
+            F.assert_true(
+                F.size("sig") >= needed,
+                f"bands*rows_per_band = {needed} exceeds signature length",
+            ).isNull(),
+            F.col("sig"),
+        )
+    )
     entries = [
         F.struct(
             F.lit(j).alias("band_id"),
             F.md5(
                 F.array_join(
                     F.transform(
-                        F.slice("sig", j * rows_per_band + 1, rows_per_band),
+                        F.slice(sig, j * rows_per_band + 1, rows_per_band),
                         lambda x: x.cast("string"),
                     ),
                     "|",

@@ -113,6 +113,12 @@ def priority_sample(
     a per-partition top-k merged once, NO global sort or single-reducer
     window; ``tau`` is a 1-row broadcast crossJoin. Rows at the tau
     boundary (md5 collisions) are dropped on both engines identically.
+
+    PRECONDITION: ``key`` must be unique per row. Duplicate key values
+    get identical priority AND an identical string tiebreak, so which
+    boundary duplicate survives ``orderBy().limit(n+1)`` becomes
+    plan/engine-dependent and the engine-identical-set guarantee no
+    longer holds. Dedup or concat a discriminator into ``key`` first.
     """
     w = (F.col(weight) if isinstance(weight, str) else weight).cast("double")
     k = F.col(key) if isinstance(key, str) else key

@@ -268,14 +268,21 @@ def kmv_sketch(
 ) -> DataFrame:
     """Per-group KMV sketch: the ``k`` smallest hash values of the
     group's distinct keys, as rows ``(g, h)``. Groups with fewer than
-    ``k`` distinct keys keep them all (the exact regime)."""
+    ``k`` distinct keys keep them all (the exact regime).
+
+    The sketch is a set of HASHES, not keys: two distinct keys that
+    collide to the same 32-bit hash contribute ONE sketch entry
+    (``distinct`` on ``(g, h)`` below). This matches the streaming
+    twin's set() state (``streaming/sketches.kmv_update``) and the
+    estimator's model, so batch, stream, and oracle agree even when a
+    collision lands inside the k minima."""
     from pyspark.sql import Window
 
     g = F.col(group) if isinstance(group, str) else group
     c = F.col(key) if isinstance(key, str) else key
     d = df.select(g.alias("g"), c.alias("__k")).distinct()
-    h = d.withColumn("h", kmv_hash("__k", salt))
-    w = Window.partitionBy("g").orderBy(F.col("h").asc(), F.col("__k").cast("string").asc())
+    h = d.withColumn("h", kmv_hash("__k", salt)).select("g", "h").distinct()
+    w = Window.partitionBy("g").orderBy(F.col("h").asc())
     return (
         h.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= k)

@@ -272,7 +272,7 @@ _STOPWORDS = "['the','and','of','to','in','is','that','for','with','was']"
 ORACLES["doc_text_metrics"] = f"""
 SELECT doc_id,
   CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
-  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{{L}}+| ?\p{{N}}+| ?[^\s\p{{L}}\p{{N}}]+')) AS BIGINT) AS n_bpe_tokens,
+  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+')) AS BIGINT) AS n_bpe_tokens,
   CAST(length(text) AS INTEGER) AS n_chars_exact,
   round(CASE WHEN length(text) = 0 THEN 0.0
         ELSE CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
@@ -6501,10 +6501,12 @@ WITH d AS (
     CAST('0x' || substr(md5('kmv' || CAST(k AS VARCHAR)), 1, 8) AS BIGINT) AS h
   FROM d
 ), sk AS (
+  -- the sketch is a set of HASHES: distinct (g, h) before ranking so a
+  -- 32-bit collision between two keys yields one entry, matching both
+  -- the Spark batch operator and the streaming set() state.
   SELECT g, h FROM (
-    SELECT g, h,
-      ROW_NUMBER() OVER (PARTITION BY g ORDER BY h, CAST(k AS VARCHAR)) AS r
-    FROM h
+    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS r
+    FROM (SELECT DISTINCT g, h FROM h)
   ) WHERE r <= 128
 ), pairs AS (
   SELECT a.g AS ga, b.g AS gb

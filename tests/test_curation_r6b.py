@@ -111,6 +111,31 @@ def test_band_keys_rejects_overlong_bands(spark):
         band_keys(signed, bands=5, rows_per_band=4)
 
 
+def test_band_keys_runtime_guard_without_metadata(spark):
+    # Signatures rehydrated from storage lose the 'k' column metadata;
+    # an oversized band config must still fail loudly (at execution),
+    # never degrade into short/empty slices with degenerate band keys.
+    from pyspark.sql import functions as F
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven")], "doc_id long, text string"
+    )
+    signed = minhash_signature(df, "text", "doc_id").select("doc_id", "sig")
+    # strip metadata the way a parquet round-trip through a foreign
+    # writer would: rebuild the column from its own values
+    stripped = signed.select("doc_id", F.array([F.col("sig")[i] for i in range(16)]).alias("sig"))
+    assert stripped.schema["sig"].metadata.get("k") is None
+    # valid config still works and matches the metadata'd path
+    a = {(r.band_id, r.band_key) for r in band_keys(signed).collect()}
+    b = {(r.band_id, r.band_key) for r in band_keys(stripped).collect()}
+    assert a == b
+    # oversized config fails at runtime instead of silently degrading
+    with pytest.raises(Exception) as ei:
+        band_keys(stripped, bands=5, rows_per_band=4).collect()
+    assert "signature length" in str(ei.value) or "assert" in str(ei.value).lower()
+
+
 # -------------------------------------------------------------- BPE pairs
 def test_bpe_pair_counts_exact(spark):
     # "ab" x3 (from 'abc' twice? no: corpus = 'abc abc xy') ->

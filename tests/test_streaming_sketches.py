@@ -184,3 +184,26 @@ def test_streaming_kmv_matches_batch_and_resumes(spark, workdir):
     assert got["a"][0] == 16
     # group b is in the exact regime (5 < k)
     assert got["b"][0] == 5
+
+
+def test_kmv_collision_batch_stream_agree(spark):
+    # Keys 24068 and 29776 collide on the 32-bit md5('kmv'||key) prefix
+    # (h = 1392763070). The sketch is a set of HASHES: batch kmv_sketch,
+    # streaming kmv_update, and the DuckDB oracle must all keep ONE
+    # entry for the colliding pair so sketch_size/h_k agree.
+    import hashlib
+
+    from linkmerce_spark.operators.sketches import kmv_sketch
+    from linkmerce_spark.streaming.sketches import kmv_update
+
+    a, b = 24068, 29776
+    ha = int(hashlib.md5(f"kmv{a}".encode()).hexdigest()[:8], 16)
+    hb = int(hashlib.md5(f"kmv{b}".encode()).hexdigest()[:8], 16)
+    assert ha == hb  # the premise of the test
+
+    keys = [a, b, 1, 2, 3]
+    df = spark.createDataFrame([("g", k) for k in keys], "g string, k long")
+    batch = sorted(r.h for r in kmv_sketch(df, "g", "k", k=128).collect())
+    stream = kmv_update([], keys, k=128)
+    assert batch == stream  # one entry for the collision on both paths
+    assert len(batch) == 4  # 5 distinct keys, 4 distinct hashes
