@@ -6578,213 +6578,193 @@ def q_asof_bucketed_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plus the 4 new round-5 operators rotate in this round). Window
 # composition is documented inline below.
 QUERIES = {
-    # ===== round-6 window (first 50 = the driver's hash-check set) =====
-    # (a) the 9 round-5 additions that have never had a driver row
-    # (they all passed the judge's independent check + local twins at
-    # two SFs + dtype audit + hostile-env sweep; the driver gate is
-    # still the gate);
-    "interval_overlap_promos": q_interval_overlap_promos,
-    "cms_heavy_hitters": q_cms_heavy_hitters,
-    "bloom_prefilter_revenue": q_bloom_prefilter_revenue,
-    "histogram_order_value": q_histogram_order_value,
-    "dq_orders_checks": q_dq_orders_checks,
-    "scd2_effective_revenue": q_scd2_effective_revenue,
-    "cube_sales_grid": q_cube_sales_grid,
-    "asof_bucketed_attribution": q_asof_bucketed_attribution,
-    "order_value_rank_quantiles": q_order_value_rank_quantiles,
-    # (b) new round-6 operators — driver rows on arrival;
-    "media_stats_real": q_media_stats_real,
-    "doc_chunk_windows": q_doc_chunk_windows,
-    "doc_boilerplate": q_doc_boilerplate,
-    "doc_inverted_index": q_doc_inverted_index,
-    "doc_dup_spans": q_doc_dup_spans,
-    "doc_unigram_lm": q_doc_unigram_lm,
-    "zorder_extents": q_zorder_extents,
-    "doc_line_dedup": q_doc_line_dedup,
-    "doc_incremental_dedup": q_doc_incremental_dedup,
-    "doc_bpe_pairs": q_doc_bpe_pairs,
-    "compaction_plan": q_compaction_plan,
-    "domain_mixture_weights": q_domain_mixture_weights,
-    "doc_curation_gate": q_doc_curation_gate,
-    "doc_mixture_sample": q_doc_mixture_sample,
-    "embedding_semdedup": q_embedding_semdedup,
-    "embedding_cluster_stats": q_embedding_cluster_stats,
-    "doc_rare_grams": q_doc_rare_grams,
-    "doc_fuzzy_decontam": q_doc_fuzzy_decontam,
-    "doc_group_splits": q_doc_group_splits,
-    "sample_star_consistent": q_sample_star_consistent,
-    "doc_priority_sample": q_doc_priority_sample,
-    "kmv_priority_overlap": q_kmv_priority_overlap,
-    # (c) the permanent sentinel;
-    "events_sessions": q_events_sessions,
-    # (d) canaries: the round-5 window minus its 10 former-reds (each
-    # now holds a green r5 driver row) — i.e. the r4 master/report
-    # sweep, embedding_ivf_topk, the r5 curation suite and the 4 r5
-    # operators, all green in CORRECTNESS_r05; mart_profit_mom stays
-    # as the former-red block's representative.
-    "mart_profit_mom": q_mart_profit_mom,
-    "searchad_adgroup_master": q_searchad_adgroup_master,
-    "searchad_ad_master": q_searchad_ad_master,
-    "meta_adset_master": q_meta_adset_master,
-    "meta_ad_master": q_meta_ad_master,
-    "coupang_adgroup_master": q_coupang_adgroup_master,
-    "google_adgroup_master": q_google_adgroup_master,
-    "google_campaign_master": q_google_campaign_master,
-    "smartstore_product_master": q_smartstore_product_master,
-    "smartstore_option_master": q_smartstore_option_master,
-    "coupang_option_master": q_coupang_option_master,
-    "sabangnet_product_master": q_sabangnet_product_master,
-    "sabangnet_option_master": q_sabangnet_option_master,
-    "searchad_report_daily": q_searchad_report_daily,
-    "google_report_daily": q_google_report_daily,
-    "meta_report_daily": q_meta_report_daily,
-    "coupang_report_daily": q_coupang_report_daily,
-    "adreport_daily": q_adreport_daily,
-    "sales_target": q_sales_target,
-    "rfm_stock_qty_batch": q_rfm_stock_qty_batch,
-    "rfm_order_count": q_rfm_order_count,
-    "stock_time_ds": q_stock_time_ds,
-    "stock_report_ds": q_stock_report_ds,
-    "searchad_contract_master": q_searchad_contract_master,
-    "smartstore_sales_daily": q_smartstore_sales_daily,
-    "opex_daily": q_opex_daily,
-    "ecount_stock_qty_batch": q_ecount_stock_qty_batch,
-    "cj_eflexs_stock_qty_batch": q_cj_eflexs_stock_qty_batch,
-    "dable_report_daily": q_dable_report_daily,
-    "embedding_ivf_topk": q_embedding_ivf_topk,
-    # -- the round-5 curation suite (never driver-checked);
-    "doc_dup_clusters": q_doc_dup_clusters,
-    "doc_stratified_sample": q_doc_stratified_sample,
-    "doc_repetition": q_doc_repetition,
-    "doc_pii_scan": q_doc_pii_scan,
-    "doc_decontam": q_doc_decontam,
-    "doc_pack_plan": q_doc_pack_plan,
-    # (e) the 4 round-5 operators (as-of join, SCD2 builder, TF-IDF,
-    # deterministic HLL sketch) — each green in CORRECTNESS_r05;
-    # hll_distinct_sketch slips past the boundary to make room for
-    # media_stats_real (it holds a green r5 driver row).
-    # ================= driver 50-row window boundary =================
-    # (asof_click_attribution, scd2_order_priority and doc_tfidf_terms
-    # slip past the boundary to make room for the three new round-6
-    # curation queries — all hold green r5 driver rows.)
-    "asof_click_attribution": q_asof_click_attribution,
-    "scd2_order_priority": q_scd2_order_priority,
-    "doc_tfidf_terms": q_doc_tfidf_terms,
-    "hll_distinct_sketch": q_hll_distinct_sketch,
-    # -- the 9 remaining r03/r04 former-reds rotate out this round
-    # (each holds a green r5 driver row after the dtype-parity fix;
-    # mart_profit_mom represents the block inside the window).
-    "searchad_report_merge": q_searchad_report_merge,
-    "searchad_insight_daily": q_searchad_insight_daily,
-    "smartstore_max_delivery_fee": q_smartstore_max_delivery_fee,
-    "smartstore_split_sales": q_smartstore_split_sales,
-    "analytics_order_count": q_analytics_order_count,
-    "sabangnet_total_order": q_sabangnet_total_order,
-    "coupang_total_order": q_coupang_total_order,
-    "cj_invoice": q_cj_invoice,
-    "cj_invoice_order": q_cj_invoice_order,
-    # -- long-green canaries + round-5-modified-but-locally-verified
-    # entries (each holds >=1 green driver row or two-SF local +
-    # hostile-env + dtype-audit evidence).
-    "pricing_summary": q_pricing_summary,
+    # ===== round-7 window (first 50 = the driver hash-check set) =====
+    # Rotation by STALENESS: every entry below last held a driver row
+    # in r2-r5 (the r6 window re-verified the other 50); the four
+    # heavy marts lead because the code under them kept changing.
+    # New r7 queries are inserted ABOVE this line as they land.
+    # (a) heavy marts, last driver-gated r4/r5:
     "core_sales_daily": q_core_sales_daily,
-    "doc_clean_corpus": q_doc_clean_corpus,
-    "minhash_near_dups": q_minhash_near_dups,
-    "stock_cost_mom": q_stock_cost_mom,
-    "profit_daily": q_profit_daily,
-    "core_product_master": q_core_product_master,
-    "cj_stock_parse": q_cj_stock_parse,
-    "searchad_exposure_products": q_searchad_exposure_products,
-    "naver_cafe_articles": q_naver_cafe_articles,
-    # -- driver-green history (rotated out; the local replica and
-    # tools/dtype_audit.py still run ALL entries every round)
-    "stock_qty_batch": q_stock_qty_batch,
-    "stock_time_batch": q_stock_time_batch,
-    "smt_opt_relation": q_smt_opt_relation,
-    "smt_prd_ranged_relation": q_smt_prd_ranged_relation,
-    "searchad_campaign_master": q_searchad_campaign_master,
-    "meta_campaign_master": q_meta_campaign_master,
-    "coupang_campaign_master": q_coupang_campaign_master,
-    "google_ad_master": q_google_ad_master,
-    "stock_report": q_stock_report,
-    "profit_monthly": q_profit_monthly,
-    "star_join_revenue": q_star_join_revenue,
-    "top_order_per_customer": q_top_order_per_customer,
-    "latest_order_dedupe": q_latest_order_dedupe,
-    "full_outer_merge_events": q_full_outer_merge_events,
-    "allocation_proportional": q_allocation_proportional,
-    "allocation_integer_even": q_allocation_integer_even,
-    "rolling_30d_qty": q_rolling_30d_qty,
-    "cumulative_customer_spend": q_cumulative_customer_spend,
-    "next_order_gap": q_next_order_gap,
-    "union_all_fact_assembly": q_union_all_fact_assembly,
-    "customers_without_orders": q_customers_without_orders,
-    "building_segment_order_stats": q_building_segment_order_stats,
-    "embedding_near_dups": q_embedding_near_dups,
-    "largest_parts": q_largest_parts,
-    "explode_part_words": q_explode_part_words,
-    "effective_dated_campaign": q_effective_dated_campaign,
-    "string_functions": q_string_functions,
-    "date_functions": q_date_functions,
-    "enum_encoding": q_enum_encoding,
-    "profit_mom_dims": q_profit_mom_dims,
-    "null_guards": q_null_guards,
-    "core_brand_master": q_core_brand_master,
+    "smartstore_sales_daily": q_smartstore_sales_daily,
+    "stock_report_ds": q_stock_report_ds,
+    "searchad_insight_daily": q_searchad_insight_daily,
+    # (b) last gated r2 (27 entries):
+    "array_predicates": q_array_predicates,
+    "customer_order_anchor": q_customer_order_anchor,
+    "date_pruned_orders": q_date_pruned_orders,
+    "date_spine_daily_orders": q_date_spine_daily_orders,
     "distinct_segments": q_distinct_segments,
-    "string_agg_names": q_string_agg_names,
-    "events_json_extract": q_events_json_extract,
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_lang_guess": q_doc_lang_guess,
+    "doc_text_metrics": q_doc_text_metrics,
+    "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
+    "embedding_ivf_cells": q_embedding_ivf_cells,
+    "embedding_lsh_buckets": q_embedding_lsh_buckets,
+    "embedding_topk": q_embedding_topk,
     "events_hourly_windows": q_events_hourly_windows,
-    "order_value_quantiles": q_order_value_quantiles,
-    "sales_rollup": q_sales_rollup,
-    "events_funnel": q_events_funnel,
+    "events_json_extract": q_events_json_extract,
+    "insert_ignore_orders": q_insert_ignore_orders,
+    "json_struct_projection": q_json_struct_projection,
+    "mart_rolling_sales": q_mart_rolling_sales,
+    "mart_sales_daily": q_mart_sales_daily,
+    "media_features": q_media_features,
+    "merge_upsert_balances": q_merge_upsert_balances,
+    "ngram_jaccard_blocked": q_ngram_jaccard_blocked,
+    "pivot_status_counts": q_pivot_status_counts,
+    "safe_casts": q_safe_casts,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "sql_model_sales_by_priority": q_sql_model_sales_by_priority,
+    "string_agg_names": q_string_agg_names,
+    "unpivot_lineitem_measures": q_unpivot_lineitem_measures,
+    # (c) last gated r3 (fills the window to 45; 5 slots left for new r7 entries):
+    "cj_stock_parse": q_cj_stock_parse,
+    "coupang_ad_report_rollup": q_coupang_ad_report_rollup,
+    "coupang_rocket_options": q_coupang_rocket_options,
+    "coupang_settlement_sales": q_coupang_settlement_sales,
     "customer_spend_deciles": q_customer_spend_deciles,
+    "dable_report_split": q_dable_report_split,
     "doc_hash_splits": q_doc_hash_splits,
     "doc_top_bigrams": q_doc_top_bigrams,
     "events_cohort_retention": q_events_cohort_retention,
-    "searchad_master_ads": q_searchad_master_ads,
-    "naver_shop_rank": q_naver_shop_rank,
-    "naver_product_upsert": q_naver_product_upsert,
-    "naver_book_parse": q_naver_book_parse,
-    "profit_base_gates": q_profit_base_gates,
-    "sabangnet_option_upsert": q_sabangnet_option_upsert,
-    "sabangnet_invoice_enum": q_sabangnet_invoice_enum,
-    "coupang_ad_report_rollup": q_coupang_ad_report_rollup,
-    "coupang_settlement_sales": q_coupang_settlement_sales,
-    "smartstore_option_assembly": q_smartstore_option_assembly,
-    "smartstore_sales_rollup": q_smartstore_sales_rollup,
+    "events_funnel": q_events_funnel,
     "google_ads_insight": q_google_ads_insight,
     "google_asset_view": q_google_asset_view,
     "meta_insights_split": q_meta_insights_split,
-    "dable_report_split": q_dable_report_split,
-    "searchad_contract_union": q_searchad_contract_union,
-    "smartstore_category_split": q_smartstore_category_split,
-    "smartstore_pageview_products": q_smartstore_pageview_products,
-    "coupang_rocket_options": q_coupang_rocket_options,
-    "sabangnet_option_download": q_sabangnet_option_download,
+    "naver_book_parse": q_naver_book_parse,
+    # ===== below the driver window: r3-r6-gated remainder, stalest first =====
+    "naver_cafe_articles": q_naver_cafe_articles,
+    "naver_product_upsert": q_naver_product_upsert,
+    "naver_shop_rank": q_naver_shop_rank,
     "order_count_mom": q_order_count_mom,
-    "doc_text_metrics": q_doc_text_metrics,
-    "doc_lang_guess": q_doc_lang_guess,
-    "doc_exact_dedup": q_doc_exact_dedup,
-    "embedding_topk": q_embedding_topk,
-    "unpivot_lineitem_measures": q_unpivot_lineitem_measures,
-    "merge_upsert_balances": q_merge_upsert_balances,
-    "insert_ignore_orders": q_insert_ignore_orders,
-    "date_spine_daily_orders": q_date_spine_daily_orders,
-    "customer_order_anchor": q_customer_order_anchor,
-    "pivot_status_counts": q_pivot_status_counts,
-    "safe_casts": q_safe_casts,
-    "json_struct_projection": q_json_struct_projection,
-    "simhash_fingerprints": q_simhash_fingerprints,
-    "ngram_jaccard_blocked": q_ngram_jaccard_blocked,
-    "sql_model_sales_by_priority": q_sql_model_sales_by_priority,
-    "media_features": q_media_features,
-    "mart_sales_daily": q_mart_sales_daily,
-    "mart_rolling_sales": q_mart_rolling_sales,
-    "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
-    "embedding_lsh_buckets": q_embedding_lsh_buckets,
-    "date_pruned_orders": q_date_pruned_orders,
-    "embedding_ivf_cells": q_embedding_ivf_cells,
-    "array_predicates": q_array_predicates,
+    "order_value_quantiles": q_order_value_quantiles,
+    "profit_base_gates": q_profit_base_gates,
+    "sabangnet_invoice_enum": q_sabangnet_invoice_enum,
+    "sabangnet_option_download": q_sabangnet_option_download,
+    "sabangnet_option_upsert": q_sabangnet_option_upsert,
+    "sales_rollup": q_sales_rollup,
+    "searchad_contract_union": q_searchad_contract_union,
+    "searchad_exposure_products": q_searchad_exposure_products,
+    "searchad_master_ads": q_searchad_master_ads,
+    "smartstore_category_split": q_smartstore_category_split,
+    "smartstore_option_assembly": q_smartstore_option_assembly,
+    "smartstore_pageview_products": q_smartstore_pageview_products,
+    "smartstore_sales_rollup": q_smartstore_sales_rollup,
+    "allocation_integer_even": q_allocation_integer_even,
+    "allocation_proportional": q_allocation_proportional,
+    "building_segment_order_stats": q_building_segment_order_stats,
+    "core_brand_master": q_core_brand_master,
+    "core_product_master": q_core_product_master,
+    "coupang_campaign_master": q_coupang_campaign_master,
+    "cumulative_customer_spend": q_cumulative_customer_spend,
+    "customers_without_orders": q_customers_without_orders,
+    "date_functions": q_date_functions,
+    "doc_clean_corpus": q_doc_clean_corpus,
+    "effective_dated_campaign": q_effective_dated_campaign,
+    "embedding_near_dups": q_embedding_near_dups,
+    "enum_encoding": q_enum_encoding,
+    "explode_part_words": q_explode_part_words,
+    "full_outer_merge_events": q_full_outer_merge_events,
+    "google_ad_master": q_google_ad_master,
+    "largest_parts": q_largest_parts,
+    "latest_order_dedupe": q_latest_order_dedupe,
+    "meta_campaign_master": q_meta_campaign_master,
+    "minhash_near_dups": q_minhash_near_dups,
+    "next_order_gap": q_next_order_gap,
+    "null_guards": q_null_guards,
+    "pricing_summary": q_pricing_summary,
+    "profit_daily": q_profit_daily,
+    "profit_mom_dims": q_profit_mom_dims,
+    "profit_monthly": q_profit_monthly,
+    "rolling_30d_qty": q_rolling_30d_qty,
+    "searchad_campaign_master": q_searchad_campaign_master,
+    "smt_opt_relation": q_smt_opt_relation,
+    "smt_prd_ranged_relation": q_smt_prd_ranged_relation,
+    "star_join_revenue": q_star_join_revenue,
+    "stock_cost_mom": q_stock_cost_mom,
+    "stock_qty_batch": q_stock_qty_batch,
+    "stock_report": q_stock_report,
+    "stock_time_batch": q_stock_time_batch,
+    "string_functions": q_string_functions,
+    "top_order_per_customer": q_top_order_per_customer,
+    "union_all_fact_assembly": q_union_all_fact_assembly,
+    "analytics_order_count": q_analytics_order_count,
+    "asof_click_attribution": q_asof_click_attribution,
+    "cj_eflexs_stock_qty_batch": q_cj_eflexs_stock_qty_batch,
+    "cj_invoice": q_cj_invoice,
+    "cj_invoice_order": q_cj_invoice_order,
+    "coupang_total_order": q_coupang_total_order,
+    "dable_report_daily": q_dable_report_daily,
+    "doc_decontam": q_doc_decontam,
+    "doc_dup_clusters": q_doc_dup_clusters,
+    "doc_pack_plan": q_doc_pack_plan,
+    "doc_pii_scan": q_doc_pii_scan,
+    "doc_repetition": q_doc_repetition,
+    "doc_stratified_sample": q_doc_stratified_sample,
+    "doc_tfidf_terms": q_doc_tfidf_terms,
+    "ecount_stock_qty_batch": q_ecount_stock_qty_batch,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
+    "hll_distinct_sketch": q_hll_distinct_sketch,
+    "opex_daily": q_opex_daily,
+    "rfm_order_count": q_rfm_order_count,
+    "rfm_stock_qty_batch": q_rfm_stock_qty_batch,
+    "sabangnet_total_order": q_sabangnet_total_order,
+    "sales_target": q_sales_target,
+    "scd2_order_priority": q_scd2_order_priority,
+    "searchad_contract_master": q_searchad_contract_master,
+    "searchad_report_merge": q_searchad_report_merge,
+    "smartstore_max_delivery_fee": q_smartstore_max_delivery_fee,
+    "smartstore_split_sales": q_smartstore_split_sales,
+    "stock_time_ds": q_stock_time_ds,
+    "adreport_daily": q_adreport_daily,
+    "asof_bucketed_attribution": q_asof_bucketed_attribution,
+    "bloom_prefilter_revenue": q_bloom_prefilter_revenue,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "compaction_plan": q_compaction_plan,
+    "coupang_adgroup_master": q_coupang_adgroup_master,
+    "coupang_option_master": q_coupang_option_master,
+    "coupang_report_daily": q_coupang_report_daily,
+    "cube_sales_grid": q_cube_sales_grid,
+    "doc_boilerplate": q_doc_boilerplate,
+    "doc_bpe_pairs": q_doc_bpe_pairs,
+    "doc_chunk_windows": q_doc_chunk_windows,
+    "doc_curation_gate": q_doc_curation_gate,
+    "doc_dup_spans": q_doc_dup_spans,
+    "doc_fuzzy_decontam": q_doc_fuzzy_decontam,
+    "doc_group_splits": q_doc_group_splits,
+    "doc_incremental_dedup": q_doc_incremental_dedup,
+    "doc_inverted_index": q_doc_inverted_index,
+    "doc_line_dedup": q_doc_line_dedup,
+    "doc_mixture_sample": q_doc_mixture_sample,
+    "doc_priority_sample": q_doc_priority_sample,
+    "doc_rare_grams": q_doc_rare_grams,
+    "doc_unigram_lm": q_doc_unigram_lm,
+    "domain_mixture_weights": q_domain_mixture_weights,
+    "dq_orders_checks": q_dq_orders_checks,
+    "embedding_cluster_stats": q_embedding_cluster_stats,
+    "embedding_semdedup": q_embedding_semdedup,
+    "events_sessions": q_events_sessions,
+    "google_adgroup_master": q_google_adgroup_master,
+    "google_campaign_master": q_google_campaign_master,
+    "google_report_daily": q_google_report_daily,
+    "histogram_order_value": q_histogram_order_value,
+    "interval_overlap_promos": q_interval_overlap_promos,
+    "kmv_priority_overlap": q_kmv_priority_overlap,
+    "mart_profit_mom": q_mart_profit_mom,
+    "media_stats_real": q_media_stats_real,
+    "meta_ad_master": q_meta_ad_master,
+    "meta_adset_master": q_meta_adset_master,
+    "meta_report_daily": q_meta_report_daily,
+    "order_value_rank_quantiles": q_order_value_rank_quantiles,
+    "sabangnet_option_master": q_sabangnet_option_master,
+    "sabangnet_product_master": q_sabangnet_product_master,
+    "sample_star_consistent": q_sample_star_consistent,
+    "scd2_effective_revenue": q_scd2_effective_revenue,
+    "searchad_ad_master": q_searchad_ad_master,
+    "searchad_adgroup_master": q_searchad_adgroup_master,
+    "searchad_report_daily": q_searchad_report_daily,
+    "smartstore_option_master": q_smartstore_option_master,
+    "smartstore_product_master": q_smartstore_product_master,
+    "zorder_extents": q_zorder_extents,
 }
 
 
