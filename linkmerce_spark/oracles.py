@@ -6427,6 +6427,160 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 WHERE d.doc_id % 10 <> 0
 """
 
+# End-to-end curation pipeline twin: the nine stage CTEs are the same
+# fragments as the per-stage oracles above (clean_corpus gate + exact
+# dedup, line_dedup rewrite, minhash band/verify family, 6-gram and
+# band-collision decontam vs the raw doc_id%97 bench, mixture weights,
+# source-keyed split, pack window), chained over each other's outputs.
+_DTOKS_CLEAN = _DTOKS.replace("lower(text)", "lower(text_clean)")
+
+ORACLES["doc_curation_e2e"] = f"""
+WITH base AS (
+  SELECT doc_id, text, source, {_SCORES}, {_QUALITY} AS q,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), gated AS (
+  SELECT doc_id, text, source, fp FROM base
+  WHERE q >= 0.5 AND {_LANG_CASE} = 'en'
+), exact AS (
+  SELECT doc_id, text, source FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+), lw AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM exact
+), ls AS (
+  SELECT doc_id, seg,
+         array_to_string(list_slice(words, seg * 6 + 1, seg * 6 + 6), ' ') AS seg_text
+  FROM (
+    SELECT doc_id, words, UNNEST(range(0, (len(words) + 5) // 6)) AS seg FROM lw
+  )
+), lr AS (
+  SELECT doc_id, seg, seg_text,
+    ROW_NUMBER() OVER (PARTITION BY seg_text ORDER BY doc_id, seg) AS rn,
+    COUNT(*) OVER (PARTITION BY seg_text) AS occ
+  FROM ls
+), rb AS (
+  SELECT doc_id,
+    COALESCE(string_agg(CASE WHEN occ < 2 OR rn = 1 THEN seg_text END,
+                        ' ' ORDER BY seg), '') AS text_clean
+  FROM lr GROUP BY 1
+), clean AS (
+  SELECT e.doc_id, e.source, COALESCE(rb.text_clean, '') AS text_clean
+  FROM exact e LEFT JOIN rb USING (doc_id)
+), toks AS (
+  SELECT doc_id, {_DTOKS_CLEAN} AS t FROM clean
+), sh AS (
+  SELECT doc_id, {_shingle_sql(3)} AS shingles FROM toks
+), hashed AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hs
+  FROM sh WHERE len(shingles) > 0
+), sig AS (
+  SELECT doc_id, shingles, [{_SIG16}] AS sig FROM hashed
+), bands AS (
+  SELECT doc_id, b.band_id,
+         md5(array_to_string(list_slice(sig, b.band_id * 4 + 1, b.band_id * 4 + 4), '|')) AS band_key
+  FROM sig, (SELECT UNNEST([0, 1, 2, 3]) AS band_id) b
+), keptb AS (
+  SELECT band_id, band_key FROM bands
+  GROUP BY band_id, band_key HAVING COUNT(*) <= 500
+), capped AS (
+  SELECT bands.* FROM bands JOIN keptb USING (band_id, band_key)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM capped a
+  JOIN capped b2 ON a.band_id = b2.band_id AND a.band_key = b2.band_key
+              AND a.doc_id < b2.doc_id
+), doomed AS (
+  SELECT DISTINCT id_b AS doc_id FROM cand
+  JOIN sig sa ON cand.id_a = sa.doc_id
+  JOIN sig sb ON cand.id_b = sb.doc_id
+  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5
+), uniq AS (
+  SELECT c.* FROM clean c
+  WHERE NOT EXISTS (SELECT 1 FROM doomed d WHERE d.doc_id = c.doc_id)
+), corpus AS (
+  SELECT * FROM uniq WHERE doc_id % 97 <> 0
+), btoks AS (
+  SELECT doc_id, {_DTOKS} AS t FROM documents WHERE doc_id % 97 = 0
+), bgrams AS (
+  SELECT DISTINCT CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS gram_hash
+  FROM (
+    SELECT UNNEST(list_distinct(
+      CASE WHEN len(t) < 6 THEN CAST([] AS VARCHAR[])
+           ELSE list_transform(range(1, len(t) - 4),
+                               i -> array_to_string(list_slice(t, i, i + 5), ' '))
+      END)) AS g
+    FROM btoks
+  )
+), cgrams AS (
+  SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS gram_hash
+  FROM (
+    SELECT c.doc_id, UNNEST(list_distinct(
+      CASE WHEN len(t.t) < 6 THEN CAST([] AS VARCHAR[])
+           ELSE list_transform(range(1, len(t.t) - 4),
+                               i -> array_to_string(list_slice(t.t, i, i + 5), ' '))
+      END)) AS g
+    FROM corpus c JOIN toks t USING (doc_id)
+  )
+), bsh AS (
+  SELECT doc_id, {_shingle_sql(3)} AS shingles FROM btoks
+), bhashed AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hs
+  FROM bsh WHERE len(shingles) > 0
+), bsig AS (
+  SELECT doc_id, [{_SIG16}] AS sig FROM bhashed
+), bbands AS (
+  SELECT doc_id, b.band_id,
+         md5(array_to_string(list_slice(sig, b.band_id * 4 + 1, b.band_id * 4 + 4), '|')) AS band_key
+  FROM bsig, (SELECT UNNEST([0, 1, 2, 3]) AS band_id) b
+), bkept AS (
+  SELECT band_id, band_key FROM bbands GROUP BY 1, 2 HAVING COUNT(*) <= 500
+), bidx AS (
+  SELECT bbands.* FROM bbands JOIN bkept USING (band_id, band_key)
+), surv AS (
+  SELECT c.* FROM corpus c
+  WHERE NOT EXISTS (
+          SELECT 1 FROM cgrams g JOIN bgrams USING (gram_hash)
+          WHERE g.doc_id = c.doc_id)
+    AND NOT EXISTS (
+          SELECT 1 FROM bands n JOIN bidx i USING (band_id, band_key)
+          WHERE n.doc_id = c.doc_id)
+), per AS (
+  SELECT source, SUM(len(string_split(text_clean, ' '))) AS tk FROM surv GROUP BY 1
+), tot AS (
+  SELECT SUM(tk) AS tt, COUNT(*) AS nd FROM per
+), wts AS (
+  SELECT source,
+    CAST(CASE WHEN tk > 0 THEN (10000 * tt) // (nd * tk) ELSE 0 END AS BIGINT) AS weight_bp
+  FROM per, tot
+), sampled AS (
+  SELECT s.doc_id, s.source,
+    CAST(len(string_split(s.text_clean, ' ')) AS BIGINT) AS n_tokens
+  FROM surv s JOIN wts USING (source)
+  WHERE CAST('0x' || substr(md5('mix' || CAST(s.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        % 10000 < LEAST(wts.weight_bp, 10000)
+), spl AS (
+  SELECT doc_id, source, n_tokens,
+    CASE WHEN bkt < 8000 THEN 'train' WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT *, CAST('0x' || substr(md5('grp' || source), 1, 8) AS BIGINT) % 10000 AS bkt
+    FROM sampled
+  )
+)
+SELECT doc_id, source, split, n_tokens,
+  CAST(COALESCE(SUM(n_tokens) OVER w, 0) AS BIGINT) AS tokens_before,
+  CAST(COALESCE(SUM(n_tokens) OVER w, 0) // 512 AS BIGINT) AS pack_id,
+  CAST(COALESCE(SUM(n_tokens) OVER w, 0) % 512 AS BIGINT) AS pack_offset
+FROM spl
+WINDOW w AS (
+  PARTITION BY split || '-' || CAST(doc_id % 4 AS VARCHAR)
+  ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
 ORACLES["doc_group_splits"] = """
 WITH b AS (
   SELECT doc_id, source,

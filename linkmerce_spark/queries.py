@@ -1171,6 +1171,150 @@ def q_doc_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-curation pipeline (round 7): the nine r5/r6
+    curation operators composed the way a real 100 TB run chains them,
+    as ONE lazy plan with a single oracle twin —
+
+    quality gate -> language route -> exact dedup -> corpus line-dedup
+    REWRITE -> fuzzy self near-dup (MinHash-LSH + Jaccard verify,
+    keep-lowest-id) -> benchmark decontamination (exact 6-gram AND
+    fuzzy band-collision, both against the raw held-out doc_id%97
+    slice) -> domain-mixture resampling (weights computed over the
+    survivors themselves) -> leakage-safe source-keyed splits ->
+    sequence-packing plan per (split, shard).
+
+    Output: one row per packed document — (doc_id, source, split,
+    n_tokens, tokens_before, pack_id, pack_offset). Each stage is
+    individually oracle-twinned elsewhere in the catalog; this entry
+    proves they COMPOSE without plan blowup (shuffle budget pinned in
+    tests/test_plans.py) and with end-to-end engine-exact values.
+
+    Scale shape: every shuffle keys on a uniform hash (fingerprint,
+    segment text, band key, gram hash, source) or a bounded window
+    partition; the benchmark sides broadcast/flow only (id, band) or
+    gram-hash rows; no stage collects to the driver.
+    """
+    from linkmerce_spark.operators.decontam import decontaminate, ngram_hashes
+    from linkmerce_spark.operators.incdedup import incremental_near_dups
+    from linkmerce_spark.operators.linededup import line_dedup_rewrite
+    from linkmerce_spark.operators.packing import pack_sequences
+    from linkmerce_spark.operators.sampling import hash_bucket, hash_split
+
+    (docs,) = _t(spark, sf_dir, "documents")
+
+    # [1]+[2] quality gate + English route: narrow codegen filters
+    gated = docs.select(
+        "doc_id",
+        "text",
+        "source",
+        quality_score("text").alias("_q"),
+        lang_guess("text").alias("_lg"),
+        fingerprint("text").alias("_fp"),
+    ).filter((F.col("_q") >= 0.5) & (F.col("_lg") == "en"))
+
+    # [3] exact dedup: keep the lowest id per content fingerprint
+    w = Window.partitionBy("_fp").orderBy(F.col("doc_id").asc())
+    exact = (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "text", "source")
+    )
+
+    # [4] corpus line-dedup REWRITE over the surviving set.
+    # ``clean``/``corpus``/``surv`` are the pipeline's diamond nodes —
+    # each feeds 3+ downstream stages whose references would otherwise
+    # re-expand (and re-analyze) the whole upstream subtree per use.
+    # localCheckpoint truncates lineage to a leaf there (the stock-mart
+    # pattern; bench.py's memo-clearing rule makes every timed pass
+    # redo this work). At 100 TB these are exactly the three points a
+    # real pipeline would materialize between stages.
+    rew = line_dedup_rewrite(exact, "text", "doc_id", seg_words=6, min_count=2)
+    clean = exact.select("doc_id", "source").join(
+        rew.select("doc_id", "text_clean"), "doc_id"
+    ).localCheckpoint()
+
+    # [5] fuzzy self near-dup on the REWRITTEN text: drop the higher id
+    # of every verified near-dup pair (greedy keep-lowest-id)
+    pairs = minhash_near_dups(
+        clean, text_col="text_clean", id_col="doc_id", k=16, shingle_words=3,
+        bands=4, rows_per_band=4, min_jaccard=0.5, max_bucket=500,
+    )
+    doomed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    uniq = clean.join(doomed, "doc_id", "left_anti")
+
+    # [6] decontamination against the RAW held-out benchmark slice
+    # (doc_id % 97 == 0 — external eval data is never gated/rewritten);
+    # bench docs themselves leave the training corpus.
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = uniq.filter(F.col("doc_id") % 97 != 0).localCheckpoint()
+    ex = decontaminate(
+        corpus, ngram_hashes(bench, "text", n=6), "text_clean", "doc_id", n=6
+    )
+    fz = incremental_near_dups(
+        bench.select("doc_id", F.col("text").alias("text_clean")),
+        corpus, "text_clean", "doc_id",
+    )
+    ok_ids = (
+        ex.filter(~F.col("contaminated"))
+        .select("doc_id")
+        .join(fz.filter(F.col("is_dup") == 0).select("doc_id"), "doc_id")
+    )
+    surv = corpus.join(ok_ids, "doc_id", "left_semi").localCheckpoint()
+
+    # [7] domain-mixture resampling: uniform-target weights computed
+    # over the survivors, applied as deterministic per-doc keeps
+    toks = surv.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text_clean"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    per = toks.groupBy("source").agg(F.sum("n_tokens").cast("bigint").alias("_tk"))
+    tot = per.agg(
+        F.sum("_tk").cast("bigint").alias("_tt"),
+        F.count(F.lit(1)).cast("bigint").alias("_nd"),
+    )
+    wts = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.when(F.col("_tk") > 0, F.expr("(10000 * _tt) div (_nd * _tk)"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("_weight_bp"),
+    )
+    sampled = toks.join(F.broadcast(wts), "source").filter(
+        hash_bucket(F.col("doc_id"), 10000, salt="mix")
+        < F.least(F.col("_weight_bp"), F.lit(10000))
+    )
+
+    # [8] leakage-safe split: keyed on the source domain
+    split_df = hash_split(
+        sampled, F.col("source"), {"train": 0.8, "val": 0.1, "test": 0.1}, salt="grp"
+    )
+
+    # [9] sequence-packing plan per (split, doc_id%4 shard)
+    counted = split_df.select(
+        "doc_id",
+        "source",
+        "split",
+        "n_tokens",
+        F.concat_ws(
+            "-", F.col("split"), (F.col("doc_id") % 4).cast("string")
+        ).alias("_shard"),
+    )
+    packed = pack_sequences(
+        counted, "n_tokens", budget=512, order_col="doc_id", shard_col="_shard"
+    )
+    return packed.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        "split",
+        "n_tokens",
+        "tokens_before",
+        "pack_id",
+        "pack_offset",
+    )
+
+
 def q_doc_rare_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rare-n-gram memorization-risk screen (round 6): per document,
     how much of it is corpus-UNIQUE 8-grams — the sequences a model
@@ -6578,6 +6722,8 @@ def q_asof_bucketed_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plus the 4 new round-5 operators rotate in this round). Window
 # composition is documented inline below.
 QUERIES = {
+    # ===== new round-7 entries (never driver-gated — in-window first) =====
+    "doc_curation_e2e": q_doc_curation_e2e,
     # ===== round-7 window (first 50 = the driver hash-check set) =====
     # Rotation by STALENESS: every entry below last held a driver row
     # in r2-r5 (the r6 window re-verified the other 50); the four

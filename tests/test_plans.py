@@ -289,3 +289,27 @@ def test_cell_pair_cosines_single_shuffle_no_join(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # cell shuffle (+AQE read)
+
+
+def test_doc_curation_e2e_composes_without_plan_blowup(spark):
+    """Round-7 capstone: nine curation stages composed end-to-end must
+    stay plan-bounded. The three lineage checkpoints (clean / corpus /
+    surv) truncate re-references, so the FINAL plan is a handful of
+    exchanges over leaf scans — not a re-expansion of the whole
+    pipeline per diamond edge. Budget: <=8 exchanges, no SortMergeJoin,
+    no CartesianProduct; the one BroadcastNestedLoopJoin allowed is the
+    1-row mixture-totals crossJoin (same as embedding_cluster_stats)."""
+    from linkmerce_spark.queries import QUERIES
+
+    df = QUERIES["doc_curation_e2e"](spark, SF_DIR)
+    plan = physical_plan(df, "simple")
+    assert len(plan) < 100_000, f"plan blowup: {len(plan)} chars"
+    assert plan.count("Exchange") <= 8, plan.count("Exchange")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    # and it returns the packed-plan schema
+    assert set(df.columns) == {
+        "doc_id", "source", "split", "n_tokens",
+        "tokens_before", "pack_id", "pack_offset",
+    }
