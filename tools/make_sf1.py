@@ -181,7 +181,14 @@ def documents_table(out: str, replicas: int) -> None:
             "n_chars": pa.array(nchars, pa.int64()),
         }
     )
-    pq.write_table(out_tbl, f"{out}/documents.parquet", compression="snappy")
+    # Small row groups so Spark can actually SPLIT the scan: a single
+    # row group is one unsplittable task however many cores exist (the
+    # regex-heavy text scoring then runs serial — a fixture artifact,
+    # not an engine property).
+    pq.write_table(
+        out_tbl, f"{out}/documents.parquet", compression="snappy",
+        row_group_size=2_000,
+    )
 
 
 def embeddings_table(out: str, replicas: int) -> None:
@@ -210,7 +217,10 @@ def embeddings_table(out: str, replicas: int) -> None:
             "label": pa.array(np.concatenate(labels)),
         }
     )
-    pq.write_table(out_tbl, f"{out}/embeddings.parquet", compression="snappy")
+    pq.write_table(
+        out_tbl, f"{out}/embeddings.parquet", compression="snappy",
+        row_group_size=1_000,
+    )
 
 
 def main() -> None:
