@@ -130,3 +130,110 @@ def test_batch_internal_first_writer_wins(spark, workdir):
         by_doc.setdefault(r.doc_id, set()).add((r.owner_id, r.is_hit))
     assert by_doc[5] == {(5, 0)}
     assert by_doc[7] == {(5, 1)}
+
+
+def test_composed_pipeline_3_restarts_matches_batch_on_union(spark, workdir):
+    """Round-7: the COMPOSED incremental pipeline — streaming near-dup
+    flags feeding the availableNow partition-overwrite runner — driven
+    across THREE checkpointed restarts must equal the batch answer on
+    the union: a doc is a dup iff it shares a band with a lower-id doc
+    (first-writer-wins; ingestion is in id order here). Stage 1 is the
+    stateful band index (its own checkpoint), stage 2 rolls the flags
+    up into an idempotent per-DOC partition target (its own
+    checkpoint; a doc's flag rows all arrive in its ingestion wave, so
+    dynamic overwrite touches exactly the new docs): a restart of
+    either stage must neither drop nor double."""
+    from pyspark.sql import functions as F
+
+    from linkmerce_spark.operators.incdedup import band_keys
+    from linkmerce_spark.operators.minhash import minhash_sigs
+    from linkmerce_spark.streaming.incdedup import streaming_incremental_dedup
+    from linkmerce_spark.streaming.incremental import run_incremental_batch
+
+    src = f"{workdir}/docs"
+    flags = f"{workdir}/flags"  # stage-1 output (band, doc, owner, hit)
+    ck1 = f"{workdir}/ck1"
+    tgt = f"{workdir}/verdicts"  # stage-2 output (per-doc rollup)
+    ck2 = f"{workdir}/ck2"
+
+    batches = [
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely different document content with other words here")],
+        [(3, "the quick brown fox jumps over the lazy dog today"),  # dup of 1
+         (4, "yet another brand new never seen text body words")],
+        [(5, "completely different document content with other words here"),  # dup of 2
+         (6, "final novel document closing out the third ingestion wave")],
+    ]
+
+    def run_stage1():
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_incremental_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", flags)
+            .option("checkpointLocation", ck1)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def run_stage2():
+        schema = spark.read.parquet(flags).schema
+        run_incremental_batch(
+            spark,
+            flags,
+            schema,
+            lambda df: df.groupBy(
+                F.col("doc_id").cast("string").alias("doc_part"), "doc_id"
+            ).agg(F.max("is_hit").alias("is_dup")),
+            tgt,
+            "doc_part",
+            ck2,
+        )
+
+    for rows in batches:  # 3 arrivals, a full restart of BOTH stages each
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        run_stage1()
+        run_stage2()
+
+    got = {
+        r.doc_id: r.is_dup
+        for r in spark.read.parquet(tgt)
+        .groupBy("doc_id")
+        .agg(F.max("is_dup").alias("is_dup"))
+        .collect()
+    }
+
+    # batch answer on the UNION: doc is dup iff it holds a band whose
+    # min-id holder is another doc
+    union = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id long, text string"
+    )
+    bk = band_keys(minhash_sigs(union, "text", "doc_id"))
+    owner = bk.groupBy("band_id", "band_key").agg(F.min("doc_id").alias("owner"))
+    want = {
+        r.doc_id: r.is_dup
+        for r in bk.join(owner, ["band_id", "band_key"])
+        .groupBy("doc_id")
+        .agg(
+            F.max((F.col("doc_id") != F.col("owner")).cast("long")).alias("is_dup")
+        )
+        .collect()
+    }
+    assert got == want == {1: 0, 2: 0, 3: 1, 4: 0, 5: 1, 6: 0}
+
+    # idempotence: re-running both stages with no new files changes nothing
+    run_stage1()
+    run_stage2()
+    again = {
+        r.doc_id: r.is_dup
+        for r in spark.read.parquet(tgt)
+        .groupBy("doc_id")
+        .agg(F.max("is_dup").alias("is_dup"))
+        .collect()
+    }
+    assert again == got
