@@ -7,13 +7,14 @@ codec itself is imperative).
 
 Two decode tiers:
 
-- ``extract_media_stats``: a REAL decoder for the container formats a
-  pure stdlib parse can handle — uncompressed 24-bit BMP and PCM WAV
+- ``extract_media_stats``: a REAL decoder for the formats a pure
+  stdlib parse can handle — uncompressed 24-bit BMP, 8-bit PNG (zlib
+  inflate + the full five-filter per-row unfilter pass), and PCM WAV
   (RIFF chunk walk). Genuine byte-level parsing of genuine files;
   malformed bytes degrade to a ``parse_error`` row, never a task
   failure.
 - ``decode_media_features``: the embedding-shaped contract for codec
-  formats (PNG/JPEG/MP4) whose libraries are not available in this
+  formats (JPEG/MP4) whose libraries are not available in this
   environment; ``decode_stub=True`` produces a deterministic fake
   (byte-hash derived "pixels"), ``decode_stub=False`` raises
   ``NotImplementedError`` where PIL/ffmpeg would be called.
@@ -56,8 +57,10 @@ __all__ = [
     "attach_media_metadata",
     "decode_media_features",
     "decode_bmp",
+    "decode_png",
     "decode_wav",
     "encode_bmp",
+    "encode_png",
     "encode_wav",
     "extract_media_stats",
     "repartition_for_media",
@@ -154,7 +157,7 @@ def decode_media_features(
 
 
 # ----------------------------------------------------------------------
-# Real stdlib decoders: uncompressed 24-bit BMP and PCM WAV.
+# Real stdlib codecs: uncompressed 24-bit BMP, 8-bit PNG, PCM WAV.
 # ----------------------------------------------------------------------
 
 import math
@@ -219,6 +222,159 @@ def decode_bmp(content: bytes) -> dict:
         "mean_r": sums[2] / n,
         "flipped": flipped,
     }
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels_rgb: list, width: int, height: int) -> bytes:
+    """Build a REAL 8-bit RGB PNG (zlib-deflated, CRC-correct).
+
+    ``pixels_rgb``: ``width*height*3`` byte values, row-major from the
+    top row, channels in R,G,B order. Each row's filter type cycles
+    0..4 (None/Sub/Up/Average/Paeth), so a decoder must implement the
+    FULL per-row unfilter pass to read these bytes back — the encode
+    side is what makes the decode side's filter coverage testable on
+    genuine files. Output opens in any image viewer."""
+    import zlib
+
+    bpp, stride = 3, width * 3
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        row = bytes(pixels_rgb[r * stride : (r + 1) * stride])
+        ft = r % 5
+        raw.append(ft)
+        if ft == 0:
+            raw += row
+        elif ft == 1:  # Sub
+            raw += bytes(
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 2:  # Up
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+        elif ft == 3:  # Average
+            raw += bytes(
+                (row[i] - ((row[i - bpp] if i >= bpp else 0) + prev[i]) // 2) & 0xFF
+                for i in range(stride)
+            )
+        else:  # Paeth
+            out = bytearray()
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                cc = prev[i - bpp] if i >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                out.append((row[i] - pred) & 0xFF)
+            raw += out
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(content: bytes) -> dict:
+    """Parse an 8-bit gray/RGB/RGBA PNG: chunk walk, zlib inflate,
+    full per-row unfilter (all five filter types), per-channel means.
+
+    Pure stdlib (struct + zlib) — no image library. Raises ValueError
+    on interlaced, paletted, or non-8-bit files."""
+    import zlib
+
+    if len(content) < 8 or content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(content):
+        (size,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        chunk = content[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk[:13])
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # len + type + payload + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    width, height, depth, ctype_n, _, _, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype_n)
+    if depth != 8 or channels is None or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={ctype_n}, interlace={interlace})"
+        )
+    raw = zlib.decompress(bytes(idat))
+    bpp, stride = channels, width * channels
+    if len(raw) < (stride + 1) * height:
+        raise ValueError("truncated PNG pixel data")
+    sums = [0] * channels
+    prev = bytes(stride)
+    for r in range(height):
+        base = r * (stride + 1)
+        ft = raw[base]
+        line = raw[base + 1 : base + 1 + stride]
+        if ft == 0:
+            row = bytearray(line)
+        elif ft == 1:  # Sub
+            row = bytearray(stride)
+            for i in range(stride):
+                row[i] = (line[i] + (row[i - bpp] if i >= bpp else 0)) & 0xFF
+        elif ft == 2:  # Up
+            row = bytearray((line[i] + prev[i]) & 0xFF for i in range(stride))
+        elif ft == 3:  # Average
+            row = bytearray(stride)
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            row = bytearray(stride)
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                cc = prev[i - bpp] if i >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                row[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        for c in range(channels):
+            sums[c] += sum(row[c::channels])
+        prev = bytes(row)
+    n = width * height
+    out = {
+        "format": "png",
+        "width": width,
+        "height": height,
+        "channels": channels,
+    }
+    if channels >= 3:
+        out["mean_r"], out["mean_g"], out["mean_b"] = (
+            sums[0] / n,
+            sums[1] / n,
+            sums[2] / n,
+        )
+    else:
+        out["mean_r"] = out["mean_g"] = out["mean_b"] = sums[0] / n
+    return out
 
 
 def encode_wav(samples: list, sample_rate: int = 8000) -> bytes:
@@ -306,6 +462,8 @@ def extract_media_stats(df: DataFrame, content_col: str = "content") -> DataFram
                     if content[:2] == b"BM":
                         row.update(decode_bmp(content))
                         row.pop("flipped", None)
+                    elif content[:8] == _PNG_SIG:
+                        row.update(decode_png(content))
                     else:
                         row.update(decode_wav(content))
                 except Exception as e:  # noqa: BLE001 — the contract is
@@ -327,9 +485,12 @@ def synthesize_media(df: DataFrame) -> DataFrame:
     """Deterministic media ingestion stand-in producing REAL files.
 
     For each (media_id, kind) row emits genuine container bytes built
-    executor-side: ``kind='image'`` -> an uncompressed 24-bit BMP whose
-    pixel byte j is ``(media_id*7 + j) % 251`` at ``4 + id%5`` x
-    ``2 + id%3``; anything else -> a mono 16-bit PCM WAV of
+    executor-side: ``kind='image'`` -> pixel byte j is
+    ``(media_id*7 + j) % 251`` at ``4 + id%5`` x ``2 + id%3``,
+    containered as an uncompressed 24-bit BMP (byte order B,G,R) when
+    ``media_id % 4 == 0`` and as an 8-bit RGB PNG (byte order R,G,B,
+    rows zlib-deflated through the cycling 0-4 filter schedule) when
+    ``media_id % 4 == 2``; anything else -> a mono 16-bit PCM WAV of
     ``32 + id%50`` samples at 8 kHz with sample i =
     ``(media_id*31 + i*17) % 2048 - 1024``. The closed-form content
     lets a SQL oracle reproduce the decoded stats exactly while the
@@ -350,7 +511,10 @@ def synthesize_media(df: DataFrame) -> DataFrame:
                 if kind == "image":
                     w, h = 4 + mid % 5, 2 + mid % 3
                     px = [(mid * 7 + j) % 251 for j in range(w * h * 3)]
-                    content.append(encode_bmp(px, w, h))
+                    if mid % 4 == 0:
+                        content.append(encode_bmp(px, w, h))
+                    else:
+                        content.append(encode_png(px, w, h))
                 else:
                     n = 32 + mid % 50
                     samples = [((mid * 31 + i * 17) % 2048) - 1024 for i in range(n)]

@@ -876,11 +876,14 @@ SELECT doc_id AS media_id,
 FROM documents
 """
 
-# Twin of the REAL BMP/WAV decode: the Spark side byte-parses genuine
-# container files built from closed-form content (operators/
+# Twin of the REAL BMP/PNG/WAV decode: the Spark side byte-parses
+# genuine container files built from closed-form content (operators/
 # multimodal.py synthesize_media); the oracle recomputes the decoded
 # stats from the same generating formulas. Every double is an exact
 # integer sum divided once (correctly rounded in both engines).
+# Channel order is the FILE's: pixel byte position 3i is Blue in a BMP
+# (media_id % 4 = 0) but Red in a PNG (media_id % 4 = 2) — a decoder
+# that ignores the container's channel order breaks the hash.
 ORACLES["media_stats_real"] = """
 WITH m AS (
   SELECT doc_id AS media_id,
@@ -895,12 +898,18 @@ img AS (
 ),
 imgstats AS (
   SELECT media_id, w, h,
-    CAST(SUM((media_id * 7 + 3 * t.i) % 251) AS DOUBLE) / (w * h) AS mean_b,
-    CAST(SUM((media_id * 7 + 3 * t.i + 1) % 251) AS DOUBLE) / (w * h) AS mean_g,
-    CAST(SUM((media_id * 7 + 3 * t.i + 2) % 251) AS DOUBLE) / (w * h) AS mean_r
-  FROM img CROSS JOIN (SELECT unnest(range(0, 32)) AS i) t
-  WHERE t.i < w * h
-  GROUP BY media_id, w, h
+    CASE WHEN media_id % 4 = 0 THEN pos0 ELSE pos2 END AS mean_b,
+    pos1 AS mean_g,
+    CASE WHEN media_id % 4 = 0 THEN pos2 ELSE pos0 END AS mean_r
+  FROM (
+    SELECT media_id, w, h,
+      CAST(SUM((media_id * 7 + 3 * t.i) % 251) AS DOUBLE) / (w * h) AS pos0,
+      CAST(SUM((media_id * 7 + 3 * t.i + 1) % 251) AS DOUBLE) / (w * h) AS pos1,
+      CAST(SUM((media_id * 7 + 3 * t.i + 2) % 251) AS DOUBLE) / (w * h) AS pos2
+    FROM img CROSS JOIN (SELECT unnest(range(0, 32)) AS i) t
+    WHERE t.i < w * h
+    GROUP BY media_id, w, h
+  )
 ),
 aud AS (
   SELECT media_id, CAST(32 + media_id % 50 AS INTEGER) AS n
@@ -915,7 +924,9 @@ audstats AS (
   GROUP BY a.media_id, a.n
 )
 SELECT m.media_id, m.kind,
-  CASE WHEN m.kind = 'image' THEN 'bmp' ELSE 'wav' END AS format,
+  CASE WHEN m.kind = 'image'
+       THEN (CASE WHEN m.media_id % 4 = 0 THEN 'bmp' ELSE 'png' END)
+       ELSE 'wav' END AS format,
   i.w AS width, i.h AS height,
   CAST(CASE WHEN m.kind = 'image' THEN 3 ELSE 1 END AS INTEGER) AS channels,
   CAST(CASE WHEN m.kind = 'audio' THEN 8000 END AS INTEGER) AS sample_rate,

@@ -137,15 +137,87 @@ def test_malformed_media_degrades_to_parse_error(spark):
 def test_synthesize_media_emits_real_parseable_files(spark):
     from linkmerce_spark.operators.multimodal import (
         decode_bmp,
+        decode_png,
         decode_wav,
         synthesize_media,
     )
 
     base = spark.createDataFrame(
-        [(2, "image"), (3, "audio")], "media_id long, kind string"
+        [(2, "image"), (3, "audio"), (4, "image")], "media_id long, kind string"
     )
     got = {r["media_id"]: bytes(r["content"]) for r in synthesize_media(base).collect()}
-    d2 = decode_bmp(got[2])
+    d2 = decode_png(got[2])  # media_id % 4 == 2 -> PNG container
     assert (d2["width"], d2["height"]) == (4 + 2 % 5, 2 + 2 % 3)
     d3 = decode_wav(got[3])
     assert d3["duration_ms"] == (32 + 3 % 50) * 1000 // 8000
+    d4 = decode_bmp(got[4])  # media_id % 4 == 0 -> BMP container
+    assert (d4["width"], d4["height"]) == (4 + 4 % 5, 2 + 4 % 3)
+    # the same pixel formula lands in different FILE channel orders:
+    # byte position 0 is Blue in the BMP, Red in the PNG
+    px2 = [(2 * 7 + j) % 251 for j in range((4 + 2 % 5) * (2 + 2 % 3) * 3)]
+    n2 = (4 + 2 % 5) * (2 + 2 % 3)
+    assert d2["mean_r"] == sum(px2[0::3]) / n2
+
+
+def test_png_roundtrip_all_filter_types_exact():
+    from linkmerce_spark.operators.multimodal import decode_png, encode_png
+
+    # >= 5 rows so the cycling filter schedule hits every type 0-4,
+    # including Average/Paeth carry across rows and pixels
+    w, h = 6, 7
+    px = [(j * 89 + 13) % 256 for j in range(w * h * 3)]
+    blob = encode_png(px, w, h)
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    d = decode_png(blob)
+    n = w * h
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+    assert d["mean_r"] == sum(px[0::3]) / n
+    assert d["mean_g"] == sum(px[1::3]) / n
+    assert d["mean_b"] == sum(px[2::3]) / n
+
+
+def test_png_crc_and_zlib_are_real():
+    """The emitted chunks must be spec-true: CRCs verify and the IDAT
+    stream re-inflates with plain zlib."""
+    import struct
+    import zlib
+
+    from linkmerce_spark.operators.multimodal import encode_png
+
+    blob = encode_png([1, 2, 3], 1, 1)
+    pos = 8
+    seen = []
+    while pos + 8 <= len(blob):
+        (size,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        payload = blob[pos + 8 : pos + 8 + size]
+        (crc,) = struct.unpack(">I", blob[pos + 8 + size : pos + 12 + size])
+        assert crc == zlib.crc32(ctype + payload) & 0xFFFFFFFF, ctype
+        seen.append(bytes(ctype))
+        if ctype == b"IDAT":
+            assert zlib.decompress(payload) == b"\x00\x01\x02\x03"
+        pos += 12 + size
+    assert seen == [b"IHDR", b"IDAT", b"IEND"]
+
+
+def test_malformed_png_degrades_to_parse_error(spark):
+    from linkmerce_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        extract_media_stats,
+    )
+
+    good = encode_png([10, 20, 30], 1, 1)
+    bad_idat = bytearray(good)
+    bad_idat[41] ^= 0xFF  # corrupt the deflate stream -> zlib.error
+    rows = [
+        (1, "image", good, "image/png", 1, 1, None),
+        (2, "image", good[:20], "image/png", None, None, None),  # no IDAT
+        (3, "image", bytes(bad_idat), "image/png", None, None, None),
+    ]
+    out = extract_media_stats(spark.createDataFrame(rows, MEDIA_SCHEMA))
+    got = {r["media_id"]: r for r in out.collect()}
+    assert got[1]["parse_error"] is None and got[1]["format"] == "png"
+    assert (got[1]["mean_r"], got[1]["mean_g"], got[1]["mean_b"]) == (10.0, 20.0, 30.0)
+    assert got[2]["parse_error"] is not None
+    assert got[3]["parse_error"] is not None
