@@ -91,17 +91,32 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (li,) = _t(spark, sf_dir, "lineitem")
     # Exact decimal arithmetic: monetary inputs are 2-decimal values, so
     # decimal products are exact in any engine — no double-rounding drift.
+    # The scale-4/6 product sums are rounded to CENTS (portable
+    # floor(x*100+0.5) on the exact decimal) before the double cast:
+    # at sf1+ the raw scaled integer exceeds 2^53, where DuckDB's
+    # decimal->double cast double-rounds (int->double, then /10^scale)
+    # and drifts 1 ulp from Spark's correctly-rounded conversion —
+    # caught by the sf1 fixture gate. Cents keep the integer exact in
+    # float64 up to ~9e13 in value, so the final division is the single
+    # correctly-rounded op on both engines.
     ep = F.col("l_extendedprice").cast("decimal(18,2)")
     disc_price = ep * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
     charge = disc_price * (F.lit(1) + F.col("l_tax").cast("decimal(8,2)"))
+
+    def _cents(c: Column) -> Column:
+        return (
+            F.floor(c * 100 + F.lit("0.5").cast("decimal(2,1)")).cast("double")
+            / 100
+        )
+
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dsum("l_quantity").alias("sum_qty"),
             _dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            _cents(F.sum(disc_price)).alias("sum_disc_price"),
+            _cents(F.sum(charge)).alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
             F.sum(
                 F.when(F.col("l_discount") > 0.05, F.col("l_quantity").cast("decimal(18,2)"))
