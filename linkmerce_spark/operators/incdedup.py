@@ -97,6 +97,7 @@ def incremental_near_dups(
     bands: int = 4,
     rows_per_band: int = 4,
     max_bucket: int | None = 500,
+    batch_signed: DataFrame | None = None,
 ) -> DataFrame:
     """Flag new-batch documents that near-duplicate an indexed corpus.
 
@@ -105,6 +106,12 @@ def incremental_near_dups(
     ``is_dup`` (1 when any match, else 0; BIGINT for engine-portable
     hashing). Batch documents too short to shingle have no signature
     and report 0 matches.
+
+    ``batch_signed``: a pre-signed frame (``minhash_sigs`` /
+    ``minhash_signature`` output with ``id_col`` + ``sig``) for the
+    batch side, so a pipeline that already signed the corpus for
+    near-dup detection does not sign it a second time here. The band
+    family is identical either way.
     """
     idx = band_keys(
         minhash_sigs(index_df, text_col, id_col, k, shingle_words),
@@ -119,7 +126,9 @@ def incremental_near_dups(
             ["band_id", "band_key"],
         )
     new = band_keys(
-        minhash_sigs(batch_df, text_col, id_col, k, shingle_words),
+        batch_signed.select(F.col(id_col), "sig")
+        if batch_signed is not None
+        else minhash_sigs(batch_df, text_col, id_col, k, shingle_words),
         id_col,
         bands,
         rows_per_band,

@@ -245,16 +245,26 @@ def minhash_near_dups(
     rows_per_band: int = 4,
     min_jaccard: float = 0.0,
     max_bucket: int | None = None,
+    presigned: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: sign -> band -> candidate
     pairs -> exact-Jaccard verify. Returns (id_a, id_b, jaccard).
 
     Jaccard is computed only on LSH candidates, against the true
     distinct-shingle sets (intersect / (|a|+|b|-intersect)).
+
+    ``presigned``: a ``minhash_signature`` output to reuse instead of
+    re-signing ``df`` — composed pipelines that also band the same
+    corpus for other purposes (e.g. fuzzy decontamination) sign once
+    and share. Must carry ``id_col``, ``sig`` and ``shingles``.
     """
     # minhash_signature persists the expensive shingle frame internally;
     # downstream consumers recompute only the cheap join/agg on top.
-    signed = minhash_signature(df, text_col, id_col, k, shingle_words)
+    signed = (
+        presigned
+        if presigned is not None
+        else minhash_signature(df, text_col, id_col, k, shingle_words)
+    )
     pairs = lsh_candidate_pairs(signed, id_col, bands, rows_per_band, max_bucket)
     sh = signed.select(F.col(id_col), "shingles")
     verified = (

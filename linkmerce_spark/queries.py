@@ -35,6 +35,7 @@ from linkmerce_spark.operators.merge import merge_frames
 from linkmerce_spark.operators.minhash import (
     jaccard_pairs,
     minhash_near_dups,
+    minhash_signature,
     simhash32,
 )
 from linkmerce_spark.functions.scalar import (
@@ -1250,10 +1251,14 @@ def q_doc_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
 
     # [5] fuzzy self near-dup on the REWRITTEN text: drop the higher id
-    # of every verified near-dup pair (greedy keep-lowest-id)
+    # of every verified near-dup pair (greedy keep-lowest-id). The
+    # corpus is SIGNED ONCE — the same signature frame feeds the fuzzy
+    # decontamination bands in [6] (one sign pass instead of two).
+    signed = minhash_signature(clean, "text_clean", "doc_id", 16, 3)
     pairs = minhash_near_dups(
         clean, text_col="text_clean", id_col="doc_id", k=16, shingle_words=3,
         bands=4, rows_per_band=4, min_jaccard=0.5, max_bucket=500,
+        presigned=signed,
     )
     doomed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     uniq = clean.join(doomed, "doc_id", "left_anti")
@@ -1269,6 +1274,9 @@ def q_doc_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     fz = incremental_near_dups(
         bench.select("doc_id", F.col("text").alias("text_clean")),
         corpus, "text_clean", "doc_id",
+        batch_signed=signed.join(
+            corpus.select("doc_id"), "doc_id", "left_semi"
+        ),
     )
     ok_ids = (
         ex.filter(~F.col("contaminated"))
