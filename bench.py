@@ -27,9 +27,27 @@ def main() -> None:
     # few representative pipelines, untimed: per-query numbers should
     # measure steady-state execution — the regime a long-lived cluster
     # actually runs in — not first-query compiler bootstrap.
+    # The warm set spans the engine's code paths (scan/join/agg, deep
+    # mart chain, window stack, corpus explode/window, embedding
+    # kernel): C2-compiling the scheduler/shuffle/codegen framework up
+    # front makes per-query times insensitive to CATALOG ORDER — the
+    # r7 window rotation showed front-of-dict queries paying ~1-2 s of
+    # global JVM warm-up that mid-catalog positions used to absorb.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    for warm in ("pricing_summary", "star_join_revenue", "doc_lang_guess"):
+    from linkmerce_spark.queries import clear_query_cache as _cqc
+
+    for warm in (
+        "pricing_summary",
+        "star_join_revenue",
+        "doc_lang_guess",
+        "core_sales_daily",
+        "stock_report_ds",
+        "doc_dup_clusters",
+        "embedding_ivf_topk",
+    ):
         QUERIES[warm](spark, sf_dir).count()
+    spark.catalog.clearCache()
+    _cqc(spark)
 
     # Best-of-2 per query: one measurement is hostage to GC pauses and
     # codegen-compile timing; the min of two runs is the standard
