@@ -149,20 +149,45 @@ def cell_pair_cosines(
         ids = pdf[id_col].to_numpy()
         order = np.argsort(ids, kind="stable")
         Aq, ids = Aq[order], ids[order]
-        dot = Aq @ Aq.T
         nrm = np.sqrt((Aq * Aq).sum(axis=1))
-        denom = np.outer(nrm, nrm)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = dot / denom
-        ia, ib = np.triu_indices(n, k=1)
-        c = np.floor(cos[ia, ib] * round_scale + 0.5) / round_scale
-        keep = c >= min_cosine  # NaN compares False: zero-norm pairs drop
+        # ROW-BLOCKED scoring: a full n x n cosine matrix is n^2
+        # doubles (5 GB at n=25k — an oversized cell must degrade to
+        # more matmul calls, never to an OOM). Each block computes
+        # block_rows x n scores, keeps only the upper-triangle
+        # above-threshold triples, and frees the rest. Values are
+        # bit-identical to the unblocked form (same per-pair dot and
+        # division).
+        block = max(1, min(n, 33_554_432 // max(n, 1)))  # <=256 MB/scores
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, n - 1, block):
+            i1 = min(i0 + block, n)
+            dot = Aq[i0:i1] @ Aq.T
+            denom = np.outer(nrm[i0:i1], nrm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / denom
+            c = np.floor(cos * round_scale + 0.5) / round_scale
+            # j > absolute row index, and threshold (NaN compares False)
+            col = np.arange(n)[None, :]
+            row = np.arange(i0, i1)[:, None]
+            with np.errstate(invalid="ignore"):
+                keep = (col > row) & (c >= min_cosine)
+            ia, ib = np.nonzero(keep)
+            out_a.append(ids[ia + i0])
+            out_b.append(ids[ib])
+            out_c.append(c[ia, ib])
+        a = np.concatenate(out_a) if out_a else ids[:0]
+        b = np.concatenate(out_b) if out_b else ids[:0]
+        cv = (
+            np.concatenate(out_c)
+            if out_c
+            else np.array([], dtype="float64")
+        )
         return pd.DataFrame(
             {
-                cell_col: np.full(int(keep.sum()), cell, dtype="int32"),
-                "id_a": ids[ia[keep]],
-                "id_b": ids[ib[keep]],
-                "cosine": c[keep],
+                cell_col: np.full(len(a), cell, dtype="int32"),
+                "id_a": a,
+                "id_b": b,
+                "cosine": cv,
             }
         )
 
