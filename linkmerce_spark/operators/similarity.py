@@ -96,6 +96,7 @@ def cell_pair_cosines(
     quant: int = QUANT_DEFAULT,
     min_cosine: float = 0.0,
     round_scale: float = 1000000.0,
+    n_cells: int | None = None,
 ):
     """All-pairs quantized cosine WITHIN each cell: one matmul per
     cell instead of a pair join that ships both vectors per candidate.
@@ -191,11 +192,21 @@ def cell_pair_cosines(
             }
         )
 
-    return (
-        cells.select(cell_col, id_col, vec_col)
-        .groupBy(cell_col)
-        .applyInPandas(_pairs, schema)
-    )
+    src = cells.select(cell_col, id_col, vec_col)
+    if n_cells is not None:
+        # Pin the cell exchange to one partition per cell: the scoring
+        # stage is CPU-bound PYTHON work, but AQE's size-based
+        # coalescing sees only shuffle BYTES — at 200k vectors the
+        # whole corpus is ~50 MB, one advisory unit, so every cell's
+        # matmul serialized through ONE worker (measured 8x on the
+        # sf10 fixture). An explicit user repartition satisfies the
+        # groupBy's clustered distribution (no second exchange) and
+        # AQE leaves explicit partition counts alone. Range
+        # partitioning (not hash) because k small integer cell ids
+        # hash-collide: at k=8, hash occupancy is ~5-6 of 8 partitions
+        # while ranges give one cell per partition.
+        src = src.repartitionByRange(n_cells, cell_col)
+    return src.groupBy(cell_col).applyInPandas(_pairs, schema)
 
 
 def _nearest_centroid_kernel(cents: list[list[int]], quant: int | None):

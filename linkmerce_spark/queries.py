@@ -1054,7 +1054,7 @@ def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = ivf_train(emb, "vec_id", "embedding", dim=64, k=8)
     cells = ivf_assign(emb, "embedding", dim=64, k=8, centroids=cents)
     doomed = (
-        cell_pair_cosines(cells, min_cosine=0.35)
+        cell_pair_cosines(cells, min_cosine=0.35, n_cells=8)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
@@ -1671,7 +1671,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = ivf_assign(emb, "embedding", dim=64, k=8, centroids=cents)
     # One matmul per cell (vectors shipped once) instead of a pair
     # join carrying two arrays per candidate — see cell_pair_cosines.
-    return cell_pair_cosines(cells, min_cosine=0.25).select(
+    return cell_pair_cosines(cells, min_cosine=0.25, n_cells=8).select(
         "cell", "id_a", "id_b", "cosine"
     )
 
