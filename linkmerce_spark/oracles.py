@@ -6704,3 +6704,65 @@ SELECT ga, gb,
         ELSE 127 * 4294967296.0 / CAST(uhk AS DOUBLE) END) AS intersection_est
 FROM stats
 """
+
+
+# --- full iterative BPE training (round 7) --------------------------------
+# The trainer's n_merges rounds unrolled as chained CTEs: each layer
+# counts adjacent pairs over the current vocabulary segmentation, takes
+# the (count DESC, left, right) argmax, and re-segments via a
+# list_reduce fold with the SAME left-to-right non-overlapping
+# semantics as the Spark-side F.aggregate (operators/bpe.py). Layers
+# are MATERIALIZED: each v{k} is referenced twice (pair counts + the
+# next re-segmentation) and inlining would double the tree per round.
+# DuckDB slice notes: acc[:-2] drops the LAST element (negative bounds
+# are inclusive); acc[-1] is the last element. The range(1, 128) pair
+# index bound only requires words under 128 characters (max doc token
+# here is ~12 chars; symbols only ever get longer, shrinking len(sym)).
+def _bpe_oracle(n_merges: int, final_select: str) -> str:
+    layers = [
+        "toks AS MATERIALIZED (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)",
+        "v0 AS MATERIALIZED (SELECT string_split(tok, '') AS sym,"
+        " CAST(COUNT(*) AS BIGINT) AS wc FROM toks WHERE tok <> '' GROUP BY tok)",
+    ]
+    for k in range(n_merges):
+        layers.append(
+            f"p{k} AS MATERIALIZED (\n"
+            f"  SELECT v.sym[g.i] AS ml, v.sym[g.i + 1] AS mr, SUM(v.wc) AS cnt\n"
+            f"  FROM v{k} v CROSS JOIN (SELECT UNNEST(range(1, 128)) AS i) g\n"
+            f"  WHERE g.i <= len(v.sym) - 1 GROUP BY 1, 2)"
+        )
+        layers.append(
+            f"b{k} AS MATERIALIZED (SELECT ml, mr, cnt FROM p{k} "
+            f"ORDER BY cnt DESC, ml, mr LIMIT 1)"
+        )
+        layers.append(
+            f"v{k + 1} AS MATERIALIZED (\n"
+            f"  SELECT list_reduce(list_transform(v.sym, s -> [s]),\n"
+            f"           (acc, s) -> CASE WHEN acc[-1] = ml AND s[1] = mr\n"
+            f"                            THEN acc[:-2] || [ml || mr]\n"
+            f"                            ELSE acc || s END) AS sym, v.wc\n"
+            f"  FROM v{k} v CROSS JOIN b{k})"
+        )
+    return "WITH " + ",\n".join(layers) + "\n" + final_select
+
+
+_BPE_N = 12
+
+ORACLES["doc_bpe_train"] = _bpe_oracle(
+    _BPE_N,
+    "SELECT * FROM (\n"
+    + "\n  UNION ALL ".join(
+        f"SELECT CAST({k + 1} AS INTEGER) AS merge_rank, ml AS left_sym,"
+        f" mr AS right_sym, ml || mr AS merged, CAST(cnt AS BIGINT) AS pair_count"
+        f" FROM b{k}"
+        for k in range(_BPE_N)
+    )
+    + "\n)",
+)
+
+ORACLES["doc_bpe_tokens"] = _bpe_oracle(
+    _BPE_N,
+    f"SELECT token, CAST(SUM(wc) AS BIGINT) AS token_count FROM (\n"
+    f"  SELECT UNNEST(sym) AS token, wc FROM v{_BPE_N}\n"
+    f") GROUP BY 1 ORDER BY token_count DESC, token LIMIT 40",
+)

@@ -940,6 +940,35 @@ def q_doc_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(docs, "text", top_n=50)
 
 
+def q_doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL iterative BPE training — 12 merge rounds (round 7).
+
+    Extends `doc_bpe_pairs` (round-1 statistics) to the whole training
+    loop: each round counts adjacent symbol pairs over the DISTINCT
+    vocabulary, takes the (count DESC, left, right) argmax, and
+    re-segments via the canonical left-to-right non-overlapping scan
+    (a fold — operators/bpe.py). The corpus is scanned once; every
+    round is one vocabulary-sized shuffle; the driver receives one row
+    per round. The oracle unrolls the same 12 rounds as chained DuckDB
+    CTEs (list_reduce fold), so a divergence in ANY round's argmax or
+    re-segmentation breaks the hash."""
+    from linkmerce_spark.operators.bpe import bpe_train
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, "text", n_merges=12)
+
+
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token histogram under the trained 12-rule BPE segmentation
+    (round 7) — the tokenizer-fit report: explode the final vocabulary
+    segmentation weighted by word frequency, top 40 tokens by
+    (count DESC, token ASC)."""
+    from linkmerce_spark.operators.bpe import bpe_token_counts
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return bpe_token_counts(docs, "text", n_merges=12, top_n=40)
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-compaction plan over month-partitioned orders (table
     maintenance, round 6; the Delta OPTIMIZE / Iceberg rewrite shape).
@@ -6747,6 +6776,8 @@ def q_asof_bucketed_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     # ===== new round-7 entries (never driver-gated — in-window first) =====
     "doc_curation_e2e": q_doc_curation_e2e,
+    "doc_bpe_train": q_doc_bpe_train,
+    "doc_bpe_tokens": q_doc_bpe_tokens,
     # ===== round-7 window (first 50 = the driver hash-check set) =====
     # Rotation by STALENESS: every entry below last held a driver row
     # in r2-r5 (the r6 window re-verified the other 50); the four
@@ -6967,14 +6998,17 @@ _QUERY_CACHE: "dict[int, tuple[SparkSession, dict]]" = {}
 def clear_query_cache(spark: SparkSession | None = None) -> None:
     """Drop cached catalog plans — for one session, or all. Also clears
     the IVF-training memo (same build-time-compute lifetime)."""
+    from linkmerce_spark.operators.bpe import _TRAIN_MEMO as _BPE_MEMO
     from linkmerce_spark.operators.similarity import _TRAIN_MEMO
 
     if spark is None:
         _QUERY_CACHE.clear()
         _TRAIN_MEMO.clear()
+        _BPE_MEMO.clear()
     else:
         _QUERY_CACHE.pop(id(spark), None)
         _TRAIN_MEMO.clear()
+        _BPE_MEMO.clear()
 
 
 def _memoize_query(name: str, fn):
