@@ -57,9 +57,13 @@ __all__ = [
     "attach_media_metadata",
     "decode_media_features",
     "decode_bmp",
+    "decode_gif",
+    "decode_jpeg_meta",
     "decode_png",
     "decode_wav",
     "encode_bmp",
+    "encode_gif",
+    "encode_jpeg_shell",
     "encode_png",
     "encode_wav",
     "extract_media_stats",
@@ -377,6 +381,267 @@ def decode_png(content: bytes) -> dict:
     return out
 
 
+# GIF: the palette is part of the closed-form contract — synthesize_media
+# writes index j = (media_id*7 + j) % 251 against THIS table, and the
+# SQL oracle recomputes channel means through the same mapping.
+def _gif_palette(i: int) -> tuple[int, int, int]:
+    return (i % 256, (i * 2) % 256, (i * 5) % 256)
+
+
+def _lzw_encode(indices: list, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW compression (LSB-first variable-width codes).
+
+    The spec's rules in full: emit CLEAR first, grow the code width
+    when the next assignable code would not fit, reset the dictionary
+    at 4096 entries, emit END-OF-INFORMATION last."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    code_size = min_code_size + 1
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, code_size)
+    seq: tuple = ()
+    for raw in indices:
+        idx = int(raw)
+        cand = seq + (idx,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], code_size)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            # Width grows ONE ENTRY LATE relative to the table bound:
+            # the decoder's additions lag the encoder's by exactly one
+            # emission (its first read adds nothing), so its table hits
+            # 2^w — and its read width bumps — only as it consumes the
+            # code AFTER the encoder assigned entry 2^w - 1.
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear, code_size)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        seq = (idx,)
+    if seq:
+        emit(table[seq], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int = 8) -> list:
+    """GIF-variant LZW decompression (the decoder-side spec rules:
+    width grows when the next ASSIGNABLE code would overflow, CLEAR
+    resets, the KwKwK case appends the sequence's own first index)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table: list[tuple] = [(i,) for i in range(clear)] + [(), ()]
+    out: list[int] = []
+    prev: tuple | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended without EOI")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code < len(table):
+            seq = table[code]
+        elif code == len(table) and prev is not None:
+            seq = prev + (prev[0],)  # KwKwK
+        else:
+            raise ValueError(f"corrupt LZW code {code}")
+        out.extend(seq)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + (seq[0],))
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = seq
+
+
+def encode_gif(indices: list, width: int, height: int) -> bytes:
+    """Build a REAL GIF89a: logical screen descriptor, 256-entry global
+    color table (``_gif_palette``), image descriptor, LZW-compressed
+    8-bit index stream in length-prefixed sub-blocks. Output opens in
+    any image viewer."""
+    if len(indices) != width * height:
+        raise ValueError("indices must be width*height long")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT, 256 entries
+    for i in range(256):
+        out += bytes(_gif_palette(i))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(8)  # LZW minimum code size
+    lzw = _lzw_encode(indices, 8)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(content: bytes) -> dict:
+    """Parse a GIF87a/89a: header + screen descriptor walk, global
+    color table, extension-block skip, full LZW decompression of the
+    first image, palette-mapped per-channel means. Pure stdlib.
+    Raises ValueError on interlaced or local-color-table images."""
+    if len(content) < 13 or content[:4] != b"GIF8" or content[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF file")
+    width, height, flags, _, _ = struct.unpack("<HHBBB", content[6:13])
+    pos = 13
+    palette: list[tuple] = []
+    if flags & 0x80:
+        n_colors = 2 << (flags & 0x07)
+        palette = [
+            tuple(content[pos + 3 * i : pos + 3 * i + 3]) for i in range(n_colors)
+        ]
+        pos += 3 * n_colors
+    while pos < len(content):
+        block = content[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(content) and content[pos] != 0:
+                pos += 1 + content[pos]
+            pos += 1
+        elif block == 0x2C:
+            # left/top ignored: only full-frame first images supported
+            _, _, iw, ih, iflags = struct.unpack("<HHHHB", content[pos + 1 : pos + 10])
+            pos += 10
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if iflags & 0x80:
+                raise ValueError("local color table unsupported")
+            if not palette:
+                raise ValueError("missing global color table")
+            min_code = content[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(content) and content[pos] != 0:
+                size = content[pos]
+                lzw += content[pos + 1 : pos + 1 + size]
+                pos += 1 + size
+            indices = _lzw_decode(bytes(lzw), min_code)
+            if len(indices) < iw * ih:
+                raise ValueError("truncated GIF index stream")
+            sums = [0, 0, 0]
+            for idx in indices[: iw * ih]:
+                if idx >= len(palette):
+                    raise ValueError(f"palette index {idx} out of range")
+                r, g, b = palette[idx]
+                sums[0] += r
+                sums[1] += g
+                sums[2] += b
+            n = iw * ih
+            return {
+                "format": "gif",
+                "width": iw,
+                "height": ih,
+                "channels": 3,
+                "mean_r": sums[0] / n,
+                "mean_g": sums[1] / n,
+                "mean_b": sums[2] / n,
+            }
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("no image descriptor in GIF")
+
+
+# A structurally valid baseline-JPEG marker stream. Entropy decode
+# needs a Huffman+IDCT library tier (documented stub); the METADATA
+# walk below is the real 100 TB ingest operation — dimensions and
+# channel count from the SOF header without decoding, the `identify`
+# shape. The shell writes genuine markers (JFIF APP0, DQT, SOF0, a
+# minimal legal DHT, SOS) so the walker parses real files.
+def encode_jpeg_shell(width: int, height: int, channels: int = 3) -> bytes:
+    out = bytearray(b"\xff\xd8")  # SOI
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    dqt = bytes([0]) + bytes([16] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    sof = bytearray(struct.pack(">BHHB", 8, height, width, channels))
+    for c in range(channels):
+        sof += bytes([c + 1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = bytes([0x00]) + bytes([1] + [0] * 15) + bytes([0])  # one 1-bit code
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    sos = bytearray([channels])
+    for c in range(channels):
+        sos += bytes([c + 1, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += b"\x55" * 8  # entropy placeholder (no 0xFF bytes)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+_SOF_MARKERS = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def decode_jpeg_meta(content: bytes) -> dict:
+    """JPEG metadata via a marker-segment walk: dimensions, channel
+    count, and precision from the SOF header — NO entropy decode (the
+    ``identify`` operation a 100 TB ingest runs; pixel statistics for
+    JPEG need the library decode tier). Pure struct parsing; raises
+    ValueError on a malformed marker stream."""
+    if len(content) < 4 or content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file")
+    pos = 2
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = content[pos + 1]
+        if marker in (0xD9, 0xDA):  # EOI / start-of-scan: SOF must precede
+            break
+        (seglen,) = struct.unpack(">H", content[pos + 2 : pos + 4])
+        if marker in _SOF_MARKERS:
+            precision, h, w, nc = struct.unpack(
+                ">BHHB", content[pos + 4 : pos + 10]
+            )
+            if precision not in (8, 12, 16):
+                raise ValueError(f"bad JPEG sample precision {precision}")
+            return {
+                "format": "jpeg",
+                "width": w,
+                "height": h,
+                "channels": nc,
+            }
+        pos += 2 + seglen
+    raise ValueError("no SOF marker before scan data")
+
+
 def encode_wav(samples: list, sample_rate: int = 8000) -> bytes:
     """Build a REAL mono 16-bit PCM WAV file (RIFF/WAVE/fmt/data)."""
     data = struct.pack(f"<{len(samples)}h", *samples)
@@ -464,6 +729,10 @@ def extract_media_stats(df: DataFrame, content_col: str = "content") -> DataFram
                         row.pop("flipped", None)
                     elif content[:8] == _PNG_SIG:
                         row.update(decode_png(content))
+                    elif content[:4] == b"GIF8":
+                        row.update(decode_gif(content))
+                    elif content[:2] == b"\xff\xd8":
+                        row.update(decode_jpeg_meta(content))
                     else:
                         row.update(decode_wav(content))
                 except Exception as e:  # noqa: BLE001 — the contract is
@@ -485,16 +754,24 @@ def synthesize_media(df: DataFrame) -> DataFrame:
     """Deterministic media ingestion stand-in producing REAL files.
 
     For each (media_id, kind) row emits genuine container bytes built
-    executor-side: ``kind='image'`` -> pixel byte j is
-    ``(media_id*7 + j) % 251`` at ``4 + id%5`` x ``2 + id%3``,
-    containered as an uncompressed 24-bit BMP (byte order B,G,R) when
-    ``media_id % 4 == 0`` and as an 8-bit RGB PNG (byte order R,G,B,
-    rows zlib-deflated through the cycling 0-4 filter schedule) when
-    ``media_id % 4 == 2``; anything else -> a mono 16-bit PCM WAV of
-    ``32 + id%50`` samples at 8 kHz with sample i =
-    ``(media_id*31 + i*17) % 2048 - 1024``. The closed-form content
-    lets a SQL oracle reproduce the decoded stats exactly while the
-    decode side parses real bytes."""
+    executor-side. ``kind='image'`` at ``4 + id%5`` x ``2 + id%3``
+    routes by ``media_id % 8``:
+
+    - ``0`` -> uncompressed 24-bit BMP, pixel byte j =
+      ``(media_id*7 + j) % 251`` in file order B,G,R;
+    - ``2`` -> 8-bit RGB PNG (same byte formula, order R,G,B, rows
+      zlib-deflated through the cycling 0-4 filter schedule);
+    - ``4`` -> GIF89a: palette INDEX j = ``(media_id*7 + j) % 251``
+      LZW-compressed against the fixed ``_gif_palette`` table
+      (r=i, g=2i%256, b=5i%256);
+    - ``6`` -> a baseline-JPEG marker shell (real JFIF/DQT/SOF0/DHT/
+      SOS markers; the decode side extracts dimensions + channels
+      without entropy decode — pixel means stay NULL).
+
+    Anything else -> a mono 16-bit PCM WAV of ``32 + id%50`` samples
+    at 8 kHz with sample i = ``(media_id*31 + i*17) % 2048 - 1024``.
+    The closed-form content lets a SQL oracle reproduce the decoded
+    stats exactly while the decode side parses real bytes."""
     out_schema = StructType(
         [
             StructField("media_id", LongType(), False),
@@ -510,11 +787,18 @@ def synthesize_media(df: DataFrame) -> DataFrame:
                 mid = int(media_id)
                 if kind == "image":
                     w, h = 4 + mid % 5, 2 + mid % 3
-                    px = [(mid * 7 + j) % 251 for j in range(w * h * 3)]
-                    if mid % 4 == 0:
-                        content.append(encode_bmp(px, w, h))
+                    route = mid % 8
+                    if route == 6:
+                        content.append(encode_jpeg_shell(w, h, 3))
+                    elif route == 4:
+                        idx = [(mid * 7 + j) % 251 for j in range(w * h)]
+                        content.append(encode_gif(idx, w, h))
                     else:
-                        content.append(encode_png(px, w, h))
+                        px = [(mid * 7 + j) % 251 for j in range(w * h * 3)]
+                        if route == 0:
+                            content.append(encode_bmp(px, w, h))
+                        else:
+                            content.append(encode_png(px, w, h))
                 else:
                     n = 32 + mid % 50
                     samples = [((mid * 31 + i * 17) % 2048) - 1024 for i in range(n)]

@@ -876,14 +876,18 @@ SELECT doc_id AS media_id,
 FROM documents
 """
 
-# Twin of the REAL BMP/PNG/WAV decode: the Spark side byte-parses
-# genuine container files built from closed-form content (operators/
-# multimodal.py synthesize_media); the oracle recomputes the decoded
-# stats from the same generating formulas. Every double is an exact
-# integer sum divided once (correctly rounded in both engines).
-# Channel order is the FILE's: pixel byte position 3i is Blue in a BMP
-# (media_id % 4 = 0) but Red in a PNG (media_id % 4 = 2) — a decoder
-# that ignores the container's channel order breaks the hash.
+# Twin of the REAL BMP/PNG/GIF/JPEG/WAV decode: the Spark side
+# byte-parses genuine container files built from closed-form content
+# (operators/multimodal.py synthesize_media); the oracle recomputes the
+# decoded stats from the same generating formulas. Every double is an
+# exact integer sum divided once (correctly rounded in both engines).
+# Channel semantics are the FILE's: pixel byte position 3i is Blue in a
+# BMP (media_id % 8 = 0) but Red in a PNG (% 8 = 2); a GIF (% 8 = 4)
+# goes through the fixed palette (r=i, g=2i%256, b=5i%256) applied to
+# the index formula; a JPEG shell (% 8 = 6) yields dimensions and
+# channel count from the SOF marker with NULL means (metadata walk, no
+# entropy decode). A decoder that ignores any container's structure
+# breaks the hash.
 ORACLES["media_stats_real"] = """
 WITH m AS (
   SELECT doc_id AS media_id,
@@ -898,14 +902,17 @@ img AS (
 ),
 imgstats AS (
   SELECT media_id, w, h,
-    CASE WHEN media_id % 4 = 0 THEN pos0 ELSE pos2 END AS mean_b,
-    pos1 AS mean_g,
-    CASE WHEN media_id % 4 = 0 THEN pos2 ELSE pos0 END AS mean_r
+    CASE media_id % 8 WHEN 0 THEN pos0 WHEN 2 THEN pos2 WHEN 4 THEN gifb END AS mean_b,
+    CASE media_id % 8 WHEN 4 THEN gifg WHEN 6 THEN NULL ELSE pos1 END AS mean_g,
+    CASE media_id % 8 WHEN 0 THEN pos2 WHEN 2 THEN pos0 WHEN 4 THEN gifr END AS mean_r
   FROM (
     SELECT media_id, w, h,
       CAST(SUM((media_id * 7 + 3 * t.i) % 251) AS DOUBLE) / (w * h) AS pos0,
       CAST(SUM((media_id * 7 + 3 * t.i + 1) % 251) AS DOUBLE) / (w * h) AS pos1,
-      CAST(SUM((media_id * 7 + 3 * t.i + 2) % 251) AS DOUBLE) / (w * h) AS pos2
+      CAST(SUM((media_id * 7 + 3 * t.i + 2) % 251) AS DOUBLE) / (w * h) AS pos2,
+      CAST(SUM((media_id * 7 + t.i) % 251) AS DOUBLE) / (w * h) AS gifr,
+      CAST(SUM(((media_id * 7 + t.i) % 251 * 2) % 256) AS DOUBLE) / (w * h) AS gifg,
+      CAST(SUM(((media_id * 7 + t.i) % 251 * 5) % 256) AS DOUBLE) / (w * h) AS gifb
     FROM img CROSS JOIN (SELECT unnest(range(0, 32)) AS i) t
     WHERE t.i < w * h
     GROUP BY media_id, w, h
@@ -925,7 +932,8 @@ audstats AS (
 )
 SELECT m.media_id, m.kind,
   CASE WHEN m.kind = 'image'
-       THEN (CASE WHEN m.media_id % 4 = 0 THEN 'bmp' ELSE 'png' END)
+       THEN (CASE m.media_id % 8 WHEN 0 THEN 'bmp' WHEN 2 THEN 'png'
+                                 WHEN 4 THEN 'gif' ELSE 'jpeg' END)
        ELSE 'wav' END AS format,
   i.w AS width, i.h AS height,
   CAST(CASE WHEN m.kind = 'image' THEN 3 ELSE 1 END AS INTEGER) AS channels,

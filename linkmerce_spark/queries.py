@@ -1759,12 +1759,17 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL media decode: BMP/WAV container bytes parsed field-by-field.
+    """REAL media decode: BMP/PNG/GIF/JPEG/WAV containers parsed
+    field-by-field.
 
-    ``synthesize_media`` builds genuine files executor-side (24-bit BMP
-    / 16-bit PCM WAV, closed-form content keyed on media_id);
-    ``extract_media_stats`` byte-parses them back (struct unpack, RIFF
-    chunk walk — operators/multimodal.py, no image/audio library). The
+    ``synthesize_media`` builds genuine files executor-side (24-bit
+    BMP, filtered 8-bit PNG, LZW-compressed GIF89a, a baseline-JPEG
+    marker shell, 16-bit PCM WAV — closed-form content keyed on
+    media_id); ``extract_media_stats`` byte-parses them back (struct
+    unpack, zlib unfilter, full LZW decompression, JPEG marker walk,
+    RIFF chunk walk — operators/multimodal.py, no image/audio
+    library). JPEG rows carry dimensions/channels from the SOF header
+    with NULL pixel means (the no-entropy-decode `identify` tier). The
     oracle reproduces the decoded stats from the generating formulas,
     so a parser bug in EITHER direction breaks the hash. All doubles
     are exact-integer-sum / count (single correctly-rounded division,

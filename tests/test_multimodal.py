@@ -143,15 +143,15 @@ def test_synthesize_media_emits_real_parseable_files(spark):
     )
 
     base = spark.createDataFrame(
-        [(2, "image"), (3, "audio"), (4, "image")], "media_id long, kind string"
+        [(2, "image"), (3, "audio"), (8, "image")], "media_id long, kind string"
     )
     got = {r["media_id"]: bytes(r["content"]) for r in synthesize_media(base).collect()}
-    d2 = decode_png(got[2])  # media_id % 4 == 2 -> PNG container
+    d2 = decode_png(got[2])  # media_id % 8 == 2 -> PNG container
     assert (d2["width"], d2["height"]) == (4 + 2 % 5, 2 + 2 % 3)
     d3 = decode_wav(got[3])
     assert d3["duration_ms"] == (32 + 3 % 50) * 1000 // 8000
-    d4 = decode_bmp(got[4])  # media_id % 4 == 0 -> BMP container
-    assert (d4["width"], d4["height"]) == (4 + 4 % 5, 2 + 4 % 3)
+    d4 = decode_bmp(got[8])  # media_id % 8 == 0 -> BMP container
+    assert (d4["width"], d4["height"]) == (4 + 8 % 5, 2 + 8 % 3)
     # the same pixel formula lands in different FILE channel orders:
     # byte position 0 is Blue in the BMP, Red in the PNG
     px2 = [(2 * 7 + j) % 251 for j in range((4 + 2 % 5) * (2 + 2 % 3) * 3)]
@@ -221,3 +221,100 @@ def test_malformed_png_degrades_to_parse_error(spark):
     assert (got[1]["mean_r"], got[1]["mean_g"], got[1]["mean_b"]) == (10.0, 20.0, 30.0)
     assert got[2]["parse_error"] is not None
     assert got[3]["parse_error"] is not None
+
+
+def test_lzw_roundtrip_through_width_growth_and_reset():
+    """The variable-width LZW coder must survive the 9->12-bit growth
+    boundaries AND the 4096-entry table reset (a >30k random stream
+    fills the dictionary), plus the KwKwK self-reference case."""
+    import random
+
+    from linkmerce_spark.operators.multimodal import _lzw_decode, _lzw_encode
+
+    rng = random.Random(7)
+    for n, alphabet in [(50, 4), (1500, 256), (30000, 256), (6000, 2)]:
+        seq = [rng.randrange(alphabet) for _ in range(n)]
+        assert _lzw_decode(_lzw_encode(seq), 8) == seq
+    assert _lzw_decode(_lzw_encode([0] * 5000), 8) == [0] * 5000  # KwKwK runs
+    assert _lzw_decode(_lzw_encode([]), 8) == []
+
+
+def test_gif_roundtrip_exact_palette_means():
+    from linkmerce_spark.operators.multimodal import (
+        _gif_palette,
+        decode_gif,
+        encode_gif,
+    )
+
+    w, h = 6, 3
+    idx = [(11 * 7 + j) % 251 for j in range(w * h)]
+    d = decode_gif(encode_gif(idx, w, h))
+    n = w * h
+    assert (d["format"], d["width"], d["height"], d["channels"]) == ("gif", w, h, 3)
+    for ch, name in enumerate(["mean_r", "mean_g", "mean_b"]):
+        assert d[name] == sum(_gif_palette(i)[ch] for i in idx) / n
+
+
+def test_jpeg_marker_walk_extracts_sof_dimensions():
+    from linkmerce_spark.operators.multimodal import (
+        decode_jpeg_meta,
+        encode_jpeg_shell,
+    )
+
+    d = decode_jpeg_meta(encode_jpeg_shell(640, 480, 3))
+    assert d == {"format": "jpeg", "width": 640, "height": 480, "channels": 3}
+    assert decode_jpeg_meta(encode_jpeg_shell(5, 9, 1))["channels"] == 1
+
+
+def test_malformed_gif_jpeg_degrade_to_parse_error(spark):
+    from linkmerce_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_gif,
+        encode_jpeg_shell,
+        extract_media_stats,
+    )
+
+    good_gif = encode_gif([1, 2, 3, 4], 2, 2)
+    truncated_gif = good_gif[:20]  # header only, no image descriptor
+    corrupt_lzw = bytearray(good_gif)
+    corrupt_lzw[-6] ^= 0xFF  # flip a byte inside the LZW sub-block
+    headless_jpeg = b"\xff\xd8" + b"\xff\xd9"  # SOI+EOI, no SOF
+    rows = [
+        (1, "image", good_gif, "image/gif", 2, 2, None),
+        (2, "image", truncated_gif, "image/gif", None, None, None),
+        (3, "image", bytes(corrupt_lzw), "image/gif", None, None, None),
+        (4, "image", headless_jpeg, "image/jpeg", None, None, None),
+        (5, "image", encode_jpeg_shell(3, 4, 3), "image/jpeg", 3, 4, None),
+    ]
+    out = extract_media_stats(spark.createDataFrame(rows, MEDIA_SCHEMA))
+    got = {r["media_id"]: r for r in out.collect()}
+    assert got[1]["parse_error"] is None and got[1]["format"] == "gif"
+    assert got[2]["parse_error"] is not None
+    assert got[3]["parse_error"] is not None
+    assert got[4]["parse_error"] is not None
+    assert got[5]["parse_error"] is None and got[5]["format"] == "jpeg"
+    assert got[5]["width"] == 3 and got[5]["height"] == 4
+    assert got[5]["mean_r"] is None  # metadata tier: no pixel stats
+
+
+def test_synthesize_media_routes_all_four_image_containers(spark):
+    from linkmerce_spark.operators.multimodal import (
+        extract_media_stats,
+        synthesize_media,
+    )
+
+    rows = [(i, "image") for i in (0, 2, 4, 6, 8, 10, 12, 14)]
+    media = synthesize_media(
+        spark.createDataFrame(rows, "media_id long, kind string")
+    )
+    stats = {r["media_id"]: r for r in extract_media_stats(media).collect()}
+    assert {m: stats[m]["format"] for m in (0, 2, 4, 6)} == {
+        0: "bmp", 2: "png", 4: "gif", 6: "jpeg"
+    }
+    assert stats[8]["format"] == "bmp" and stats[12]["format"] == "gif"
+    assert all(r["parse_error"] is None for r in stats.values())
+    # GIF means go through the palette: for media_id=4, w=8, h=3.
+    from linkmerce_spark.operators.multimodal import _gif_palette
+
+    idx = [(4 * 7 + j) % 251 for j in range(8 * 3)]
+    assert stats[4]["mean_g"] == sum(_gif_palette(i)[1] for i in idx) / 24
