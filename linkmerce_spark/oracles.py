@@ -6774,3 +6774,60 @@ ORACLES["doc_bpe_tokens"] = _bpe_oracle(
     f"  SELECT UNNEST(sym) AS token, wc FROM v{_BPE_N}\n"
     f") GROUP BY 1 ORDER BY token_count DESC, token LIMIT 40",
 )
+
+
+# --- domain-authority PageRank (round 7) ----------------------------------
+# Five power iterations unrolled; each round's edge contributions are
+# quantized to int64 (floor(x*1e15 + 0.5)) and summed exactly, so the
+# per-round blend is a fixed scalar IEEE sequence on identical operands
+# — ranks match the Spark plan bit-for-bit. Damping literals use
+# repr() of the SAME Python floats the Spark side lit()s (1 - 0.85 is
+# NOT the double nearest 0.15; repr round-trips it exactly). e and the
+# r/c layers are MATERIALIZED: each is referenced twice downstream.
+def _pagerank_oracle(n_iter: int, damping: float) -> str:
+    omd = repr(1.0 - damping)
+    d = repr(damping)
+    q = "1000000000000000.0"
+    layers = [
+        "w AS (SELECT source, string_split(text, ' ') AS words FROM documents)",
+        "g AS MATERIALIZED (\n"
+        "  SELECT DISTINCT source, array_to_string(list_slice(words, pos, pos + 7), ' ') AS gram\n"
+        "  FROM (SELECT source, words,\n"
+        "          UNNEST(CASE WHEN len(words) >= 8 THEN range(1, len(words) - 6)\n"
+        "                 ELSE CAST([] AS BIGINT[]) END) AS pos FROM w))",
+        "keep AS (SELECT gram FROM (SELECT gram, COUNT(*) AS nsrc FROM g GROUP BY 1)\n"
+        "         WHERE nsrc BETWEEN 2 AND 4)",
+        "e0 AS (SELECT a.source AS src, b.source AS dst, CAST(COUNT(*) AS BIGINT) AS wt\n"
+        "       FROM g a JOIN keep k ON a.gram = k.gram JOIN g b ON a.gram = b.gram\n"
+        "       WHERE a.source <> b.source GROUP BY 1, 2)",
+        "outw AS MATERIALIZED (SELECT src, CAST(SUM(wt) AS BIGINT) AS out_w FROM e0 GROUP BY 1)",
+        "e AS MATERIALIZED (SELECT e0.src, e0.dst, e0.wt, o.out_w FROM e0 JOIN outw o ON e0.src = o.src)",
+        "nodes AS (SELECT DISTINCT source AS node FROM documents)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "r0 AS MATERIALIZED (SELECT node, n, 1.0 / CAST(n AS DOUBLE) AS rk\n"
+        "                    FROM nodes CROSS JOIN nn)",
+    ]
+    for k in range(1, n_iter + 1):
+        layers.append(
+            f"c{k} AS MATERIALIZED (\n"
+            f"  SELECT e.dst, SUM(CAST(FLOOR((CAST(e.wt AS DOUBLE) / CAST(e.out_w AS DOUBLE))\n"
+            f"                               * rr.rk * {q} + 0.5) AS BIGINT)) AS s\n"
+            f"  FROM e JOIN r{k - 1} rr ON e.src = rr.node GROUP BY 1)"
+        )
+        layers.append(
+            f"r{k} AS MATERIALIZED (\n"
+            f"  SELECT rr.node, rr.n,\n"
+            f"         ({omd} / CAST(rr.n AS DOUBLE))\n"
+            f"         + {d} * (CAST(COALESCE(cc.s, 0) AS DOUBLE) / {q}) AS rk\n"
+            f"  FROM r{k - 1} rr LEFT JOIN c{k} cc ON rr.node = cc.dst)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(layers)
+        + f"\nSELECT rr.node AS source, CAST(COALESCE(o.out_w, 0) AS BIGINT) AS out_w,\n"
+        f"       rr.rk AS pagerank\n"
+        f"FROM r{n_iter} rr LEFT JOIN outw o ON rr.node = o.src"
+    )
+
+
+ORACLES["domain_pagerank"] = _pagerank_oracle(5, 0.85)

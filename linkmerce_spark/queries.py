@@ -969,6 +969,28 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(docs, "text", n_merges=12, top_n=40)
 
 
+def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-authority PageRank over the copy graph (round 7).
+
+    Edges link document sources that share a word 8-gram appearing in
+    2-4 distinct sources (shared enough to witness copying, capped to
+    exclude boilerplate — the per-gram fan-out bound). Five power
+    iterations run as ONE lazy plan (the loop is unrolled into the
+    DataFrame chain — no per-round driver action); every edge
+    contribution is quantized to int64 before summing, so ranks are
+    bit-identical across engines and the DuckDB twin unrolls the same
+    five rounds. Isolated sources keep the teleport-only rank."""
+    from linkmerce_spark.operators.pagerank import pagerank, shared_gram_edges
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    edges = shared_gram_edges(docs, "text", "source", n=8, min_groups=2, max_groups=4)
+    nodes = docs.select(F.col("source").alias("node")).distinct()
+    ranked = pagerank(edges, nodes, n_iter=5, damping=0.85)
+    return ranked.select(
+        F.col("node").alias("source"), "out_w", "pagerank"
+    )
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-compaction plan over month-partitioned orders (table
     maintenance, round 6; the Delta OPTIMIZE / Iceberg rewrite shape).
@@ -6783,6 +6805,7 @@ QUERIES = {
     "doc_curation_e2e": q_doc_curation_e2e,
     "doc_bpe_train": q_doc_bpe_train,
     "doc_bpe_tokens": q_doc_bpe_tokens,
+    "domain_pagerank": q_domain_pagerank,
     # ===== round-7 window (first 50 = the driver hash-check set) =====
     # Rotation by STALENESS: every entry below last held a driver row
     # in r2-r5 (the r6 window re-verified the other 50); the four
