@@ -75,12 +75,18 @@ def pagerank(
         )
         .localCheckpoint(eager=True)  # re-read by every iteration
     )
-    n_row = nodes.agg(F.count(F.lit(1)).alias("__n"))
-    ranks = nodes.join(F.broadcast(n_row), F.lit(True), "left").select(
-        F.col(node).alias("__node"),
-        "__n",
-        (F.lit(1.0) / F.col("__n").cast("double")).alias("__r"),
+    verts = nodes.select(F.col(node).alias("__node")).distinct().localCheckpoint(
+        eager=True
     )
+    # |V| reaches the driver as ONE scalar (the sanctioned k-sized
+    # collect) — folding 1/n into literals keeps every iteration free
+    # of the 1-row crossJoin a column-borne n would need, and the
+    # Python IEEE divisions below are bit-identical to the SQL twin's
+    # (same operands, correctly rounded).
+    n = verts.count()
+    if n == 0:
+        raise ValueError("nodes must be non-empty")
+    ranks = verts.select("__node", F.lit(1.0 / float(n)).alias("__r"))
     for _ in range(n_iter):
         contrib = (
             e.join(ranks, e.__esrc == ranks.__node)
@@ -103,9 +109,8 @@ def pagerank(
             contrib, ranks.__node == contrib.__edst, "left"
         ).select(
             "__node",
-            "__n",
             (
-                F.lit(omd) / F.col("__n").cast("double")
+                F.lit(omd / float(n))
                 + F.lit(damping)
                 * (
                     F.coalesce(F.col("__s"), F.lit(0)).cast("double")
