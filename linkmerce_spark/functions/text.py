@@ -30,6 +30,7 @@ __all__ = [
     "fingerprint",
     "repetition_counts",
     "pii_counts",
+    "pii_redact",
     "PII_PATTERNS",
 ]
 
@@ -223,6 +224,30 @@ PII_PATTERNS: dict[str, str] = {
     "url": r"https?://[^\s]+",
     "phone": r"[0-9]{2,3}[-.][0-9]{3,4}[-.][0-9]{4}",
 }
+
+
+# Placeholder tokens for the redaction REWRITE; replacement order is
+# the dict order of PII_PATTERNS (email -> url -> phone) and must be
+# mirrored verbatim by SQL twins — a URL swallowing an embedded email
+# differs depending on which pattern fires first.
+PII_PLACEHOLDERS: dict[str, str] = {
+    "email": "<EMAIL>",
+    "url": "<URL>",
+    "phone": "<PHONE>",
+}
+
+
+def pii_redact(c: Column | str) -> Column:
+    """Redact PII-ish spans with typed placeholders (the curation
+    ACTION, where ``pii_counts`` is the signal): each pattern's
+    non-overlapping matches are globally replaced in PII_PATTERNS
+    order. Pure ``regexp_replace`` chain — whole-stage codegen, no
+    Python; global leftmost semantics are identical under Java regex
+    and RE2, so a twin is the same chain with the 'g' flag."""
+    out = _col(c)
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, PII_PLACEHOLDERS[name])
+    return out
 
 
 def pii_counts(c: Column | str) -> dict[str, Column]:

@@ -6831,3 +6831,37 @@ def _pagerank_oracle(n_iter: int, damping: float) -> str:
 
 
 ORACLES["domain_pagerank"] = _pagerank_oracle(5, 0.85)
+
+
+# PII redaction rewrite: same synthetic body as doc_pii_scan, same
+# patterns, replacement order email -> url -> phone mirrored from
+# functions/text.py PII_PATTERNS dict order (a URL swallowing an
+# embedded email differs under the other order). DuckDB needs the 'g'
+# flag for the global-replace semantics Spark applies by default.
+ORACLES["doc_pii_redact"] = r"""
+WITH scanned AS (
+  SELECT doc_id, text
+    || (CASE WHEN doc_id % 7 = 0
+             THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+             ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0
+             THEN ' see https://docs.example.com/page/' || CAST(doc_id AS VARCHAR)
+             ELSE '' END)
+    || (CASE WHEN doc_id % 11 = 0 THEN ' call 010-1234-5678' ELSE '' END) AS body
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(body,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      'https?://[^\s]+', '<URL>', 'g'),
+    '[0-9]{2,3}[-.][0-9]{3,4}[-.][0-9]{4}', '<PHONE>', 'g') AS red_text,
+  CAST(len(regexp_extract_all(body, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+   + len(regexp_extract_all(body, 'https?://[^\s]+'))
+   + len(regexp_extract_all(body, '[0-9]{2,3}[-.][0-9]{3,4}[-.][0-9]{4}')) AS BIGINT) AS n_redactions
+FROM scanned
+WHERE len(regexp_extract_all(body, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+   + len(regexp_extract_all(body, 'https?://[^\s]+'))
+   + len(regexp_extract_all(body, '[0-9]{2,3}[-.][0-9]{3,4}[-.][0-9]{4}')) > 0
+"""

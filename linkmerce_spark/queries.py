@@ -719,6 +719,36 @@ def q_doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction REWRITE (round 7) — the action `doc_pii_scan` only
+    signals: emails/URLs/phone shapes replaced with typed placeholders
+    over the same synthetic contact corpus, hash-gated on the FULL
+    rewritten text (a drifting match boundary in either engine breaks
+    the hash). Pure regexp_replace chain in whole-stage codegen."""
+    from linkmerce_spark.functions.text import pii_counts, pii_redact
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    body = F.concat(
+        F.col("text"),
+        F.when(did % 7 == 0,
+               F.concat(F.lit(" contact user"), did.cast("string"),
+                        F.lit("@mail.example.com now"))).otherwise(F.lit("")),
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" see https://docs.example.com/page/"),
+                        did.cast("string"))).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit(" call 010-1234-5678")).otherwise(F.lit("")),
+    )
+    scanned = docs.select("doc_id", body.alias("__body"))
+    counts = pii_counts(F.col("__body"))
+    n_red = counts["email"] + counts["url"] + counts["phone"]
+    return scanned.select(
+        "doc_id",
+        pii_redact(F.col("__body")).alias("red_text"),
+        n_red.cast("bigint").alias("n_redactions"),
+    ).where(F.col("n_redactions") > 0)
+
+
 def q_doc_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-packing plan: per-shard running token totals binned by a
     512-token budget (position-binning form — SQL-expressible, parallel
@@ -6806,6 +6836,7 @@ QUERIES = {
     "doc_bpe_train": q_doc_bpe_train,
     "doc_bpe_tokens": q_doc_bpe_tokens,
     "domain_pagerank": q_domain_pagerank,
+    "doc_pii_redact": q_doc_pii_redact,
     # ===== round-7 window (first 50 = the driver hash-check set) =====
     # Rotation by STALENESS: every entry below last held a driver row
     # in r2-r5 (the r6 window re-verified the other 50); the four

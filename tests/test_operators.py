@@ -490,3 +490,35 @@ def test_cell_pair_cosines_matches_join_form(spark):
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert all(r.id_a != 99 and r.id_b != 99 for r in got)
+
+
+def test_pii_redact_replaces_with_typed_placeholders(spark):
+    from pyspark.sql import functions as F
+
+    from linkmerce_spark.functions.text import pii_redact
+
+    rows = [
+        (1, "mail me at bob@x.co or see https://a.b/c?d=1 or call 010-1234-5678"),
+        (2, "clean text with nothing to hide"),
+        # URL with an embedded email-shaped userinfo: the email pattern
+        # fires FIRST (dict order), splitting the URL — the point of
+        # pinning replacement order on both engines.
+        (3, "go https://user@host.example/path now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, body string")
+    got = {
+        r["doc_id"]: r["red"]
+        for r in df.select(
+            "doc_id", pii_redact(F.col("body")).alias("red")
+        ).collect()
+    }
+    assert got[1] == "mail me at <EMAIL> or see <URL> or call <PHONE>"
+    assert got[2] == "clean text with nothing to hide"
+    # email fires first ("user@host.example" -> <EMAIL>), then the URL
+    # pattern swallows the remaining "https://<EMAIL>/path" span whole.
+    assert got[3] == "go <URL> now"
+    # Idempotence: placeholders themselves must not re-match any pattern.
+    redacted = spark.createDataFrame(
+        [(1, got[1])], "doc_id long, body string"
+    ).select(pii_redact(F.col("body")).alias("red"))
+    assert redacted.collect()[0]["red"] == got[1]
