@@ -7,15 +7,18 @@ codec itself is imperative).
 
 Two decode tiers:
 
-- ``extract_media_stats``: a REAL decoder for the formats a pure
-  stdlib parse can handle — uncompressed 24-bit BMP, 8-bit PNG (zlib
-  inflate + the full five-filter per-row unfilter pass), and PCM WAV
-  (RIFF chunk walk). Genuine byte-level parsing of genuine files;
-  malformed bytes degrade to a ``parse_error`` row, never a task
-  failure.
+- ``extract_media_stats``: a REAL decoder for every image format in
+  the fixture — uncompressed 24-bit BMP, 8-bit PNG (zlib inflate +
+  the full five-filter per-row unfilter pass), GIF89a (variable-width
+  LZW), baseline JPEG (full Huffman entropy decode + IDCT + color
+  convert, operators/jpeg.py; progressive/subsampled streams degrade
+  to the SOF metadata walk), and PCM WAV (RIFF chunk walk). Genuine
+  byte-level parsing of genuine files; malformed bytes degrade to a
+  ``parse_error`` row, never a task failure.
 - ``decode_media_features``: the embedding-shaped contract for codec
-  formats (JPEG/MP4) whose libraries are not available in this
-  environment; ``decode_stub=True`` produces a deterministic fake
+  formats that still need a library tier (progressive/subsampled
+  JPEG, MP4 video) in environments without PIL/ffmpeg;
+  ``decode_stub=True`` produces a deterministic fake
   (byte-hash derived "pixels"), ``decode_stub=False`` raises
   ``NotImplementedError`` where PIL/ffmpeg would be called.
 
@@ -732,7 +735,21 @@ def extract_media_stats(df: DataFrame, content_col: str = "content") -> DataFram
                     elif content[:4] == b"GIF8":
                         row.update(decode_gif(content))
                     elif content[:2] == b"\xff\xd8":
-                        row.update(decode_jpeg_meta(content))
+                        # Full baseline decode (operators/jpeg.py) where
+                        # the stream is baseline 4:4:4/gray; progressive
+                        # or subsampled streams degrade to the metadata
+                        # walk — dimensions without pixel means, the
+                        # `identify` tier.
+                        from linkmerce_spark.operators.jpeg import decode_jpeg
+
+                        try:
+                            row.update(decode_jpeg(content))
+                        except Exception:  # noqa: BLE001 — any entropy-
+                            # level failure (unsupported mode, missing
+                            # table, truncated scan) degrades to the
+                            # header tier; header-level corruption then
+                            # raises out of the meta walk into parse_error.
+                            row.update(decode_jpeg_meta(content))
                     else:
                         row.update(decode_wav(content))
                 except Exception as e:  # noqa: BLE001 — the contract is
@@ -764,9 +781,13 @@ def synthesize_media(df: DataFrame) -> DataFrame:
     - ``4`` -> GIF89a: palette INDEX j = ``(media_id*7 + j) % 251``
       LZW-compressed against the fixed ``_gif_palette`` table
       (r=i, g=2i%256, b=5i%256);
-    - ``6`` -> a baseline-JPEG marker shell (real JFIF/DQT/SOF0/DHT/
-      SOS markers; the decode side extracts dimensions + channels
-      without entropy decode — pixel means stay NULL).
+    - ``6`` -> a REAL baseline JPEG (operators/jpeg.py: FDCT,
+      quantization, optimized Huffman entropy coding) of the solid
+      color r=``(id*7)%251``, g=``(id*11)%251``, b=``(id*13)%251`` —
+      block-constant content keeps the lossy chain integer-exact
+      (quantized-DC-only), so the decoded means are closed-form:
+      color-convert -> DC quantize/reconstruct -> inverse convert,
+      every rounding ``floor(x+0.5)``.
 
     Anything else -> a mono 16-bit PCM WAV of ``32 + id%50`` samples
     at 8 kHz with sample i = ``(media_id*31 + i*17) % 2048 - 1024``.
@@ -789,7 +810,14 @@ def synthesize_media(df: DataFrame) -> DataFrame:
                     w, h = 4 + mid % 5, 2 + mid % 3
                     route = mid % 8
                     if route == 6:
-                        content.append(encode_jpeg_shell(w, h, 3))
+                        from linkmerce_spark.operators.jpeg import encode_jpeg
+
+                        rgb = [
+                            (mid * 7) % 251,
+                            (mid * 11) % 251,
+                            (mid * 13) % 251,
+                        ] * (w * h)
+                        content.append(encode_jpeg(rgb, w, h, 3))
                     elif route == 4:
                         idx = [(mid * 7 + j) % 251 for j in range(w * h)]
                         content.append(encode_gif(idx, w, h))

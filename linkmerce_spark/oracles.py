@@ -900,22 +900,58 @@ img AS (
          CAST(2 + media_id % 3 AS INTEGER) AS h
   FROM m WHERE kind = 'image'
 ),
+-- Route 6 is a REAL baseline JPEG of a solid color: block-constant
+-- content makes the lossy chain closed-form (every AC coefficient is
+-- zero) — JFIF color convert, DC quantize q=16 / reconstruct, inverse
+-- convert, each rounding floor(x+0.5), mirroring operators/jpeg.py.
+jpegrec AS (
+  SELECT media_id,
+    LEAST(255, GREATEST(0, FLOOR(y2 + 1.402 * (cr2 - 128) + 0.5))) AS jr,
+    LEAST(255, GREATEST(0, FLOOR(y2 - 0.344136 * (cb2 - 128)
+                                    - 0.714136 * (cr2 - 128) + 0.5))) AS jg,
+    LEAST(255, GREATEST(0, FLOOR(y2 + 1.772 * (cb2 - 128) + 0.5))) AS jb
+  FROM (
+    SELECT media_id,
+      LEAST(255, GREATEST(0, 2 * FLOOR((y0 - 128) / 2.0 + 0.5) + 128)) AS y2,
+      LEAST(255, GREATEST(0, 2 * FLOOR((cb0 - 128) / 2.0 + 0.5) + 128)) AS cb2,
+      LEAST(255, GREATEST(0, 2 * FLOOR((cr0 - 128) / 2.0 + 0.5) + 128)) AS cr2
+    FROM (
+      SELECT media_id,
+        LEAST(255, GREATEST(0, FLOOR(0.299 * r0 + 0.587 * g0 + 0.114 * b0 + 0.5))) AS y0,
+        LEAST(255, GREATEST(0, FLOOR(128 - 0.168736 * r0 - 0.331264 * g0 + 0.5 * b0 + 0.5))) AS cb0,
+        LEAST(255, GREATEST(0, FLOOR(128 + 0.5 * r0 - 0.418688 * g0 - 0.081312 * b0 + 0.5))) AS cr0
+      FROM (
+        SELECT media_id,
+               media_id * 7 % 251 AS r0,
+               media_id * 11 % 251 AS g0,
+               media_id * 13 % 251 AS b0
+        FROM img WHERE media_id % 8 = 6
+      )
+    )
+  )
+),
 imgstats AS (
   SELECT media_id, w, h,
-    CASE media_id % 8 WHEN 0 THEN pos0 WHEN 2 THEN pos2 WHEN 4 THEN gifb END AS mean_b,
-    CASE media_id % 8 WHEN 4 THEN gifg WHEN 6 THEN NULL ELSE pos1 END AS mean_g,
-    CASE media_id % 8 WHEN 0 THEN pos2 WHEN 2 THEN pos0 WHEN 4 THEN gifr END AS mean_r
+    CASE media_id % 8 WHEN 0 THEN pos0 WHEN 2 THEN pos2 WHEN 4 THEN gifb
+                      WHEN 6 THEN jpg_b END AS mean_b,
+    CASE media_id % 8 WHEN 4 THEN gifg WHEN 6 THEN jpg_g ELSE pos1 END AS mean_g,
+    CASE media_id % 8 WHEN 0 THEN pos2 WHEN 2 THEN pos0 WHEN 4 THEN gifr
+                      WHEN 6 THEN jpg_r END AS mean_r
   FROM (
-    SELECT media_id, w, h,
-      CAST(SUM((media_id * 7 + 3 * t.i) % 251) AS DOUBLE) / (w * h) AS pos0,
-      CAST(SUM((media_id * 7 + 3 * t.i + 1) % 251) AS DOUBLE) / (w * h) AS pos1,
-      CAST(SUM((media_id * 7 + 3 * t.i + 2) % 251) AS DOUBLE) / (w * h) AS pos2,
-      CAST(SUM((media_id * 7 + t.i) % 251) AS DOUBLE) / (w * h) AS gifr,
-      CAST(SUM(((media_id * 7 + t.i) % 251 * 2) % 256) AS DOUBLE) / (w * h) AS gifg,
-      CAST(SUM(((media_id * 7 + t.i) % 251 * 5) % 256) AS DOUBLE) / (w * h) AS gifb
+    SELECT img.media_id, w, h,
+      CAST(SUM((img.media_id * 7 + 3 * t.i) % 251) AS DOUBLE) / (w * h) AS pos0,
+      CAST(SUM((img.media_id * 7 + 3 * t.i + 1) % 251) AS DOUBLE) / (w * h) AS pos1,
+      CAST(SUM((img.media_id * 7 + 3 * t.i + 2) % 251) AS DOUBLE) / (w * h) AS pos2,
+      CAST(SUM((img.media_id * 7 + t.i) % 251) AS DOUBLE) / (w * h) AS gifr,
+      CAST(SUM(((img.media_id * 7 + t.i) % 251 * 2) % 256) AS DOUBLE) / (w * h) AS gifg,
+      CAST(SUM(((img.media_id * 7 + t.i) % 251 * 5) % 256) AS DOUBLE) / (w * h) AS gifb,
+      CAST(ANY_VALUE(j.jr) AS DOUBLE) AS jpg_r,
+      CAST(ANY_VALUE(j.jg) AS DOUBLE) AS jpg_g,
+      CAST(ANY_VALUE(j.jb) AS DOUBLE) AS jpg_b
     FROM img CROSS JOIN (SELECT unnest(range(0, 32)) AS i) t
+    LEFT JOIN jpegrec j ON j.media_id = img.media_id
     WHERE t.i < w * h
-    GROUP BY media_id, w, h
+    GROUP BY img.media_id, w, h
   )
 ),
 aud AS (

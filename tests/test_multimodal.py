@@ -318,3 +318,197 @@ def test_synthesize_media_routes_all_four_image_containers(spark):
 
     idx = [(4 * 7 + j) % 251 for j in range(8 * 3)]
     assert stats[4]["mean_g"] == sum(_gif_palette(i)[1] for i in idx) / 24
+
+
+# --- real baseline JPEG codec (operators/jpeg.py) -------------------------
+
+
+def _solid_jpeg_closed_form(r, g, b, q=16):
+    """The integer-exact chain the oracle replicates in SQL."""
+    import math
+
+    fh = lambda x: math.floor(x + 0.5)  # noqa: E731
+    clamp = lambda x: max(0, min(255, x))  # noqa: E731
+    y = clamp(fh(0.299 * r + 0.587 * g + 0.114 * b))
+    cb = clamp(fh(128 - 0.168736 * r - 0.331264 * g + 0.5 * b))
+    cr = clamp(fh(128 + 0.5 * r - 0.418688 * g - 0.081312 * b))
+    rec = lambda v: clamp(  # noqa: E731
+        fh(math.floor((8 * (v - 128)) / q + 0.5) * q / 8 + 128)
+    )
+    y2, cb2, cr2 = rec(y), rec(cb), rec(cr)
+    return (
+        clamp(fh(y2 + 1.402 * (cr2 - 128))),
+        clamp(fh(y2 - 0.344136 * (cb2 - 128) - 0.714136 * (cr2 - 128))),
+        clamp(fh(y2 + 1.772 * (cb2 - 128))),
+    )
+
+
+def test_jpeg_zigzag_is_the_standard_table():
+    from linkmerce_spark.operators.jpeg import ZIGZAG
+
+    std = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+           12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+           35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+           58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+    assert ZIGZAG == std
+
+
+def test_jpeg_solid_color_roundtrip_matches_closed_form():
+    import random
+
+    from linkmerce_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = random.Random(42)
+    for _ in range(60):
+        r, g, b = rng.randrange(256), rng.randrange(256), rng.randrange(256)
+        w, h = rng.randrange(1, 20), rng.randrange(1, 12)
+        d = decode_jpeg(encode_jpeg([r, g, b] * (w * h), w, h, 3))
+        er, eg, eb = _solid_jpeg_closed_form(r, g, b)
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+        assert (d["mean_r"], d["mean_g"], d["mean_b"]) == (
+            float(er), float(eg), float(eb),
+        ), (r, g, b, w, h)
+
+
+def test_jpeg_grayscale_high_fidelity_roundtrip():
+    import random
+
+    from linkmerce_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = random.Random(7)
+    for _ in range(20):
+        w, h = rng.randrange(1, 30), rng.randrange(1, 30)
+        px = [rng.randrange(256) for _ in range(w * h)]
+        d = decode_jpeg(encode_jpeg(px, w, h, 1, q=1))
+        assert d["channels"] == 1
+        assert abs(d["mean_r"] - sum(px) / (w * h)) < 1.5
+
+
+def test_jpeg_color_random_content_roundtrip_quality():
+    import random
+
+    from linkmerce_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = random.Random(3)
+    for _ in range(10):
+        w, h = rng.randrange(4, 24), rng.randrange(4, 24)
+        px = [rng.randrange(256) for _ in range(w * h * 3)]
+        d = decode_jpeg(encode_jpeg(px, w, h, 3, q=2))
+        for ch, idx in (("mean_r", 0), ("mean_g", 1), ("mean_b", 2)):
+            assert abs(d[ch] - sum(px[idx::3]) / (w * h)) < 4.0
+
+
+def test_jpeg_optimized_huffman_tables_are_canonical_and_capped():
+    import random
+
+    from linkmerce_spark.operators.jpeg import _build_table, _codes_from_dht
+
+    rng = random.Random(11)
+    for _ in range(100):
+        syms = rng.sample(range(256), rng.randrange(1, 40))
+        freqs = {s: rng.randrange(1, 1000) for s in syms}
+        bits, huffval, codes = _build_table(freqs)
+        assert sum(bits) == len(syms)
+        assert all(ln <= 16 for _, ln in codes.values())
+        # Kraft inequality (strict: the reserved all-ones point is free)
+        assert sum(2 ** (16 - ln) for _, ln in codes.values()) < 2 ** 16
+        # decoder's DHT parse inverts the encoder's assignment exactly
+        assert {v: k for k, v in codes.items()} == _codes_from_dht(bits, huffval)
+        # prefix-free
+        words = sorted(format(c, f"0{ln}b") for c, ln in codes.values())
+        assert not any(
+            words[i + 1].startswith(words[i]) for i in range(len(words) - 1)
+        )
+
+
+def test_jpeg_huffman_depth_limit_fold():
+    """A strictly-increasing Fibonacci frequency ladder forces raw
+    Huffman depths ~40; Adjust_BITS must fold them to <=16 while
+    keeping the code canonical and decodable."""
+    from linkmerce_spark.operators.jpeg import (
+        _build_table,
+        _codes_from_dht,
+        _huffman_sizes,
+    )
+
+    a, b = 1, 2
+    freqs = {}
+    for s in range(40):
+        freqs[s] = a
+        a, b = b, a + b
+    assert max(_huffman_sizes(freqs).values()) > 16  # the fold is exercised
+    bits, huffval, codes = _build_table(freqs)
+    assert max(ln for _, ln in codes.values()) == 16
+    assert sum(bits) == 40
+    assert {v: k for k, v in codes.items()} == _codes_from_dht(bits, huffval)
+
+
+def test_jpeg_sparse_block_exercises_zrl():
+    import numpy as np
+
+    from linkmerce_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    px = np.zeros((16, 16))
+    px[15, 15] = 255.0
+    d = decode_jpeg(encode_jpeg(list(px.reshape(-1)), 16, 16, 1, q=1))
+    assert abs(d["mean_r"] - px.sum() / 256) < 1.0
+
+
+def test_jpeg_unsupported_modes_degrade_to_meta_tier(spark):
+    """Progressive SOF2 parses in the metadata walk (dimensions, no
+    pixel stats) — the library-tier boundary is explicit."""
+    import struct
+
+    from linkmerce_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from linkmerce_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_stats,
+    )
+
+    data = bytearray(encode_jpeg([100, 150, 200] * 6, 3, 2, 3))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    try:
+        decode_jpeg(bytes(data))
+        raise AssertionError("progressive must raise")
+    except ValueError as e:
+        assert "progressive" in str(e)
+    rows = [(1, "image", bytes(data), "image/jpeg", None, None, None)]
+    out = extract_media_stats(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
+    assert out[0]["parse_error"] is None
+    assert (out[0]["width"], out[0]["height"]) == (3, 2)
+    assert out[0]["mean_r"] is None  # meta tier
+
+    # subsampled (2x2 luma sampling factor) likewise raises
+    data2 = bytearray(encode_jpeg([100, 150, 200] * 6, 3, 2, 3))
+    j = data2.find(b"\xff\xc0")
+    data2[j + 11] = 0x22  # component 0 sampling 2x2
+    try:
+        decode_jpeg(bytes(data2))
+        raise AssertionError("subsampled must raise")
+    except ValueError as e:
+        assert "subsampled" in str(e)
+    assert struct.unpack(">H", data2[j + 5 : j + 7])[0] == 2  # height intact
+
+
+def test_jpeg_fixture_route_is_fully_decoded(spark):
+    """synthesize_media route 6 now produces REAL JPEG bytes whose
+    decoded means match the closed-form chain (the oracle's SQL)."""
+    from linkmerce_spark.operators.multimodal import (
+        extract_media_stats,
+        synthesize_media,
+    )
+
+    rows = [(i, "image") for i in (6, 14, 22, 30)]
+    media = synthesize_media(
+        spark.createDataFrame(rows, "media_id long, kind string")
+    )
+    stats = {r["media_id"]: r for r in extract_media_stats(media).collect()}
+    for mid, row in stats.items():
+        er, eg, eb = _solid_jpeg_closed_form(
+            mid * 7 % 251, mid * 11 % 251, mid * 13 % 251
+        )
+        assert row["format"] == "jpeg" and row["parse_error"] is None
+        assert (row["mean_r"], row["mean_g"], row["mean_b"]) == (
+            float(er), float(eg), float(eb),
+        )
