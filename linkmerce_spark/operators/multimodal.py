@@ -734,6 +734,10 @@ def extract_media_stats(df: DataFrame, content_col: str = "content") -> DataFram
                         row.update(decode_png(content))
                     elif content[:4] == b"GIF8":
                         row.update(decode_gif(content))
+                    elif content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+                        from linkmerce_spark.operators.video import decode_avi
+
+                        row.update(decode_avi(content))
                     elif content[:2] == b"\xff\xd8":
                         # Full baseline decode (operators/jpeg.py) where
                         # the stream is baseline 4:4:4/gray; progressive
@@ -789,6 +793,13 @@ def synthesize_media(df: DataFrame) -> DataFrame:
       color-convert -> DC quantize/reconstruct -> inverse convert,
       every rounding ``floor(x+0.5)``.
 
+    ``kind='video'`` -> a REAL Motion-JPEG AVI (operators/video.py):
+    ``2 + id%3`` frames at 10 fps, frame ``f`` a solid-color JPEG with
+    r=``(id*7+19f)%251``, g=``(id*11+23f)%251``, b=``(id*13+29f)%251``
+    — container walk, frame iteration, and the JPEG entropy decode all
+    run on genuine bytes, and the frame-averaged means stay
+    closed-form.
+
     Anything else -> a mono 16-bit PCM WAV of ``32 + id%50`` samples
     at 8 kHz with sample i = ``(media_id*31 + i*17) % 2048 - 1024``.
     The closed-form content lets a SQL oracle reproduce the decoded
@@ -827,6 +838,15 @@ def synthesize_media(df: DataFrame) -> DataFrame:
                             content.append(encode_bmp(px, w, h))
                         else:
                             content.append(encode_png(px, w, h))
+                elif kind == "video":
+                    from linkmerce_spark.operators.video import (
+                        encode_solid_mjpeg_avi,
+                    )
+
+                    w, h = 4 + mid % 5, 2 + mid % 3
+                    content.append(
+                        encode_solid_mjpeg_avi(mid, w, h, 2 + mid % 3)
+                    )
                 else:
                     n = 32 + mid % 50
                     samples = [((mid * 31 + i * 17) % 2048) - 1024 for i in range(n)]

@@ -891,7 +891,9 @@ FROM documents
 ORACLES["media_stats_real"] = """
 WITH m AS (
   SELECT doc_id AS media_id,
-         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind
+         CASE WHEN doc_id % 2 = 0 THEN 'image'
+              WHEN doc_id % 4 = 1 THEN 'audio'
+              ELSE 'video' END AS kind
   FROM documents
 ),
 img AS (
@@ -900,35 +902,55 @@ img AS (
          CAST(2 + media_id % 3 AS INTEGER) AS h
   FROM m WHERE kind = 'image'
 ),
--- Route 6 is a REAL baseline JPEG of a solid color: block-constant
+vid AS (
+  SELECT media_id,
+         CAST(4 + media_id % 5 AS INTEGER) AS w,
+         CAST(2 + media_id % 3 AS INTEGER) AS h,
+         CAST(2 + media_id % 3 AS INTEGER) AS n
+  FROM m WHERE kind = 'video'
+),
+-- Image route 6 is a REAL baseline JPEG of a solid color, and video
+-- rows are Motion-JPEG AVIs of solid-color frames: block-constant
 -- content makes the lossy chain closed-form (every AC coefficient is
 -- zero) — JFIF color convert, DC quantize q=16 / reconstruct, inverse
 -- convert, each rounding floor(x+0.5), mirroring operators/jpeg.py.
+jpegsrc AS (
+  SELECT media_id, FALSE AS is_video,
+         media_id * 7 % 251 AS r0,
+         media_id * 11 % 251 AS g0,
+         media_id * 13 % 251 AS b0
+  FROM img WHERE media_id % 8 = 6
+  UNION ALL
+  SELECT v.media_id, TRUE,
+         (v.media_id * 7 + 19 * t.f) % 251,
+         (v.media_id * 11 + 23 * t.f) % 251,
+         (v.media_id * 13 + 29 * t.f) % 251
+  FROM vid v CROSS JOIN (SELECT unnest(range(0, 4)) AS f) t
+  WHERE t.f < v.n
+),
 jpegrec AS (
-  SELECT media_id,
-    LEAST(255, GREATEST(0, FLOOR(y2 + 1.402 * (cr2 - 128) + 0.5))) AS jr,
-    LEAST(255, GREATEST(0, FLOOR(y2 - 0.344136 * (cb2 - 128)
-                                    - 0.714136 * (cr2 - 128) + 0.5))) AS jg,
-    LEAST(255, GREATEST(0, FLOOR(y2 + 1.772 * (cb2 - 128) + 0.5))) AS jb
+  SELECT media_id, is_video,
+    CAST(SUM(LEAST(255, GREATEST(0, FLOOR(y2 + 1.402 * (cr2 - 128) + 0.5))))
+         AS DOUBLE) / COUNT(*) AS jr,
+    CAST(SUM(LEAST(255, GREATEST(0, FLOOR(y2 - 0.344136 * (cb2 - 128)
+                                    - 0.714136 * (cr2 - 128) + 0.5))))
+         AS DOUBLE) / COUNT(*) AS jg,
+    CAST(SUM(LEAST(255, GREATEST(0, FLOOR(y2 + 1.772 * (cb2 - 128) + 0.5))))
+         AS DOUBLE) / COUNT(*) AS jb
   FROM (
-    SELECT media_id,
+    SELECT media_id, is_video,
       LEAST(255, GREATEST(0, 2 * FLOOR((y0 - 128) / 2.0 + 0.5) + 128)) AS y2,
       LEAST(255, GREATEST(0, 2 * FLOOR((cb0 - 128) / 2.0 + 0.5) + 128)) AS cb2,
       LEAST(255, GREATEST(0, 2 * FLOOR((cr0 - 128) / 2.0 + 0.5) + 128)) AS cr2
     FROM (
-      SELECT media_id,
+      SELECT media_id, is_video,
         LEAST(255, GREATEST(0, FLOOR(0.299 * r0 + 0.587 * g0 + 0.114 * b0 + 0.5))) AS y0,
         LEAST(255, GREATEST(0, FLOOR(128 - 0.168736 * r0 - 0.331264 * g0 + 0.5 * b0 + 0.5))) AS cb0,
         LEAST(255, GREATEST(0, FLOOR(128 + 0.5 * r0 - 0.418688 * g0 - 0.081312 * b0 + 0.5))) AS cr0
-      FROM (
-        SELECT media_id,
-               media_id * 7 % 251 AS r0,
-               media_id * 11 % 251 AS g0,
-               media_id * 13 % 251 AS b0
-        FROM img WHERE media_id % 8 = 6
-      )
+      FROM jpegsrc
     )
   )
+  GROUP BY media_id, is_video
 ),
 imgstats AS (
   SELECT media_id, w, h,
@@ -949,7 +971,7 @@ imgstats AS (
       CAST(ANY_VALUE(j.jg) AS DOUBLE) AS jpg_g,
       CAST(ANY_VALUE(j.jb) AS DOUBLE) AS jpg_b
     FROM img CROSS JOIN (SELECT unnest(range(0, 32)) AS i) t
-    LEFT JOIN jpegrec j ON j.media_id = img.media_id
+    LEFT JOIN jpegrec j ON j.media_id = img.media_id AND NOT j.is_video
     WHERE t.i < w * h
     GROUP BY img.media_id, w, h
   )
@@ -970,15 +992,22 @@ SELECT m.media_id, m.kind,
   CASE WHEN m.kind = 'image'
        THEN (CASE m.media_id % 8 WHEN 0 THEN 'bmp' WHEN 2 THEN 'png'
                                  WHEN 4 THEN 'gif' ELSE 'jpeg' END)
+       WHEN m.kind = 'video' THEN 'avi'
        ELSE 'wav' END AS format,
-  i.w AS width, i.h AS height,
-  CAST(CASE WHEN m.kind = 'image' THEN 3 ELSE 1 END AS INTEGER) AS channels,
+  COALESCE(i.w, v.w) AS width, COALESCE(i.h, v.h) AS height,
+  CAST(CASE WHEN m.kind = 'audio' THEN 1 ELSE 3 END AS INTEGER) AS channels,
   CAST(CASE WHEN m.kind = 'audio' THEN 8000 END AS INTEGER) AS sample_rate,
-  CAST(CASE WHEN m.kind = 'audio' THEN (a.n * 1000) // 8000 END AS INTEGER) AS duration_ms,
-  i.mean_b, i.mean_g, i.mean_r, s.rms,
+  CAST(CASE WHEN m.kind = 'audio' THEN (a.n * 1000) // 8000
+            WHEN m.kind = 'video' THEN v.n * 100 END AS INTEGER) AS duration_ms,
+  COALESCE(i.mean_b, jv.jb) AS mean_b,
+  COALESCE(i.mean_g, jv.jg) AS mean_g,
+  COALESCE(i.mean_r, jv.jr) AS mean_r,
+  s.rms,
   TRUE AS parse_ok
 FROM m
 LEFT JOIN imgstats i USING (media_id)
+LEFT JOIN vid v USING (media_id)
+LEFT JOIN jpegrec jv ON jv.media_id = m.media_id AND jv.is_video
 LEFT JOIN aud a USING (media_id)
 LEFT JOIN audstats s USING (media_id)
 """

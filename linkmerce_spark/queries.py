@@ -1811,20 +1811,21 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL media decode: BMP/PNG/GIF/JPEG/WAV containers parsed
+    """REAL media decode: BMP/PNG/GIF/JPEG/AVI/WAV containers parsed
     field-by-field.
 
     ``synthesize_media`` builds genuine files executor-side (24-bit
-    BMP, filtered 8-bit PNG, LZW-compressed GIF89a, a baseline-JPEG
-    marker shell, 16-bit PCM WAV — closed-form content keyed on
-    media_id); ``extract_media_stats`` byte-parses them back (struct
-    unpack, zlib unfilter, full LZW decompression, JPEG marker walk,
-    RIFF chunk walk — operators/multimodal.py, no image/audio
-    library). JPEG rows carry dimensions/channels from the SOF header
-    with NULL pixel means (the no-entropy-decode `identify` tier). The
-    oracle reproduces the decoded stats from the generating formulas,
-    so a parser bug in EITHER direction breaks the hash. All doubles
-    are exact-integer-sum / count (single correctly-rounded division,
+    BMP, filtered 8-bit PNG, LZW-compressed GIF89a, an entropy-coded
+    baseline JPEG, a Motion-JPEG AVI, 16-bit PCM WAV — closed-form
+    content keyed on media_id); ``extract_media_stats`` byte-parses
+    them back (struct unpack, zlib unfilter, full LZW decompression,
+    Huffman entropy decode + IDCT + color convert, RIFF container
+    walks — operators/{multimodal,jpeg,video}.py, no image/audio
+    library). JPEG and AVI pixel means go through the full lossy
+    chain: block-constant frames make it integer-exact, so the oracle
+    reproduces the decoded stats from the generating formulas and a
+    codec bug in EITHER direction breaks the hash. All doubles are
+    exact-integer-sum / count (single correctly-rounded division,
     engine-portable)."""
     from linkmerce_spark.operators.multimodal import (
         extract_media_stats,
@@ -1835,7 +1836,8 @@ def q_media_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
-        .otherwise(F.lit("audio"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
         .alias("kind"),
     )
     stats = extract_media_stats(synthesize_media(media))

@@ -512,3 +512,117 @@ def test_jpeg_fixture_route_is_fully_decoded(spark):
         assert (row["mean_r"], row["mean_g"], row["mean_b"]) == (
             float(er), float(eg), float(eb),
         )
+
+
+# --- MJPEG-in-AVI video tier (operators/video.py) -------------------------
+
+
+def test_avi_roundtrip_matches_per_frame_closed_form():
+    from linkmerce_spark.operators.video import decode_avi, encode_solid_mjpeg_avi
+
+    for mid in (3, 7, 11, 19, 23):
+        w, h, n = 4 + mid % 5, 2 + mid % 3, 2 + mid % 3
+        d = decode_avi(encode_solid_mjpeg_avi(mid, w, h, n))
+        exp = [
+            _solid_jpeg_closed_form(
+                (mid * 7 + 19 * f) % 251,
+                (mid * 11 + 23 * f) % 251,
+                (mid * 13 + 29 * f) % 251,
+            )
+            for f in range(n)
+        ]
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+        assert d["duration_ms"] == n * 100
+        assert d["mean_r"] == sum(float(e[0]) for e in exp) / n
+        assert d["mean_g"] == sum(float(e[1]) for e in exp) / n
+        assert d["mean_b"] == sum(float(e[2]) for e in exp) / n
+
+
+def test_avi_frame_stride_samples_kth_frames():
+    """Frame sampling: stride k decodes only frames 0, k, 2k, ... while
+    duration still comes from the header (no full decode needed)."""
+    from linkmerce_spark.operators.video import decode_avi, encode_solid_mjpeg_avi
+
+    mid, w, h, n = 23, 4 + 23 % 5, 2 + 23 % 3, 4
+    data = encode_solid_mjpeg_avi(mid, w, h, n)
+    exp = [
+        _solid_jpeg_closed_form(
+            (mid * 7 + 19 * f) % 251,
+            (mid * 11 + 23 * f) % 251,
+            (mid * 13 + 29 * f) % 251,
+        )
+        for f in range(n)
+    ]
+    for stride in (2, 3):
+        d = decode_avi(data, frame_stride=stride)
+        sampled = exp[::stride]
+        assert d["mean_r"] == sum(float(e[0]) for e in sampled) / len(sampled)
+        assert d["duration_ms"] == n * 100
+
+
+def test_avi_container_is_internally_consistent():
+    import struct
+
+    from linkmerce_spark.operators.video import decode_avi, encode_solid_mjpeg_avi
+
+    data = encode_solid_mjpeg_avi(3, 4, 2, 3)
+    # RIFF size field covers the body exactly
+    assert struct.unpack("<I", data[4:8])[0] == len(data) - 8
+    assert data[8:12] == b"AVI "
+    # header/movi frame-count mismatch is detected
+    corrupt = bytearray(data)
+    i = corrupt.find(b"avih") + 8 + 16  # dwTotalFrames offset in avih
+    corrupt[i] = 9
+    try:
+        decode_avi(bytes(corrupt))
+        raise AssertionError("frame-count mismatch must raise")
+    except ValueError as e:
+        assert "frames" in str(e)
+
+
+def test_video_rows_flow_through_media_stats(spark):
+    from linkmerce_spark.operators.multimodal import (
+        extract_media_stats,
+        synthesize_media,
+    )
+
+    rows = [(i, "video") for i in (3, 7, 11)] + [(4, "image"), (5, "audio")]
+    media = synthesize_media(
+        spark.createDataFrame(rows, "media_id long, kind string")
+    )
+    stats = {r["media_id"]: r for r in extract_media_stats(media).collect()}
+    for mid in (3, 7, 11):
+        row = stats[mid]
+        n = 2 + mid % 3
+        assert row["format"] == "avi" and row["parse_error"] is None
+        assert row["channels"] == 3 and row["duration_ms"] == n * 100
+        exp = [
+            _solid_jpeg_closed_form(
+                (mid * 7 + 19 * f) % 251,
+                (mid * 11 + 23 * f) % 251,
+                (mid * 13 + 29 * f) % 251,
+            )
+            for f in range(n)
+        ]
+        assert row["mean_r"] == sum(float(e[0]) for e in exp) / n
+    assert stats[4]["format"] == "gif" and stats[5]["format"] == "wav"
+
+
+def test_malformed_avi_degrades_to_parse_error(spark):
+    from linkmerce_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_stats,
+    )
+    from linkmerce_spark.operators.video import encode_solid_mjpeg_avi
+
+    good = encode_solid_mjpeg_avi(3, 4, 2, 2)
+    rows = [
+        (1, "video", good, "video/avi", 4, 2, 200),
+        (2, "video", good[:60], "video/avi", None, None, None),
+        (3, "video", b"RIFF\x04\x00\x00\x00AVI ", "video/avi", None, None, None),
+    ]
+    out = extract_media_stats(spark.createDataFrame(rows, MEDIA_SCHEMA))
+    got = {r["media_id"]: r for r in out.collect()}
+    assert got[1]["parse_error"] is None and got[1]["format"] == "avi"
+    assert got[2]["parse_error"] is not None
+    assert got[3]["parse_error"] is not None  # headerless: no avih
