@@ -1258,6 +1258,52 @@ SELECT decile, COUNT(*) AS n_customers,
 FROM tiled GROUP BY decile
 """
 
+# DSIR importance selection: hashed unigram+bigram models p (en target)
+# and q (non-en pool), integer ilog2 log-ratio, exact-bp scores, top 50.
+ORACLES["doc_dsir_select"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, {_DTOKS} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, UNNEST(t) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, lang,
+         UNNEST(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+                ELSE list_transform(range(1, len(t)),
+                       i -> array_to_string(list_slice(t, i, i + 1), ' ')) END) AS g
+  FROM toks
+),
+bkts AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5('dsir' || g), 1, 8) AS BIGINT) % 256 AS bucket
+  FROM grams
+),
+p AS (SELECT bucket, COUNT(*) AS cp FROM bkts WHERE lang = 'en' GROUP BY 1),
+q AS (SELECT bucket, COUNT(*) AS cq FROM bkts WHERE lang <> 'en' GROUP BY 1),
+ratio AS (
+  SELECT bucket,
+         (length(bin(COALESCE(cp, 0) + 1)) - 1)
+         - (length(bin(COALESCE(cq, 0) + 1)) - 1) AS r
+  FROM p FULL OUTER JOIN q USING (bucket)
+),
+s AS (
+  SELECT b.doc_id, COUNT(*) AS n_grams, SUM(r.r) AS sum_ratio
+  FROM bkts b JOIN ratio r USING (bucket) WHERE b.lang <> 'en' GROUP BY 1
+),
+scored AS (
+  SELECT d.doc_id, d.lang, d.source,
+    CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+    CAST(COALESCE(s.sum_ratio, 0) AS BIGINT) AS sum_ratio,
+    CAST(CASE WHEN s.n_grams > 0
+         THEN FLOOR(10000 * s.sum_ratio / s.n_grams) ELSE 0 END AS BIGINT)
+      AS dsir_score_bp
+  FROM documents d LEFT JOIN s USING (doc_id)
+  WHERE d.lang <> 'en'
+)
+SELECT doc_id, lang, source, n_grams, sum_ratio, dsir_score_bp
+FROM scored ORDER BY dsir_score_bp DESC, doc_id LIMIT 50
+"""
+
 ORACLES["doc_hash_splits"] = """
 WITH b AS (
   SELECT doc_id,

@@ -1114,6 +1114,36 @@ def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): importance-score the
+    non-English pool against the English target distribution over
+    hashed unigram+bigram features, keep the top 50.
+
+    The two hashed-n-gram models are bucket-sized aggregates joined
+    back as a broadcast log-ratio table (integer-exact ilog2
+    surrogate — operators/dsir.py); selection is a distributed top-k
+    (TakeOrderedAndProject), ties broken by doc_id. The score column
+    is exact basis points, so the twin hash gates the full chain:
+    tokenizer, feature hash, both models, the per-doc rollup, and the
+    selection order."""
+    from linkmerce_spark.operators.dsir import dsir_scores
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    cands = docs.filter(F.col("lang") != "en")
+    scored = dsir_scores(cands, target, "text", "doc_id", buckets=256)
+    # top-k FIRST (50 rows), then the dims attach broadcasts the tiny
+    # side — never an id-keyed shuffle join over the full pool.
+    top = scored.orderBy(
+        F.col("dsir_score_bp").desc(), F.col("doc_id")
+    ).limit(50)
+    return (
+        cands.select("doc_id", "lang", "source")
+        .join(F.broadcast(top), "doc_id")
+        .select("doc_id", "lang", "source", "n_grams", "sum_ratio", "dsir_score_bp")
+    )
+
+
 def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     dedup inside coarse k-means cells.
@@ -6839,6 +6869,7 @@ QUERIES = {
     "doc_bpe_tokens": q_doc_bpe_tokens,
     "domain_pagerank": q_domain_pagerank,
     "doc_pii_redact": q_doc_pii_redact,
+    "doc_dsir_select": q_doc_dsir_select,
     # ===== round-7 window (first 50 = the driver hash-check set) =====
     # Rotation by STALENESS: every entry below last held a driver row
     # in r2-r5 (the r6 window re-verified the other 50); the four
