@@ -427,13 +427,15 @@ def _decode_huffman(reader: _BitReader, codes: dict) -> int:
     raise ValueError("invalid Huffman code in scan")
 
 
-def decode_jpeg(content: bytes) -> dict:
+def decode_jpeg(content: bytes, want_pixels: bool = False) -> dict:
     """Full baseline-sequential decode: Huffman entropy decode,
     dequantize, IDCT, color convert; per-channel means over the real
     (un-padded) pixel region. Supports 8-bit precision, 1x1 sampling
     (4:4:4 color or grayscale), restart markers. Progressive (SOF2)
     and subsampled streams raise ValueError — they degrade to the
-    metadata walk in ``extract_media_stats``."""
+    metadata walk in ``extract_media_stats``. ``want_pixels`` adds
+    ``pixels``: flat top-row-major [r,g,b,...] ints (gray
+    replicated)."""
     if len(content) < 4 or content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG file")
     pos = 2
@@ -566,9 +568,10 @@ def decode_jpeg(content: bytes) -> dict:
             float(x.sum()) / (w * h) for x in (r, g, b)
         )
     else:
+        r = g = b = samples[0].astype(np.float64)
         gray = float(samples[0].sum()) / (w * h)
         mean_r = mean_g = mean_b = gray
-    return {
+    out = {
         "format": "jpeg",
         "width": w,
         "height": h,
@@ -577,3 +580,8 @@ def decode_jpeg(content: bytes) -> dict:
         "mean_g": mean_g,
         "mean_r": mean_r,
     }
+    if want_pixels:
+        out["pixels"] = (
+            np.stack([r, g, b], axis=2).astype(np.int64).reshape(-1).tolist()
+        )
+    return out

@@ -194,11 +194,13 @@ def encode_bmp(pixels_bgr: list, width: int, height: int) -> bytes:
     return header + dib + bytes(data)
 
 
-def decode_bmp(content: bytes) -> dict:
+def decode_bmp(content: bytes, want_pixels: bool = False) -> dict:
     """Parse an uncompressed 24-bit BMP: dimensions + per-channel means.
 
     Pure struct/byte parsing — no image library. Raises ValueError on
-    anything that is not a plain BITMAPINFOHEADER 24bpp file."""
+    anything that is not a plain BITMAPINFOHEADER 24bpp file.
+    ``want_pixels`` adds ``pixels``: flat top-row-major [r,g,b,...]
+    ints (file rows are bottom-up; the flip is undone here)."""
     if len(content) < 54 or content[:2] != b"BM":
         raise ValueError("not a BMP file")
     _, _, _, pixel_offset = struct.unpack("<IHHI", content[2:14])
@@ -214,12 +216,19 @@ def decode_bmp(content: bytes) -> dict:
     if len(content) < pixel_offset + stride * height:
         raise ValueError("truncated BMP pixel data")
     sums = [0, 0, 0]
+    rows = [None] * height if want_pixels else None
     for r in range(height):
         row = content[pixel_offset + r * stride : pixel_offset + r * stride + row_raw]
         for c in range(3):
             sums[c] += sum(row[c::3])
+        if want_pixels:
+            img_row = r if flipped else height - 1 - r
+            rgb = []
+            for c in range(width):
+                rgb += [row[3 * c + 2], row[3 * c + 1], row[3 * c]]
+            rows[img_row] = rgb
     n = width * height
-    return {
+    out = {
         "format": "bmp",
         "width": width,
         "height": height,
@@ -229,6 +238,9 @@ def decode_bmp(content: bytes) -> dict:
         "mean_r": sums[2] / n,
         "flipped": flipped,
     }
+    if want_pixels:
+        out["pixels"] = [v for row in rows for v in row]
+    return out
 
 
 def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
@@ -298,12 +310,14 @@ def encode_png(pixels_rgb: list, width: int, height: int) -> bytes:
     )
 
 
-def decode_png(content: bytes) -> dict:
+def decode_png(content: bytes, want_pixels: bool = False) -> dict:
     """Parse an 8-bit gray/RGB/RGBA PNG: chunk walk, zlib inflate,
     full per-row unfilter (all five filter types), per-channel means.
 
     Pure stdlib (struct + zlib) — no image library. Raises ValueError
-    on interlaced, paletted, or non-8-bit files."""
+    on interlaced, paletted, or non-8-bit files. ``want_pixels`` adds
+    ``pixels``: flat top-row-major [r,g,b,...] ints (gray replicated,
+    alpha dropped)."""
     import zlib
 
     if len(content) < 8 or content[:8] != _PNG_SIG:
@@ -333,6 +347,7 @@ def decode_png(content: bytes) -> dict:
     if len(raw) < (stride + 1) * height:
         raise ValueError("truncated PNG pixel data")
     sums = [0] * channels
+    pixels: list = []
     prev = bytes(stride)
     for r in range(height):
         base = r * (stride + 1)
@@ -365,6 +380,13 @@ def decode_png(content: bytes) -> dict:
             raise ValueError(f"bad filter type {ft}")
         for c in range(channels):
             sums[c] += sum(row[c::channels])
+        if want_pixels:
+            for c in range(width):
+                base_c = c * channels
+                if channels >= 3:
+                    pixels += [row[base_c], row[base_c + 1], row[base_c + 2]]
+                else:
+                    pixels += [row[base_c]] * 3
         prev = bytes(row)
     n = width * height
     out = {
@@ -373,6 +395,8 @@ def decode_png(content: bytes) -> dict:
         "height": height,
         "channels": channels,
     }
+    if want_pixels:
+        out["pixels"] = pixels
     if channels >= 3:
         out["mean_r"], out["mean_g"], out["mean_b"] = (
             sums[0] / n,
@@ -514,7 +538,7 @@ def encode_gif(indices: list, width: int, height: int) -> bytes:
     return bytes(out)
 
 
-def decode_gif(content: bytes) -> dict:
+def decode_gif(content: bytes, want_pixels: bool = False) -> dict:
     """Parse a GIF87a/89a: header + screen descriptor walk, global
     color table, extension-block skip, full LZW decompression of the
     first image, palette-mapped per-channel means. Pure stdlib.
@@ -558,6 +582,7 @@ def decode_gif(content: bytes) -> dict:
             if len(indices) < iw * ih:
                 raise ValueError("truncated GIF index stream")
             sums = [0, 0, 0]
+            pixels: list = [] if want_pixels else None
             for idx in indices[: iw * ih]:
                 if idx >= len(palette):
                     raise ValueError(f"palette index {idx} out of range")
@@ -565,8 +590,10 @@ def decode_gif(content: bytes) -> dict:
                 sums[0] += r
                 sums[1] += g
                 sums[2] += b
+                if want_pixels:
+                    pixels += [r, g, b]
             n = iw * ih
-            return {
+            out = {
                 "format": "gif",
                 "width": iw,
                 "height": ih,
@@ -575,6 +602,9 @@ def decode_gif(content: bytes) -> dict:
                 "mean_g": sums[1] / n,
                 "mean_b": sums[2] / n,
             }
+            if want_pixels:
+                out["pixels"] = pixels
+            return out
         elif block == 0x3B:
             break
         else:

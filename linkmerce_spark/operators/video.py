@@ -128,13 +128,15 @@ def encode_avi(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_avi(content: bytes, frame_stride: int = 1) -> dict:
+def decode_avi(content: bytes, frame_stride: int = 1, want_pixels: bool = False) -> dict:
     """Walk a RIFF AVI, decode every ``frame_stride``-th MJPEG frame,
     average channel means over the sampled frames.
 
     Header fields (dimensions, duration, frame count) come from
     ``avih`` alone; only sampled ``00dc`` chunks enter the JPEG
-    decoder — the k-th-frame sampling discipline of a real ingest."""
+    decoder — the k-th-frame sampling discipline of a real ingest.
+    ``want_pixels`` adds ``pixels``: the FIRST sampled frame's flat
+    [r,g,b,...] ints (the standard video-thumbnail source)."""
     if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
     if frame_stride < 1:
@@ -168,13 +170,16 @@ def decode_avi(content: bytes, frame_stride: int = 1) -> dict:
         )
     sampled = frames[::frame_stride]
     sums = [0.0, 0.0, 0.0]
-    for f in sampled:
-        d = decode_jpeg(f)
+    pixels = None
+    for i, f in enumerate(sampled):
+        d = decode_jpeg(f, want_pixels=want_pixels and i == 0)
+        if i == 0 and want_pixels:
+            pixels = d["pixels"]
         sums[0] += d["mean_b"]
         sums[1] += d["mean_g"]
         sums[2] += d["mean_r"]
     k = len(sampled)
-    return {
+    out = {
         "format": "avi",
         "width": width,
         "height": height,
@@ -184,6 +189,9 @@ def decode_avi(content: bytes, frame_stride: int = 1) -> dict:
         "mean_g": sums[1] / k if k else None,
         "mean_r": sums[2] / k if k else None,
     }
+    if want_pixels:
+        out["pixels"] = pixels
+    return out
 
 
 def encode_solid_mjpeg_avi(

@@ -895,6 +895,7 @@ WITH m AS (
               WHEN doc_id % 4 = 1 THEN 'audio'
               ELSE 'video' END AS kind
   FROM documents
+  WHERE doc_id % 5 = 0
 ),
 img AS (
   SELECT media_id,
@@ -1010,6 +1011,113 @@ LEFT JOIN vid v USING (media_id)
 LEFT JOIN jpegrec jv ON jv.media_id = m.media_id AND jv.is_video
 LEFT JOIN aud a USING (media_id)
 LEFT JOIN audstats s USING (media_id)
+"""
+
+# Thumbnails: the integer area-average resize over the fixture's
+# generating pixel formulas. Constant-color rows (jpeg stills, avi
+# first frames) repeat the reconstructed color 16x; bmp/png/gif rows
+# aggregate their source boxes per target cell (nearest-center on
+# upscale axes), mirroring operators/thumbs.area_resize exactly.
+ORACLES["media_thumbnails"] = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS kind
+  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 4 <> 1
+),
+dims AS (
+  SELECT media_id, kind,
+         CAST(4 + media_id % 5 AS INTEGER) AS w,
+         CAST(2 + media_id % 3 AS INTEGER) AS h
+  FROM m
+),
+const AS (
+  SELECT media_id,
+    CAST(LEAST(255, GREATEST(0, FLOOR(y2 + 1.402 * (cr2 - 128) + 0.5))) AS INTEGER) AS jr,
+    CAST(LEAST(255, GREATEST(0, FLOOR(y2 - 0.344136 * (cb2 - 128)
+                                    - 0.714136 * (cr2 - 128) + 0.5))) AS INTEGER) AS jg,
+    CAST(LEAST(255, GREATEST(0, FLOOR(y2 + 1.772 * (cb2 - 128) + 0.5))) AS INTEGER) AS jb
+  FROM (
+    SELECT media_id,
+      LEAST(255, GREATEST(0, 2 * FLOOR((y0 - 128) / 2.0 + 0.5) + 128)) AS y2,
+      LEAST(255, GREATEST(0, 2 * FLOOR((cb0 - 128) / 2.0 + 0.5) + 128)) AS cb2,
+      LEAST(255, GREATEST(0, 2 * FLOOR((cr0 - 128) / 2.0 + 0.5) + 128)) AS cr2
+    FROM (
+      SELECT media_id,
+        LEAST(255, GREATEST(0, FLOOR(0.299 * r0 + 0.587 * g0 + 0.114 * b0 + 0.5))) AS y0,
+        LEAST(255, GREATEST(0, FLOOR(128 - 0.168736 * r0 - 0.331264 * g0 + 0.5 * b0 + 0.5))) AS cb0,
+        LEAST(255, GREATEST(0, FLOOR(128 + 0.5 * r0 - 0.418688 * g0 - 0.081312 * b0 + 0.5))) AS cr0
+      FROM (
+        SELECT media_id,
+               media_id * 7 % 251 AS r0,
+               media_id * 11 % 251 AS g0,
+               media_id * 13 % 251 AS b0
+        FROM dims WHERE kind = 'video' OR media_id % 8 = 6
+      )
+    )
+  )
+),
+cells AS (
+  SELECT a.ti, b.tj
+  FROM (SELECT unnest(range(0, 4)) AS ti) a
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS tj) b
+),
+boxes AS (
+  SELECT d.media_id, d.w, d.h, c.ti, c.tj,
+    CASE WHEN (c.ti + 1) * d.h // 4 <= c.ti * d.h // 4
+         THEN (2 * c.ti + 1) * d.h // 8 ELSE c.ti * d.h // 4 END AS r_lo,
+    CASE WHEN (c.ti + 1) * d.h // 4 <= c.ti * d.h // 4
+         THEN (2 * c.ti + 1) * d.h // 8 + 1 ELSE (c.ti + 1) * d.h // 4 END AS r_hi,
+    CASE WHEN (c.tj + 1) * d.w // 4 <= c.tj * d.w // 4
+         THEN (2 * c.tj + 1) * d.w // 8 ELSE c.tj * d.w // 4 END AS c_lo,
+    CASE WHEN (c.tj + 1) * d.w // 4 <= c.tj * d.w // 4
+         THEN (2 * c.tj + 1) * d.w // 8 + 1 ELSE (c.tj + 1) * d.w // 4 END AS c_hi
+  FROM dims d CROSS JOIN cells c
+  WHERE d.kind = 'image' AND d.media_id % 8 <> 6
+),
+px AS (
+  SELECT b.media_id, b.ti, b.tj, (sr.i * b.w + sc.i) AS p
+  FROM boxes b
+  JOIN (SELECT unnest(range(0, 8)) AS i) sr ON sr.i >= b.r_lo AND sr.i < b.r_hi
+  JOIN (SELECT unnest(range(0, 8)) AS i) sc ON sc.i >= b.c_lo AND sc.i < b.c_hi
+),
+vals AS (
+  SELECT media_id, ti, tj,
+    CASE media_id % 8 WHEN 0 THEN (media_id * 7 + 3 * p + 2) % 251
+                      WHEN 2 THEN (media_id * 7 + 3 * p) % 251
+                      ELSE (media_id * 7 + p) % 251 END AS vr,
+    CASE media_id % 8 WHEN 4 THEN ((media_id * 7 + p) % 251 * 2) % 256
+                      ELSE (media_id * 7 + 3 * p + 1) % 251 END AS vg,
+    CASE media_id % 8 WHEN 0 THEN (media_id * 7 + 3 * p) % 251
+                      WHEN 2 THEN (media_id * 7 + 3 * p + 2) % 251
+                      ELSE ((media_id * 7 + p) % 251 * 5) % 256 END AS vb
+  FROM px
+),
+cellagg AS (
+  SELECT media_id, ti, tj,
+    CAST(SUM(vr) // COUNT(*) AS INTEGER) AS vr,
+    CAST(SUM(vg) // COUNT(*) AS INTEGER) AS vg,
+    CAST(SUM(vb) // COUNT(*) AS INTEGER) AS vb
+  FROM vals GROUP BY 1, 2, 3
+),
+varthumb AS (
+  SELECT media_id,
+    string_agg(printf('%02x%02x%02x', vr, vg, vb), '' ORDER BY ti, tj) AS thumb_hex
+  FROM cellagg GROUP BY 1
+),
+constthumb AS (
+  SELECT media_id, repeat(printf('%02x%02x%02x', jr, jg, jb), 16) AS thumb_hex
+  FROM const
+)
+SELECT d.media_id, d.kind,
+  CASE WHEN d.kind = 'video' THEN 'avi'
+       ELSE CASE d.media_id % 8 WHEN 0 THEN 'bmp' WHEN 2 THEN 'png'
+                                WHEN 4 THEN 'gif' ELSE 'jpeg' END END AS format,
+  d.w AS width, d.h AS height,
+  COALESCE(v.thumb_hex, c.thumb_hex) AS thumb_hex,
+  TRUE AS parse_ok
+FROM dims d
+LEFT JOIN varthumb v USING (media_id)
+LEFT JOIN constthumb c USING (media_id)
 """
 
 # --- marts layer ---------------------------------------------------------

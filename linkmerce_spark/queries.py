@@ -1863,7 +1863,11 @@ def q_media_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (docs,) = _t(spark, sf_dir, "documents")
-    media = docs.select(
+    # Media columns are sparse in a real corpus: every 5th document
+    # carries an attachment (the entropy decode is REAL per-row Python
+    # work now — the fixture models media-sparse data rather than
+    # decoding one file per text row).
+    media = docs.filter(F.col("doc_id") % 5 == 0).select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
         .when(F.col("doc_id") % 4 == 1, F.lit("audio"))
@@ -1884,6 +1888,41 @@ def q_media_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_g",
         "mean_r",
         "rms",
+        F.col("parse_error").isNull().alias("parse_ok"),
+    )
+
+
+def q_media_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode -> integer area-average RESIZE: every image/video
+    attachment becomes a fixed 4x4 RGB thumbnail (operators/thumbs.py
+    — box-filter means in pure integer arithmetic, nearest-neighbor
+    center fallback on upscale axes; AVI rows thumbnail their first
+    sampled frame). The thumbnail is emitted as a 96-char hex string
+    (cell-major r,g,b bytes — the portable-ordering discipline the
+    inverted index uses), so the twin hash gates every decoded pixel
+    through the resize, not just channel means."""
+    from linkmerce_spark.operators.multimodal import synthesize_media
+    from linkmerce_spark.operators.thumbs import extract_thumbnails
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    media = docs.filter(
+        (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 4 != 1)
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+    )
+    th = extract_thumbnails(synthesize_media(media))
+    return th.select(
+        "media_id",
+        "kind",
+        "format",
+        "width",
+        "height",
+        F.expr(
+            "array_join(transform(thumb, v -> lpad(lower(hex(v)), 2, '0')), '')"
+        ).alias("thumb_hex"),
         F.col("parse_error").isNull().alias("parse_ok"),
     )
 
@@ -6870,6 +6909,7 @@ QUERIES = {
     "domain_pagerank": q_domain_pagerank,
     "doc_pii_redact": q_doc_pii_redact,
     "doc_dsir_select": q_doc_dsir_select,
+    "media_thumbnails": q_media_thumbnails,
     # ===== round-7 window (first 50 = the driver hash-check set) =====
     # Rotation by STALENESS: every entry below last held a driver row
     # in r2-r5 (the r6 window re-verified the other 50); the four

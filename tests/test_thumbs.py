@@ -1,0 +1,92 @@
+"""Thumbnail resize: reference equivalence, kernel path, degrade."""
+
+from __future__ import annotations
+
+import random
+
+from linkmerce_spark.operators.thumbs import area_resize
+
+
+def _ref_resize(px, w, h, ow, oh):
+    out = []
+    for ti in range(oh):
+        rlo, rhi = ti * h // oh, (ti + 1) * h // oh
+        if rhi <= rlo:
+            rlo = (2 * ti + 1) * h // (2 * oh)
+            rhi = rlo + 1
+        for tj in range(ow):
+            clo, chi = tj * w // ow, (tj + 1) * w // ow
+            if chi <= clo:
+                clo = (2 * tj + 1) * w // (2 * ow)
+                chi = clo + 1
+            for ch in range(3):
+                vals = [
+                    px[(r * w + c) * 3 + ch]
+                    for r in range(rlo, rhi)
+                    for c in range(clo, chi)
+                ]
+                out.append(sum(vals) // len(vals))
+    return out
+
+
+def test_area_resize_matches_reference_and_invariants():
+    rng = random.Random(2)
+    for _ in range(60):
+        w, h = rng.randrange(1, 12), rng.randrange(1, 12)
+        px = [rng.randrange(256) for _ in range(w * h * 3)]
+        ow, oh = rng.choice([(4, 4), (2, 3), (8, 8), (1, 1)])
+        assert area_resize(px, w, h, ow, oh) == _ref_resize(px, w, h, ow, oh)
+    # identity when dims already match
+    px = [rng.randrange(256) for _ in range(4 * 4 * 3)]
+    assert area_resize(px, 4, 4, 4, 4) == px
+    # constant image -> constant thumbnail at any scale
+    assert area_resize([7, 8, 9] * 50, 10, 5, 4, 4) == [7, 8, 9] * 16
+    # 1x1 output is the global floor-mean
+    px = [10, 20, 30, 11, 21, 31]
+    assert area_resize(px, 2, 1, 1, 1) == [10, 20, 30]
+
+
+def test_thumbnails_decode_every_image_container(spark):
+    """BMP/PNG/GIF decode to the same pixel content (same generating
+    formula, different containers) — their thumbnails from the kernel
+    must equal area_resize of the formula pixels."""
+    from linkmerce_spark.operators.multimodal import (
+        _gif_palette,
+        extract_media_stats,
+        synthesize_media,
+    )
+    from linkmerce_spark.operators.thumbs import extract_thumbnails
+
+    rows = [(i, "image") for i in (0, 2, 4, 6)] + [
+        (3, "video"),
+        (1, "audio"),
+    ]
+    media = synthesize_media(
+        spark.createDataFrame(rows, "media_id long, kind string")
+    )
+    got = {r["media_id"]: r for r in extract_thumbnails(media).collect()}
+    for mid in (0, 2):  # bmp: file bytes are B,G,R; png: R,G,B
+        w, h = 4 + mid % 5, 2 + mid % 3
+        px = []
+        for p in range(w * h):
+            trip = [
+                (mid * 7 + 3 * p) % 251,
+                (mid * 7 + 3 * p + 1) % 251,
+                (mid * 7 + 3 * p + 2) % 251,
+            ]
+            px += trip[::-1] if mid % 8 == 0 else trip
+        assert got[mid]["thumb"] == area_resize(px, w, h, 4, 4), mid
+    mid, w, h = 4, 8, 3  # gif: palette-mapped
+    px = []
+    for p in range(w * h):
+        px += list(_gif_palette((mid * 7 + p) % 251))
+    assert got[4]["thumb"] == area_resize(px, w, h, 4, 4)
+    # jpeg still + avi first frame: constant thumbnails
+    for mid in (6, 3):
+        th = got[mid]["thumb"]
+        assert len(th) == 48 and th[0:3] * 16 == th
+    # audio rows have no pixel tier: degrade, never fail
+    assert got[1]["thumb"] is None and got[1]["parse_error"] is not None
+    # ...and the stats tier still handles the same frame
+    stats = {r["media_id"]: r for r in extract_media_stats(media).collect()}
+    assert stats[1]["format"] == "wav"
