@@ -55,9 +55,11 @@ from pyspark.sql.types import (
 )
 
 __all__ = [
+    "AUDIO_FEATURES_SCHEMA",
     "MEDIA_SCHEMA",
     "MEDIA_STATS_SCHEMA",
     "attach_media_metadata",
+    "extract_audio_features",
     "decode_media_features",
     "decode_bmp",
     "decode_gif",
@@ -687,9 +689,10 @@ def encode_wav(samples: list, sample_rate: int = 8000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav(content: bytes) -> dict:
+def decode_wav(content: bytes, want_samples: bool = False) -> dict:
     """Parse a PCM WAV via a RIFF chunk walk: format fields, duration,
-    RMS amplitude of the 16-bit samples. Pure struct parsing."""
+    RMS amplitude of the 16-bit samples. Pure struct parsing.
+    ``want_samples`` adds ``samples``: the raw int16 sample tuple."""
     if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, fmt, data = 12, None, None
@@ -709,13 +712,16 @@ def decode_wav(content: bytes) -> dict:
     n_samples = len(data) // 2
     samples = struct.unpack(f"<{n_samples}h", data[: n_samples * 2])
     n_frames = n_samples // channels
-    return {
+    out = {
         "format": "wav",
         "channels": channels,
         "sample_rate": sample_rate,
         "duration_ms": n_frames * 1000 // sample_rate,
         "rms": math.sqrt(sum(s * s for s in samples) / n_samples) if n_samples else 0.0,
     }
+    if want_samples:
+        out["samples"] = samples
+    return out
 
 
 MEDIA_STATS_SCHEMA = StructType(
@@ -735,6 +741,67 @@ MEDIA_STATS_SCHEMA = StructType(
         StructField("parse_error", StringType(), True),
     ]
 )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("peak", IntegerType(), True),
+        StructField("zero_crossings", LongType(), True),
+        StructField("energy", LongType(), True),
+        StructField("parse_error", StringType(), True),
+    ]
+)
+
+
+def extract_audio_features(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Audio feature extraction over real PCM WAV bytes: the integer-
+    exact signal features a curation pipeline screens on (silence,
+    clipping, tone-vs-noise) before any model-based processing.
+
+    - ``peak``: max absolute sample (clipping / silence detector);
+    - ``zero_crossings``: count of sign flips between consecutive
+      samples (``s[i-1] < 0 <= s[i]`` or ``s[i-1] >= 0 > s[i]`` — the
+      integer rule, no epsilon), the classic voiced/unvoiced proxy;
+    - ``energy``: sum of squared samples (exact int64; samples are
+      16-bit so 2^31 per sample x stream length stays far below 2^63).
+
+    All-integer outputs, so the SQL twin reproduces them bit-for-bit
+    from the fixture's generating formula. Same degrade contract as
+    the stats kernel: malformed bytes -> ``parse_error`` row."""
+    cols = [f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf[content_col]):
+                row = {c: None for c in cols}
+                row["media_id"] = media_id
+                try:
+                    if content is None:
+                        raise ValueError("null content")
+                    d = decode_wav(bytes(content), want_samples=True)
+                    s = d["samples"]
+                    row["n_samples"] = len(s)
+                    row["sample_rate"] = d["sample_rate"]
+                    row["peak"] = max((abs(v) for v in s), default=0)
+                    row["zero_crossings"] = sum(
+                        1
+                        for a, b in zip(s, s[1:])
+                        if (a < 0 <= b) or (a >= 0 > b)
+                    )
+                    row["energy"] = sum(v * v for v in s)
+                except Exception as e:  # noqa: BLE001 — never fail a stage
+                    row["parse_error"] = f"{type(e).__name__}: {e}"
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    from linkmerce_spark.shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    return df.mapInPandas(_kernel, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def extract_media_stats(df: DataFrame, content_col: str = "content") -> DataFrame:

@@ -1120,6 +1120,34 @@ LEFT JOIN varthumb v USING (media_id)
 LEFT JOIN constthumb c USING (media_id)
 """
 
+# Audio features: integer-exact signal stats over the generating
+# formula; s(i) = (id*31 + 17i) % 2048 - 1024, s(i-1) computed in
+# closed form (no window needed).
+ORACLES["media_audio_features"] = """
+WITH a AS (
+  SELECT doc_id AS media_id, CAST(32 + doc_id % 50 AS INTEGER) AS n
+  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 4 = 1
+),
+s AS (
+  SELECT a.media_id, a.n, t.i,
+    (a.media_id * 31 + t.i * 17) % 2048 - 1024 AS v,
+    CASE WHEN t.i > 0
+         THEN (a.media_id * 31 + (t.i - 1) * 17) % 2048 - 1024 END AS pv
+  FROM a CROSS JOIN (SELECT unnest(range(0, 82)) AS i) t
+  WHERE t.i < a.n
+)
+SELECT media_id,
+  CAST(ANY_VALUE(n) AS BIGINT) AS n_samples,
+  CAST(8000 AS INTEGER) AS sample_rate,
+  CAST(MAX(ABS(v)) AS INTEGER) AS peak,
+  CAST(SUM(CASE WHEN pv IS NOT NULL
+                 AND ((pv < 0 AND v >= 0) OR (pv >= 0 AND v < 0))
+            THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+  CAST(SUM(v * v) AS BIGINT) AS energy,
+  TRUE AS parse_ok
+FROM s GROUP BY media_id
+"""
+
 # --- marts layer ---------------------------------------------------------
 _MART_DAILY = """
   SELECT CAST(o_orderdate AS DATE) AS ymd, o_orderpriority AS priority,

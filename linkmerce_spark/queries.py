@@ -1927,6 +1927,36 @@ def q_media_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE-EXTRACT over real PCM WAV bytes: peak amplitude,
+    zero-crossing count, exact int64 energy (operators/multimodal.py
+    ``extract_audio_features``) — the silence/clipping/voicedness
+    screens an audio curation pipeline runs before model-based steps.
+    All-integer features, so the twin reproduces the decoded signal
+    math bit-for-bit from the generating formula."""
+    from linkmerce_spark.operators.multimodal import (
+        extract_audio_features,
+        synthesize_media,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    media = docs.filter(
+        (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 4 == 1)
+    ).select(
+        F.col("doc_id").alias("media_id"), F.lit("audio").alias("kind")
+    )
+    feats = extract_audio_features(synthesize_media(media))
+    return feats.select(
+        "media_id",
+        "n_samples",
+        "sample_rate",
+        "peak",
+        "zero_crossings",
+        "energy",
+        F.col("parse_error").isNull().alias("parse_ok"),
+    )
+
+
 def q_mart_sales_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TVF-style parameterized daily sales fact (marts layer)."""
     from linkmerce_spark.marts import sales_daily
@@ -6910,6 +6940,7 @@ QUERIES = {
     "doc_pii_redact": q_doc_pii_redact,
     "doc_dsir_select": q_doc_dsir_select,
     "media_thumbnails": q_media_thumbnails,
+    "media_audio_features": q_media_audio_features,
     # ===== round-7 window (first 50 = the driver hash-check set) =====
     # Rotation by STALENESS: every entry below last held a driver row
     # in r2-r5 (the r6 window re-verified the other 50); the four

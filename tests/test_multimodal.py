@@ -626,3 +626,43 @@ def test_malformed_avi_degrades_to_parse_error(spark):
     assert got[1]["parse_error"] is None and got[1]["format"] == "avi"
     assert got[2]["parse_error"] is not None
     assert got[3]["parse_error"] is not None  # headerless: no avih
+
+
+# --- audio feature extraction ----------------------------------------------
+
+
+def test_audio_features_match_stdlib_reference(spark):
+    from linkmerce_spark.operators.multimodal import (
+        encode_wav,
+        extract_audio_features,
+    )
+
+    import random
+
+    rng = random.Random(9)
+    rows = []
+    expected = {}
+    for mid in range(1, 6):
+        samples = [rng.randrange(-1024, 1024) for _ in range(rng.randrange(2, 60))]
+        rows.append((mid, "audio", encode_wav(samples, 8000)))
+        zc = sum(
+            1
+            for a, b in zip(samples, samples[1:])
+            if (a < 0 <= b) or (a >= 0 > b)
+        )
+        expected[mid] = (
+            len(samples),
+            max(abs(v) for v in samples),
+            zc,
+            sum(v * v for v in samples),
+        )
+    rows.append((9, "audio", b"not a wav"))
+    df = spark.createDataFrame(rows, "media_id long, kind string, content binary")
+    got = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+    for mid, (n, peak, zc, energy) in expected.items():
+        r = got[mid]
+        assert (
+            r["n_samples"], r["peak"], r["zero_crossings"], r["energy"]
+        ) == (n, peak, zc, energy)
+        assert r["sample_rate"] == 8000 and r["parse_error"] is None
+    assert got[9]["parse_error"] is not None and got[9]["peak"] is None
