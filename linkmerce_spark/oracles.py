@@ -1018,7 +1018,8 @@ LEFT JOIN audstats s USING (media_id)
 # first frames) repeat the reconstructed color 16x; bmp/png/gif rows
 # aggregate their source boxes per target cell (nearest-center on
 # upscale axes), mirroring operators/thumbs.area_resize exactly.
-ORACLES["media_thumbnails"] = """
+# The CTE chain is shared by media_thumbnails and media_near_dups.
+_MEDIA_THUMB_CTES = """
 WITH m AS (
   SELECT doc_id AS media_id,
          CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS kind
@@ -1107,7 +1108,24 @@ varthumb AS (
 constthumb AS (
   SELECT media_id, repeat(printf('%02x%02x%02x', jr, jg, jb), 16) AS thumb_hex
   FROM const
+),
+-- one (media_id, idx, val) row per thumbnail component: cell-major,
+-- idx = (ti*4+tj)*3 + channel, channels r,g,b — the vector form the
+-- near-dup self-join consumes
+thumbvals AS (
+  SELECT media_id, (ti * 4 + tj) * 3 + ch.c AS idx,
+         CASE ch.c WHEN 0 THEN vr WHEN 1 THEN vg ELSE vb END AS val
+  FROM cellagg CROSS JOIN (SELECT unnest(range(0, 3)) AS c) ch
+  UNION ALL
+  SELECT media_id, (cell.i) * 3 + ch.c AS idx,
+         CASE ch.c WHEN 0 THEN jr WHEN 1 THEN jg ELSE jb END AS val
+  FROM const
+  CROSS JOIN (SELECT unnest(range(0, 16)) AS i) cell
+  CROSS JOIN (SELECT unnest(range(0, 3)) AS c) ch
 )
+"""
+
+ORACLES["media_thumbnails"] = _MEDIA_THUMB_CTES + """
 SELECT d.media_id, d.kind,
   CASE WHEN d.kind = 'video' THEN 'avi'
        ELSE CASE d.media_id % 8 WHEN 0 THEN 'bmp' WHEN 2 THEN 'png'
@@ -1118,6 +1136,44 @@ SELECT d.media_id, d.kind,
 FROM dims d
 LEFT JOIN varthumb v USING (media_id)
 LEFT JOIN constthumb c USING (media_id)
+"""
+
+# Image near-dup over DECODED thumbnails: block on the quantized mean
+# color, score within-block pairs by integer-exact squared cosine
+# (floor(1e4 * dot^2 / (|a|^2 |b|^2)) — all HUGEINT/decimal, no
+# float), keep the top pairs. The multimodal entry point into the
+# dedup family: same blocking economics as ngram_jaccard_blocked
+# (boundary-straddling pairs are the documented blocking trade-off).
+ORACLES["media_near_dups"] = _MEDIA_THUMB_CTES + """,
+vecs AS (
+  SELECT media_id,
+         SUM(val * val) AS n2,
+         SUM(CASE WHEN idx % 3 = 0 THEN val ELSE 0 END) // 512 AS br,
+         SUM(CASE WHEN idx % 3 = 1 THEN val ELSE 0 END) // 512 AS bg,
+         SUM(CASE WHEN idx % 3 = 2 THEN val ELSE 0 END) // 512 AS bb
+  FROM thumbvals GROUP BY 1
+),
+keyed AS (
+  SELECT t.media_id, t.idx, t.val, v.n2, v.br, v.bg, v.bb
+  FROM thumbvals t JOIN vecs v USING (media_id)
+),
+pairs AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b,
+         SUM(a.val * b.val) AS dot,
+         ANY_VALUE(a.n2) AS na2, ANY_VALUE(b.n2) AS nb2
+  FROM keyed a JOIN keyed b
+    ON a.br = b.br AND a.bg = b.bg AND a.bb = b.bb
+   AND a.idx = b.idx AND a.media_id < b.media_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b,
+    CAST((10000 * dot * dot) // (na2 * nb2) AS BIGINT) AS cos2_bp
+  FROM pairs WHERE na2 > 0 AND nb2 > 0
+)
+SELECT id_a, id_b, cos2_bp
+FROM scored WHERE cos2_bp >= 9990
+ORDER BY cos2_bp DESC, id_a, id_b LIMIT 50
 """
 
 # Audio features: integer-exact signal stats over the generating

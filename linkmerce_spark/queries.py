@@ -1927,6 +1927,106 @@ def q_media_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection over DECODED thumbnails — the
+    multimodal entry point into the dedup family.
+
+    Every image/video attachment is decoded and area-resized to a
+    48-int vector (operators/thumbs.py), blocked on its quantized
+    mean color (per-channel sum DIV 512 -> 8^3 buckets, the
+    ngram_jaccard_blocked economics: within-block pairs only,
+    boundary-straddling pairs are the documented blocking trade-off),
+    and scored by INTEGER-EXACT squared cosine:
+    ``cos2_bp = floor(1e4 * dot^2 / (|a|^2 |b|^2))`` — products stay
+    under 2^63, no float ever enters, so the twin matches bit-for-bit.
+    The dot product is an in-plan ``zip_with``/``aggregate`` over the
+    vector arrays (one bucket-keyed self-join carrying one row per
+    media, no per-component explosion), then a distributed top-k."""
+    from linkmerce_spark.operators.multimodal import synthesize_media
+    from linkmerce_spark.operators.thumbs import extract_thumbnails
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    media = docs.filter(
+        (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 4 != 1)
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+    )
+    th = (
+        extract_thumbnails(synthesize_media(media))
+        .where(F.col("thumb").isNotNull())
+        .select(
+            "media_id",
+            "thumb",
+            F.expr(
+                "aggregate(thumb, 0L, (acc, v) -> acc + CAST(v AS BIGINT) * v)"
+            ).alias("n2"),
+            *[
+                F.expr(
+                    f"aggregate(transform(sequence(0, 15), i -> "
+                    f"element_at(thumb, i * 3 + {c + 1})), 0L, "
+                    f"(acc, v) -> acc + CAST(v AS BIGINT)) DIV 512"
+                ).alias(b)
+                for c, b in enumerate(("br", "bg", "bb"))
+            ],
+        )
+        .where(F.col("n2") > 0)
+        # both self-join sides read this frame: checkpoint so the
+        # corpus decodes ONCE (48 ints + 4 longs per media row — tiny
+        # vs the per-file entropy decode it saves). localCheckpoint,
+        # not persist(): the CacheManager matches persisted plans
+        # across catalog passes, which would let a second bench pass
+        # skip the decode (the measurement-integrity rule).
+        .localCheckpoint(eager=True)
+    )
+    a = th.select(
+        F.col("media_id").alias("id_a"),
+        F.col("thumb").alias("ta"),
+        F.col("n2").alias("na2"),
+        "br", "bg", "bb",
+    )
+    b = th.select(
+        F.col("media_id").alias("id_b"),
+        F.col("thumb").alias("tb"),
+        F.col("n2").alias("nb2"),
+        F.col("br").alias("br2"),
+        F.col("bg").alias("bg2"),
+        F.col("bb").alias("bb2"),
+    )
+    pairs = a.join(
+        b,
+        on=[
+            F.col("br") == F.col("br2"),
+            F.col("bg") == F.col("bg2"),
+            F.col("bb") == F.col("bb2"),
+            F.col("id_a") < F.col("id_b"),
+        ],
+    ).select(
+        "id_a",
+        "id_b",
+        F.expr(
+            "aggregate(zip_with(ta, tb, (x, y) -> CAST(x AS BIGINT) * y), "
+            "0L, (acc, v) -> acc + v)"
+        ).alias("dot"),
+        "na2",
+        "nb2",
+    )
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        F.expr("CAST((10000 * dot * dot) DIV (na2 * nb2) AS BIGINT)").alias(
+            "cos2_bp"
+        ),
+    )
+    return (
+        scored.where(F.col("cos2_bp") >= 9990)
+        .orderBy(F.col("cos2_bp").desc(), "id_a", "id_b")
+        .limit(50)
+    )
+
+
 def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio FEATURE-EXTRACT over real PCM WAV bytes: peak amplitude,
     zero-crossing count, exact int64 energy (operators/multimodal.py
@@ -6941,6 +7041,7 @@ QUERIES = {
     "doc_dsir_select": q_doc_dsir_select,
     "media_thumbnails": q_media_thumbnails,
     "media_audio_features": q_media_audio_features,
+    "media_near_dups": q_media_near_dups,
     # ===== round-7 window (first 50 = the driver hash-check set) =====
     # Rotation by STALENESS: every entry below last held a driver row
     # in r2-r5 (the r6 window re-verified the other 50); the four

@@ -90,3 +90,58 @@ def test_thumbnails_decode_every_image_container(spark):
     # ...and the stats tier still handles the same frame
     stats = {r["media_id"]: r for r in extract_media_stats(media).collect()}
     assert stats[1]["format"] == "wav"
+
+
+def test_media_near_dups_is_blocked_and_integer_exact(spark):
+    """The pair scorer: within-bucket self-join only (never all-pairs),
+    integer-exact cos^2 in bp, exact dups score exactly 10000."""
+    from linkmerce_spark.queries import q_media_near_dups
+
+    from pyspark.sql import functions as F
+
+    from linkmerce_spark.frames import load_star
+    from linkmerce_spark.operators.multimodal import synthesize_media
+    from linkmerce_spark.operators.thumbs import extract_thumbnails
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_media_near_dups(spark, sf).collect()
+    assert rows, "fixture must contain near-dup thumbnails"
+    assert all(r["cos2_bp"] >= 9990 for r in rows)
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    # the score is the exact integer floor(1e4*dot^2/(na2*nb2)):
+    # recompute the top pair from the decoded thumbnails in Python
+    top = rows[0]
+    docs = load_star(spark, sf, ["documents"])["documents"]
+    media = docs.filter(
+        F.col("doc_id").isin(top["id_a"], top["id_b"])
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+    )
+    th = {
+        r["media_id"]: r["thumb"]
+        for r in extract_thumbnails(synthesize_media(media)).collect()
+    }
+    a, b = th[top["id_a"]], th[top["id_b"]]
+    dot = sum(x * y for x, y in zip(a, b))
+    na2 = sum(x * x for x in a)
+    nb2 = sum(y * y for y in b)
+    assert top["cos2_bp"] == 10000 * dot * dot // (na2 * nb2)
+
+
+def test_media_near_dups_plan_shape(spark):
+    """One bucket-keyed self-join carrying one row per media (the dot
+    product is an in-plan zip_with/aggregate, no per-component
+    explosion or pair re-aggregation), distributed top-k."""
+    from linkmerce_spark.plans.explain import physical_plan
+    from linkmerce_spark.queries import q_media_near_dups
+
+    plan = physical_plan(
+        q_media_near_dups(spark, "/root/testdata/sf0.001"), "simple"
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    # exactly one join in the whole plan (the bucket-blocked self-join)
+    assert plan.count("Join") == 1, plan
