@@ -107,3 +107,109 @@ def dup_span_coverage(
         .cast("bigint")
         .alias("dup_span_bp"),
     )
+
+
+def dup_span_rewrite(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """The ExactSubstr REWRITE (Lee et al. 2022): remove every
+    duplicated span except its canonical (first) corpus occurrence.
+
+    Where ``dup_span_coverage`` only *scores* verbatim reuse, this is
+    the curation ACTION: for each corpus-duplicated n-gram, the
+    occurrence with the lexicographically smallest ``(doc_id,
+    position)`` is canonical and survives; every other occurrence
+    marks its n word positions for removal, and documents are
+    reassembled from the surviving positions in order. A document that
+    is entirely verbatim reuse collapses to the empty string; its
+    canonical source survives verbatim.
+
+    Shape (all uniform high-cardinality keys, nothing on the driver):
+
+    1. gram explode — scan-stage;
+    2. duplicated grams with their canonical occurrence: ONE gram-hash
+       shuffle, the lexicographic-min occurrence key is an ordinary
+       map-side-combinable integer MIN (no window);
+    3. non-canonical occurrences expand to covered positions (factor
+       bounded by ``n``, only for duplicated grams) — the removal set;
+    4. per-token anti-join on ``(doc_id, position)`` + ordered rebuild:
+       one doc_id shuffle.
+
+    Output: ``id_col, n_words, kept_words, clean_text``. Docs shorter
+    than ``n`` words have no grams and pass through verbatim.
+    """
+    if n <= 0 or min_count <= 1:
+        raise ValueError("n must be positive and min_count >= 2")
+    words = F.split(F.col(text_col), " ")
+    n_grams = F.size(words) - n + 1
+    starts = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.explode(starts).alias("_pos"),
+        words.alias("_w"),
+    ).select(
+        F.col(id_col),
+        F.col("_pos"),
+        F.xxhash64(F.array_join(F.slice(F.col("_w"), F.col("_pos"), n), " ")).alias(
+            "_gram"
+        ),
+    )
+    # canonical occurrence = lexicographic min (doc_id, pos), encoded
+    # as one BIGINT (doc_id * 2^32 + pos — positions are word indexes,
+    # far below 2^32) so the twin's MIN is a plain integer aggregate
+    # on both engines.
+    okey = (F.col(id_col) * F.lit(4294967296)) + F.col("_pos")
+    dups = (
+        grams.groupBy("_gram")
+        .agg(
+            F.count(F.lit(1)).alias("_occ"),
+            F.min(okey).alias("_canon"),
+        )
+        .where(F.col("_occ") >= min_count)
+        .select("_gram", "_canon")
+    )
+    removed = (
+        grams.join(dups, "_gram")
+        .where(okey != F.col("_canon"))
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("_pos"), F.col("_pos") + n - 1)).alias("_rm"),
+        )
+    )
+    tokens = df.select(
+        F.col(id_col), F.posexplode(words).alias("_idx", "_tok")
+    ).select(F.col(id_col), (F.col("_idx") + 1).alias("_wpos"), "_tok")
+    # both sides descend from df: rename the removal side's id so the
+    # anti-join predicate is unambiguous (not lineage-resolved)
+    removed = removed.select(F.col(id_col).alias("_rm_id"), "_rm")
+    kept = tokens.join(
+        removed,
+        on=[
+            F.col(id_col) == F.col("_rm_id"),
+            F.col("_wpos") == F.col("_rm"),
+        ],
+        how="left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_words"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_wpos", "_tok"))),
+                lambda x: x["_tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = df.select(F.col(id_col), F.size(words).cast("bigint").alias("n_words"))
+    return base.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        "n_words",
+        F.coalesce(F.col("kept_words"), F.lit(0)).cast("bigint").alias("kept_words"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

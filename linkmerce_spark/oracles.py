@@ -1496,6 +1496,58 @@ SELECT doc_id, lang, source, n_grams, sum_ratio, dsir_score_bp
 FROM scored ORDER BY dsir_score_bp DESC, doc_id LIMIT 50
 """
 
+# ExactSubstr rewrite: duplicated 8-gram occurrences (count >= 2)
+# except the canonical min(doc_id*2^32+pos) mark spans for removal;
+# docs rebuild from surviving positions. Grouping by the gram STRING
+# yields the same duplicate structure as the engine's collision-free
+# 64-bit hash.
+ORACLES["doc_exact_substr_rewrite"] = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, UNNEST(range(1, len(toks) - 6)) AS pos, toks
+  FROM w WHERE len(toks) >= 8
+),
+grams AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(toks, pos, pos + 7), ' ') AS gram
+  FROM g
+),
+dups AS (
+  SELECT gram, MIN(doc_id * 4294967296 + pos) AS canon
+  FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+),
+removed AS (
+  SELECT gr.doc_id, gr.pos + o.i AS rm
+  FROM grams gr JOIN dups d USING (gram)
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS i) o
+  WHERE gr.doc_id * 4294967296 + gr.pos <> d.canon
+),
+tokens AS (
+  SELECT doc_id, UNNEST(range(1, len(toks) + 1)) AS wpos, toks
+  FROM w
+),
+kept AS (
+  SELECT t.doc_id, t.wpos, t.toks[t.wpos] AS tok
+  FROM tokens t LEFT JOIN (SELECT DISTINCT doc_id, rm FROM removed) r
+    ON t.doc_id = r.doc_id AND t.wpos = r.rm
+  WHERE r.doc_id IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, COUNT(*) AS kept_words,
+         string_agg(tok, ' ' ORDER BY wpos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(len(w.toks) AS BIGINT) AS n_words,
+  CAST(COALESCE(r.kept_words, 0) AS BIGINT) AS kept_words,
+  COALESCE(r.clean_text, '') AS clean_text
+FROM documents d
+JOIN w USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+"""
+
 ORACLES["doc_hash_splits"] = """
 WITH b AS (
   SELECT doc_id,

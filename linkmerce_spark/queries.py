@@ -867,6 +867,22 @@ def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_coverage(docs, "text", "doc_id", n=8, min_count=2)
 
 
+def q_doc_exact_substr_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr dedup REWRITE (Lee et al. 2022) — where
+    ``doc_dup_spans`` scores verbatim reuse, this removes it: every
+    corpus-duplicated word-8-gram occurrence except the canonical
+    (lexicographically first ``(doc_id, pos)``) marks its span for
+    removal, and documents are rebuilt from the surviving positions.
+    Hash-gated on the COMPLETE rewritten text. Two uniform-key
+    shuffles (gram hash, doc_id rebuild) + the token anti-join; the
+    span expansion is bounded by n and fires only for duplicated
+    grams."""
+    from linkmerce_spark.operators.dupspans import dup_span_rewrite
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dup_span_rewrite(docs, "text", "doc_id", n=8, min_count=2)
+
+
 def q_doc_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM corpus-likelihood scoring (training-data op, round 6;
     the CCNet/Gopher perplexity-filter shape).
@@ -7042,6 +7058,7 @@ QUERIES = {
     "media_thumbnails": q_media_thumbnails,
     "media_audio_features": q_media_audio_features,
     "media_near_dups": q_media_near_dups,
+    "doc_exact_substr_rewrite": q_doc_exact_substr_rewrite,
     # ===== round-7 window (first 50 = the driver hash-check set) =====
     # Rotation by STALENESS: every entry below last held a driver row
     # in r2-r5 (the r6 window re-verified the other 50); the four

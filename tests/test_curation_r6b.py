@@ -348,3 +348,71 @@ def test_cell_pair_cosines_property_vs_join_form(spark, rows):
         .collect()
     )
     assert got == want
+
+
+# --- ExactSubstr rewrite (round 7c) ----------------------------------------
+
+
+def _py_exact_substr_rewrite(docs: dict, n: int = 8) -> dict:
+    """Reference reimplementation over {doc_id: text}."""
+    toks = {d: t.split(" ") for d, t in docs.items()}
+    occ: dict = {}
+    for d in sorted(toks):
+        ws = toks[d]
+        for p in range(1, len(ws) - n + 2):
+            occ.setdefault(" ".join(ws[p - 1 : p - 1 + n]), []).append((d, p))
+    removed: dict = {d: set() for d in toks}
+    for gram, places in occ.items():
+        if len(places) < 2:
+            continue
+        canon = min(places)
+        for d, p in places:
+            if (d, p) != canon:
+                removed[d].update(range(p, p + n))
+    out = {}
+    for d, ws in toks.items():
+        kept = [w for i, w in enumerate(ws, 1) if i not in removed[d]]
+        out[d] = (len(ws), len(kept), " ".join(kept))
+    return out
+
+
+def test_exact_substr_rewrite_semantics(spark):
+    from linkmerce_spark.operators.dupspans import dup_span_rewrite
+
+    a = "w0 w1 w2 w3 w4 w5 w6 w7 tail0 tail1"   # canonical source
+    b = "x0 x1 w0 w1 w2 w3 w4 w5 w6 w7 y0"      # later copy -> span removed
+    c = "w0 w1 w2 w3 w4 w5 w6 w7"               # exactly the dup span
+    d = "short doc"                              # < n words: untouched
+    rows = [(1, a), (2, b), (3, c), (4, d)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_words"], r["kept_words"], r["clean_text"])
+        for r in dup_span_rewrite(df, "text", "doc_id").collect()
+    }
+    assert got == _py_exact_substr_rewrite(dict(rows))
+    assert got[1] == (10, 10, a)                 # canonical survives verbatim
+    assert got[2] == (11, 3, "x0 x1 y0")         # copied span excised
+    assert got[3] == (8, 0, "")                  # pure-dup doc collapses
+    assert got[4] == (2, 2, d)                   # too short to gram
+
+
+def test_exact_substr_rewrite_matches_reference_on_random_corpus(spark):
+    import random
+
+    from linkmerce_spark.operators.dupspans import dup_span_rewrite
+
+    rng = random.Random(17)
+    vocab = [f"t{i}" for i in range(12)]
+    docs = {
+        i: " ".join(rng.choices(vocab, k=rng.randrange(8, 40)))
+        for i in range(30)
+    }
+    # inject verbatim reuse: doc 100 copies doc 0's head into its middle
+    head = " ".join(docs[0].split(" ")[:10])
+    docs[100] = "pre " + head + " post post2"
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_words"], r["kept_words"], r["clean_text"])
+        for r in dup_span_rewrite(df, "text", "doc_id").collect()
+    }
+    assert got == _py_exact_substr_rewrite(docs)
