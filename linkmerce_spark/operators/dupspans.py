@@ -115,6 +115,7 @@ def dup_span_rewrite(
     id_col: str,
     n: int = 8,
     min_count: int = 2,
+    carry: tuple = (),
 ) -> DataFrame:
     """The ExactSubstr REWRITE (Lee et al. 2022): remove every
     duplicated span except its canonical (first) corpus occurrence.
@@ -206,9 +207,18 @@ def dup_span_rewrite(
             " ",
         ).alias("clean_text"),
     )
-    base = df.select(F.col(id_col), F.size(words).cast("bigint").alias("n_words"))
+    # ``carry``: extra input columns to forward (dims a composed
+    # pipeline needs) — they ride the base join this operator already
+    # pays for, so callers never re-join the input and re-execute the
+    # gram subtree.
+    base = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.size(words).cast("bigint").alias("n_words"),
+    )
     return base.join(rebuilt, id_col, "left").select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         "n_words",
         F.coalesce(F.col("kept_words"), F.lit(0)).cast("bigint").alias("kept_words"),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),

@@ -1548,6 +1548,114 @@ JOIN w USING (doc_id)
 LEFT JOIN rebuilt r USING (doc_id)
 """
 
+# Round-7c composition capstone: span-dedup rewrite -> PII redaction
+# -> DSIR selection, one chained twin (each stage's CTE block mirrors
+# its standalone oracle).
+ORACLES["doc_clean_select_e2e"] = r"""
+WITH aug AS (
+  SELECT doc_id, lang, source, text
+    || (CASE WHEN doc_id % 7 = 0
+             THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+             ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0
+             THEN ' see https://docs.example.com/page/' || CAST(doc_id AS VARCHAR)
+             ELSE '' END)
+    || (CASE WHEN doc_id % 11 = 0 THEN ' call 010-1234-5678' ELSE '' END) AS body
+  FROM documents
+),
+w AS (
+  SELECT doc_id, string_split(body, ' ') AS toks FROM aug
+),
+g AS (
+  SELECT doc_id, UNNEST(range(1, len(toks) - 6)) AS pos, toks
+  FROM w WHERE len(toks) >= 8
+),
+grams AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(toks, pos, pos + 7), ' ') AS gram
+  FROM g
+),
+dups AS (
+  SELECT gram, MIN(doc_id * 4294967296 + pos) AS canon
+  FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+),
+removed AS (
+  SELECT gr.doc_id, gr.pos + o.i AS rm
+  FROM grams gr JOIN dups d USING (gram)
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS i) o
+  WHERE gr.doc_id * 4294967296 + gr.pos <> d.canon
+),
+tokens AS (
+  SELECT doc_id, UNNEST(range(1, len(toks) + 1)) AS wpos, toks FROM w
+),
+kept AS (
+  SELECT t.doc_id, t.wpos, t.toks[t.wpos] AS tok
+  FROM tokens t LEFT JOIN (SELECT DISTINCT doc_id, rm FROM removed) r
+    ON t.doc_id = r.doc_id AND t.wpos = r.rm
+  WHERE r.doc_id IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, COUNT(*) AS kept_words,
+         string_agg(tok, ' ' ORDER BY wpos) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+safe AS (
+  SELECT a.doc_id, a.lang, a.source,
+    CAST(r.kept_words AS BIGINT) AS kept_words,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(r.clean_text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        'https?://[^\s]+', '<URL>', 'g'),
+      '[0-9]{2,3}[-.][0-9]{3,4}[-.][0-9]{4}', '<PHONE>', 'g') AS safe_text
+  FROM aug a JOIN rebuilt r USING (doc_id)
+  WHERE r.kept_words > 0
+),
+toks2 AS (
+  SELECT doc_id, lang,
+    list_filter(string_split_regex(lower(safe_text), '[^\p{L}\p{N}]+'),
+                x -> x <> '') AS t
+  FROM safe
+),
+grams2 AS (
+  SELECT doc_id, lang, UNNEST(t) AS gm FROM toks2
+  UNION ALL
+  SELECT doc_id, lang,
+         UNNEST(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+                ELSE list_transform(range(1, len(t)),
+                       i -> array_to_string(list_slice(t, i, i + 1), ' ')) END) AS gm
+  FROM toks2
+),
+bkts AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5('dsir' || gm), 1, 8) AS BIGINT) % 256 AS bucket
+  FROM grams2
+),
+p AS (SELECT bucket, COUNT(*) AS cp FROM bkts WHERE lang = 'en' GROUP BY 1),
+q AS (SELECT bucket, COUNT(*) AS cq FROM bkts WHERE lang <> 'en' GROUP BY 1),
+ratio AS (
+  SELECT bucket,
+         (length(bin(COALESCE(cp, 0) + 1)) - 1)
+         - (length(bin(COALESCE(cq, 0) + 1)) - 1) AS r
+  FROM p FULL OUTER JOIN q USING (bucket)
+),
+s AS (
+  SELECT b.doc_id, COUNT(*) AS n_grams, SUM(r.r) AS sum_ratio
+  FROM bkts b JOIN ratio r USING (bucket) WHERE b.lang <> 'en' GROUP BY 1
+),
+scored AS (
+  SELECT f.doc_id, f.lang, f.source, f.kept_words,
+    CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+    CAST(CASE WHEN s.n_grams > 0
+         THEN FLOOR(10000 * s.sum_ratio / s.n_grams) ELSE 0 END AS BIGINT)
+      AS dsir_score_bp
+  FROM safe f LEFT JOIN s USING (doc_id)
+  WHERE f.lang <> 'en'
+)
+SELECT doc_id, lang, source, kept_words, n_grams, dsir_score_bp
+FROM scored ORDER BY dsir_score_bp DESC, doc_id LIMIT 40
+"""
+
 ORACLES["doc_hash_splits"] = """
 WITH b AS (
   SELECT doc_id,

@@ -883,6 +883,77 @@ def q_doc_exact_substr_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_rewrite(docs, "text", "doc_id", n=8, min_count=2)
 
 
+def q_doc_clean_select_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7c composition capstone: the three new text ACTIONS
+    chained as one lazy plan — ExactSubstr span-dedup REWRITE ->
+    typed PII redaction -> DSIR importance selection.
+
+    The corpus is first augmented with synthetic PII spans (the
+    doc_pii_redact fixture: per-doc email/url/phone tails — unique
+    per document, so the span-dedup stage provably leaves them for
+    the redactor). Rewrite excises duplicated 8-gram spans (canonical
+    survives), redaction replaces PII with typed placeholders, and
+    DSIR scores the redacted non-English pool against the redacted
+    English target, keeping the top 40. One twin gates the full
+    chain; the rewritten+redacted frame is localCheckpoint'ed at the
+    diamond (it feeds the DSIR target, the candidate pool, and the
+    output attributes)."""
+    from linkmerce_spark.functions.text import pii_redact
+    from linkmerce_spark.operators.dsir import dsir_scores
+    from linkmerce_spark.operators.dupspans import dup_span_rewrite
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    body = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" see https://docs.example.com/page/"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" call 010-1234-5678")).otherwise(
+            F.lit("")
+        ),
+    )
+    aug = docs.select("doc_id", "lang", "source", body.alias("body"))
+    # lang/source ride the rewrite's own base join (carry=) — a second
+    # doc_id join here would re-execute the whole gram subtree
+    rew = dup_span_rewrite(
+        aug, "body", "doc_id", n=8, min_count=2, carry=("lang", "source")
+    )
+    safe = (
+        rew.where(F.col("kept_words") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "kept_words",
+            pii_redact(F.col("clean_text")).alias("safe_text"),
+        )
+        .localCheckpoint()
+    )
+    target = safe.filter(F.col("lang") == "en")
+    cands = safe.filter(F.col("lang") != "en")
+    scored = dsir_scores(cands, target, "safe_text", "doc_id", buckets=256)
+    top = scored.orderBy(F.col("dsir_score_bp").desc(), F.col("doc_id")).limit(40)
+    return (
+        cands.select("doc_id", "lang", "source", "kept_words")
+        .join(F.broadcast(top), "doc_id")
+        .select(
+            "doc_id", "lang", "source", "kept_words", "n_grams", "dsir_score_bp"
+        )
+    )
+
+
 def q_doc_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM corpus-likelihood scoring (training-data op, round 6;
     the CCNet/Gopher perplexity-filter shape).
@@ -7059,6 +7130,7 @@ QUERIES = {
     "media_audio_features": q_media_audio_features,
     "media_near_dups": q_media_near_dups,
     "doc_exact_substr_rewrite": q_doc_exact_substr_rewrite,
+    "doc_clean_select_e2e": q_doc_clean_select_e2e,
     # ===== round-7 window (first 50 = the driver hash-check set) =====
     # Rotation by STALENESS: every entry below last held a driver row
     # in r2-r5 (the r6 window re-verified the other 50); the four
