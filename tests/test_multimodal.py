@@ -666,3 +666,76 @@ def test_audio_features_match_stdlib_reference(spark):
         ) == (n, peak, zc, energy)
         assert r["sample_rate"] == 8000 and r["parse_error"] is None
     assert got[9]["parse_error"] is not None and got[9]["peak"] is None
+
+
+# --- decoder robustness: fuzzed bytes never escape the contract ------------
+
+
+def test_decoders_never_crash_on_fuzzed_bytes():
+    """The 100 TB contract is 'a bad file never fails a stage': every
+    decoder must either return a dict or raise a catchable exception —
+    never hang, never return garbage types — on random bytes, on
+    truncations of VALID files, and on bit-flipped valid files."""
+    import random
+
+    from linkmerce_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from linkmerce_spark.operators.multimodal import (
+        decode_bmp,
+        decode_gif,
+        decode_png,
+        decode_wav,
+        encode_bmp,
+        encode_gif,
+        encode_png,
+        encode_wav,
+    )
+    from linkmerce_spark.operators.video import decode_avi, encode_solid_mjpeg_avi
+
+    rng = random.Random(99)
+    decoders = [decode_bmp, decode_png, decode_gif, decode_jpeg, decode_wav, decode_avi]
+    valid = [
+        encode_bmp([rng.randrange(256) for _ in range(5 * 3 * 3)], 5, 3),
+        encode_png([rng.randrange(256) for _ in range(5 * 3 * 3)], 5, 3),
+        encode_gif([rng.randrange(251) for _ in range(15)], 5, 3),
+        encode_jpeg([rng.randrange(256) for _ in range(5 * 3 * 3)], 5, 3),
+        encode_wav([rng.randrange(-1024, 1024) for _ in range(40)]),
+        encode_solid_mjpeg_avi(7, 4, 2, 3),
+    ]
+
+    def probe(data: bytes) -> None:
+        for dec in decoders:
+            try:
+                out = dec(data)
+                assert isinstance(out, dict)
+            except Exception:
+                pass  # any exception is fine — the kernel catches all
+
+    for _ in range(150):  # pure random garbage
+        probe(bytes(rng.randrange(256) for _ in range(rng.randrange(0, 300))))
+    for v in valid:  # truncations of valid files
+        for cut in range(0, len(v), max(1, len(v) // 17)):
+            probe(v[:cut])
+    for v in valid:  # single-bit corruptions of valid files
+        for _ in range(40):
+            b = bytearray(v)
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            probe(bytes(b))
+
+
+def test_jpeg_gray_q1_roundtrip_per_pixel_bound():
+    """q=1 grayscale roundtrip: EVERY pixel within 1 of the original
+    (DCT float + two floor-roundings can move a sample at most 1) —
+    a stronger pin than the mean-based checks."""
+    import random
+
+    from linkmerce_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = random.Random(23)
+    for _ in range(10):
+        w, h = rng.randrange(1, 25), rng.randrange(1, 25)
+        px = [rng.randrange(256) for _ in range(w * h)]
+        d = decode_jpeg(encode_jpeg(px, w, h, 1, q=1), want_pixels=True)
+        got = d["pixels"][0::3]  # gray replicated into r,g,b
+        assert len(got) == w * h
+        worst = max(abs(a - b) for a, b in zip(px, got))
+        assert worst <= 1, worst
