@@ -277,17 +277,7 @@ def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
     return np.clip(_floor_half(out), 0, 255).astype(np.int64)
 
 
-def _blocks(plane: np.ndarray) -> list:
-    """Split a (h, w) plane into edge-replicated 8x8 blocks, raster
-    order (the 4:4:4 / single-component MCU layout)."""
-    h, w = plane.shape
-    bh, bw = -(-h // 8), -(-w // 8)
-    padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
-    return [
-        padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-        for by in range(bh)
-        for bx in range(bw)
-    ]
+# (single-factor block split subsumed by _mcu_blocks with hs=vs=1)
 
 
 def _quantize_block(block: np.ndarray, q: int) -> list:
@@ -325,16 +315,57 @@ def _rle_ac(zz: list) -> list:
     return out
 
 
-def encode_jpeg(pixels: list, width: int, height: int, channels: int = 3, q: int = 16) -> bytes:
+def _mcu_blocks(plane: np.ndarray, hs: int, vs: int, mw: int, mh: int) -> list:
+    """8x8 blocks of ``plane`` in MCU-interleaved raster order: for
+    each MCU (row-major), the component's ``vs x hs`` blocks raster
+    within it. Plane edge-padded to the full MCU grid."""
+    H, W = mh * 8 * vs, mw * 8 * hs
+    padded = np.pad(
+        plane, ((0, H - plane.shape[0]), (0, W - plane.shape[1])), mode="edge"
+    )
+    out = []
+    for my in range(mh):
+        for mx in range(mw):
+            for by in range(vs):
+                for bx in range(hs):
+                    r0, c0 = (my * vs + by) * 8, (mx * hs + bx) * 8
+                    out.append(padded[r0 : r0 + 8, c0 : c0 + 8])
+    return out
+
+
+def _subsample2(plane: np.ndarray) -> np.ndarray:
+    """2x2 chroma subsample by integer floor-mean (edge-padded to even
+    dims). Floor keeps constant planes exactly constant — the property
+    the closed-form fixtures rely on."""
+    h, w = plane.shape
+    p = np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge")
+    return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) // 4
+
+
+def encode_jpeg(
+    pixels: list,
+    width: int,
+    height: int,
+    channels: int = 3,
+    q: int = 16,
+    subsampling: str = "444",
+) -> bytes:
     """Encode a REAL baseline-sequential JPEG.
 
     ``pixels``: row-major samples — RGB triples flattened when
     ``channels == 3``, single luma samples when ``channels == 1``.
     ``q``: the flat quantization value written to DQT (1 = highest
-    fidelity). Two-pass: symbol statistics first, then optimized
-    canonical Huffman tables, then the entropy scan."""
+    fidelity). ``subsampling``: ``'444'`` (one block per component per
+    MCU) or ``'420'`` (the real-world default: 16x16 MCUs of four luma
+    blocks plus 2x2-floor-mean-subsampled chroma). Two-pass: symbol
+    statistics first, then optimized canonical Huffman tables, then
+    the entropy scan."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling == "420" and channels != 3:
+        raise ValueError("4:2:0 requires 3 channels")
     px = np.asarray(pixels, dtype=np.float64).reshape(height, width, channels)
     if channels == 3:
         ycc = _rgb_to_ycbcr(px.reshape(-1, 3)).reshape(height, width, 3)
@@ -342,10 +373,22 @@ def encode_jpeg(pixels: list, width: int, height: int, channels: int = 3, q: int
     else:
         planes = [np.clip(_floor_half(px[:, :, 0]), 0, 255).astype(np.int64)]
 
-    # MCU-interleaved coefficient stream: per MCU one block per
-    # component (all sampling factors 1x1).
-    per_comp_blocks = [[_quantize_block(b, q) for b in _blocks(p)] for p in planes]
-    n_mcu = len(per_comp_blocks[0])
+    # sampling factors (h, v) per component and the MCU grid
+    if subsampling == "420":
+        samp = [(2, 2), (1, 1), (1, 1)]
+        planes = [planes[0], _subsample2(planes[1]), _subsample2(planes[2])]
+        mw, mh = -(-width // 16), -(-height // 16)
+    else:
+        samp = [(1, 1)] * channels
+        mw, mh = -(-width // 8), -(-height // 8)
+    per_comp_blocks = [
+        [
+            _quantize_block(b, q)
+            for b in _mcu_blocks(p, samp[c][0], samp[c][1], mw, mh)
+        ]
+        for c, p in enumerate(planes)
+    ]
+    n_mcu = mw * mh
 
     dc_freq: dict = {0: {}, 1: {}}
     ac_freq: dict = {0: {}, 1: {}}
@@ -354,17 +397,31 @@ def encode_jpeg(pixels: list, width: int, height: int, channels: int = 3, q: int
     for m in range(n_mcu):
         for c in range(channels):
             tid = 0 if c == 0 else 1
-            zz = per_comp_blocks[c][m]
-            diff = zz[0] - dc_pred[c]
-            dc_pred[c] = zz[0]
-            size = _category(diff)
-            dc_freq[tid][size] = dc_freq[tid].get(size, 0) + 1
-            sym_stream.append((tid, "dc", (size, diff)))
-            for run, s, v in _rle_ac(zz):
-                sym = (run << 4) | s
-                ac_freq[tid][sym] = ac_freq[tid].get(sym, 0) + 1
-                sym_stream.append((tid, "ac", (sym, s, v)))
+            bpm = samp[c][0] * samp[c][1]  # blocks per MCU
+            for zz in per_comp_blocks[c][m * bpm : (m + 1) * bpm]:
+                _emit_block(
+                    zz, c, tid, dc_pred, dc_freq, ac_freq, sym_stream
+                )
+    return _assemble_jpeg(
+        sym_stream, dc_freq, ac_freq, width, height, channels, q, samp
+    )
 
+
+def _emit_block(zz, c, tid, dc_pred, dc_freq, ac_freq, sym_stream) -> None:
+    diff = zz[0] - dc_pred[c]
+    dc_pred[c] = zz[0]
+    size = _category(diff)
+    dc_freq[tid][size] = dc_freq[tid].get(size, 0) + 1
+    sym_stream.append((tid, "dc", (size, diff)))
+    for run, s, v in _rle_ac(zz):
+        sym = (run << 4) | s
+        ac_freq[tid][sym] = ac_freq[tid].get(sym, 0) + 1
+        sym_stream.append((tid, "ac", (sym, s, v)))
+
+
+def _assemble_jpeg(
+    sym_stream, dc_freq, ac_freq, width, height, channels, q, samp
+) -> bytes:
     tables = {}
     used_tids = sorted({0} | ({1} if channels == 3 else set()))
     for tid in used_tids:
@@ -396,7 +453,8 @@ def encode_jpeg(pixels: list, width: int, height: int, channels: int = 3, q: int
         out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
     sof = bytearray(struct.pack(">BHHB", 8, height, width, channels))
     for c in range(channels):
-        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+        hs, vs = samp[c]
+        sof += bytes([c + 1, (hs << 4) | vs, 0 if c == 0 else 1])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     for (kind, tid) in sorted(tables):
         bits, huffval, _ = tables[(kind, tid)]
@@ -430,9 +488,11 @@ def _decode_huffman(reader: _BitReader, codes: dict) -> int:
 def decode_jpeg(content: bytes, want_pixels: bool = False) -> dict:
     """Full baseline-sequential decode: Huffman entropy decode,
     dequantize, IDCT, color convert; per-channel means over the real
-    (un-padded) pixel region. Supports 8-bit precision, 1x1 sampling
-    (4:4:4 color or grayscale), restart markers. Progressive (SOF2)
-    and subsampled streams raise ValueError — they degrade to the
+    (un-padded) pixel region. Supports 8-bit precision, sampling
+    factors 1 and 2 per axis — 4:4:4, the real-world-default 4:2:0,
+    4:2:2/4:4:0, grayscale — with subsampled components replicated
+    back to full resolution; restart markers handled. Progressive
+    (SOF2) and exotic sampling raise ValueError — they degrade to the
     metadata walk in ``extract_media_stats``. ``want_pixels`` adds
     ``pixels``: flat top-row-major [r,g,b,...] ints (gray
     replicated)."""
@@ -484,9 +544,12 @@ def decode_jpeg(content: bytes, want_pixels: bool = False) -> dict:
             comps = []
             for c in range(nc):
                 cid, sampling, tq = seg[6 + 3 * c : 9 + 3 * c]
-                if sampling != 0x11:
-                    raise ValueError("subsampled JPEG needs the library tier")
-                comps.append({"id": cid, "tq": tq})
+                hs, vs = sampling >> 4, sampling & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise ValueError(
+                        f"sampling factors {hs}x{vs} need the library tier"
+                    )
+                comps.append({"id": cid, "tq": tq, "h": hs, "v": vs})
             sof = (w, h, nc)
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -507,9 +570,13 @@ def decode_jpeg(content: bytes, want_pixels: bool = False) -> dict:
     w, h, nc = sof
 
     reader = _BitReader(content[pos:])
-    bw, bh = -(-w // 8), -(-h // 8)
-    n_mcu = bw * bh
-    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(nc)]
+    hmax = max(comp["h"] for comp in comps)
+    vmax = max(comp["v"] for comp in comps)
+    mw, mh = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    n_mcu = mw * mh
+    planes = [
+        np.zeros((mh * 8 * comp["v"], mw * 8 * comp["h"])) for comp in comps
+    ]
     dc_pred = [0] * nc
     inv_zigzag = ZIGZAG  # zz position -> raster index
     for m in range(n_mcu):
@@ -522,41 +589,53 @@ def decode_jpeg(content: bytes, want_pixels: bool = False) -> dict:
             ):
                 reader.pos += 2
             dc_pred = [0] * nc
-        by, bx = divmod(m, bw)
+        my, mx = divmod(m, mw)
         for c in range(nc):
             comp = comps[c]
             dc_codes = htables[(0, comp["td"])]
             ac_codes = htables[(1, comp["ta"])]
             qt = qtables[comp["tq"]]
-            zz = [0] * 64
-            size = _decode_huffman(reader, dc_codes)
-            diff = _extend(reader.receive(size), size)
-            dc_pred[c] += diff
-            zz[0] = dc_pred[c]
-            k = 1
-            while k < 64:
-                sym = _decode_huffman(reader, ac_codes)
-                run, s = sym >> 4, sym & 0x0F
-                if s == 0:
-                    if run == 15:
-                        k += 16  # ZRL
-                        continue
-                    break  # EOB
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                zz[k] = _extend(reader.receive(s), s)
-                k += 1
-            coeffs = np.zeros(64)
-            for zpos in range(64):
-                coeffs[inv_zigzag[zpos]] = zz[zpos] * qt[zpos]
-            block = _C.T @ coeffs.reshape(8, 8) @ _C
-            planes[c][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+            for bidx in range(comp["h"] * comp["v"]):
+                bby, bbx = divmod(bidx, comp["h"])
+                zz = [0] * 64
+                size = _decode_huffman(reader, dc_codes)
+                diff = _extend(reader.receive(size), size)
+                dc_pred[c] += diff
+                zz[0] = dc_pred[c]
+                k = 1
+                while k < 64:
+                    sym = _decode_huffman(reader, ac_codes)
+                    run, s = sym >> 4, sym & 0x0F
+                    if s == 0:
+                        if run == 15:
+                            k += 16  # ZRL
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    zz[k] = _extend(reader.receive(s), s)
+                    k += 1
+                coeffs = np.zeros(64)
+                for zpos in range(64):
+                    coeffs[inv_zigzag[zpos]] = zz[zpos] * qt[zpos]
+                block = _C.T @ coeffs.reshape(8, 8) @ _C
+                r0 = (my * comp["v"] + bby) * 8
+                c0 = (mx * comp["h"] + bbx) * 8
+                planes[c][r0 : r0 + 8, c0 : c0 + 8] = block
 
-    samples = [
-        np.clip(_floor_half(p[:h, :w] + 128.0), 0, 255).astype(np.int64)
-        for p in planes
-    ]
+    # replicate subsampled components back to full resolution, crop
+    samples = []
+    for c in range(nc):
+        comp = comps[c]
+        p = planes[c]
+        if comp["v"] < vmax:
+            p = np.repeat(p, vmax // comp["v"], axis=0)
+        if comp["h"] < hmax:
+            p = np.repeat(p, hmax // comp["h"], axis=1)
+        samples.append(
+            np.clip(_floor_half(p[:h, :w] + 128.0), 0, 255).astype(np.int64)
+        )
     if nc == 3:
         y, cb, cr = (s.astype(np.float64) for s in samples)
         r = np.clip(_floor_half(y + 1.402 * (cr - 128)), 0, 255)

@@ -925,7 +925,12 @@ def synthesize_media(df: DataFrame) -> DataFrame:
                             (mid * 11) % 251,
                             (mid * 13) % 251,
                         ] * (w * h)
-                        content.append(encode_jpeg(rgb, w, h, 3))
+                        # alternate 4:4:4 / 4:2:0 containers — solid
+                        # color reconstructs identically (the chroma
+                        # floor-mean of a constant is the constant),
+                        # so the oracle chain covers both layouts
+                        sub = "444" if mid % 16 == 6 else "420"
+                        content.append(encode_jpeg(rgb, w, h, 3, subsampling=sub))
                     elif route == 4:
                         idx = [(mid * 7 + j) % 251 for j in range(w * h)]
                         content.append(encode_gif(idx, w, h))

@@ -479,15 +479,16 @@ def test_jpeg_unsupported_modes_degrade_to_meta_tier(spark):
     assert (out[0]["width"], out[0]["height"]) == (3, 2)
     assert out[0]["mean_r"] is None  # meta tier
 
-    # subsampled (2x2 luma sampling factor) likewise raises
+    # exotic sampling factors (3x3 — legal but rare) raise; 1/2 per
+    # axis are handled since the 4:2:0 support landed
     data2 = bytearray(encode_jpeg([100, 150, 200] * 6, 3, 2, 3))
     j = data2.find(b"\xff\xc0")
-    data2[j + 11] = 0x22  # component 0 sampling 2x2
+    data2[j + 11] = 0x33  # component 0 sampling 3x3
     try:
         decode_jpeg(bytes(data2))
-        raise AssertionError("subsampled must raise")
+        raise AssertionError("exotic sampling must raise")
     except ValueError as e:
-        assert "subsampled" in str(e)
+        assert "library tier" in str(e)
     assert struct.unpack(">H", data2[j + 5 : j + 7])[0] == 2  # height intact
 
 
@@ -739,3 +740,67 @@ def test_jpeg_gray_q1_roundtrip_per_pixel_bound():
         assert len(got) == w * h
         worst = max(abs(a - b) for a, b in zip(px, got))
         assert worst <= 1, worst
+
+
+def test_jpeg_420_solid_matches_444_closed_form():
+    """4:2:0: a solid color reconstructs EXACTLY as in 4:4:4 (the
+    chroma floor-mean of a constant is the constant), including
+    non-multiple-of-16 dims spanning several MCUs."""
+    import random
+
+    from linkmerce_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = random.Random(31)
+    for _ in range(30):
+        r, g, b = rng.randrange(256), rng.randrange(256), rng.randrange(256)
+        w, h = rng.randrange(1, 40), rng.randrange(1, 40)
+        d420 = decode_jpeg(encode_jpeg([r, g, b] * (w * h), w, h, 3, subsampling="420"))
+        er, eg, eb = _solid_jpeg_closed_form(r, g, b)
+        assert (d420["width"], d420["height"]) == (w, h)
+        assert (d420["mean_r"], d420["mean_g"], d420["mean_b"]) == (
+            float(er), float(eg), float(eb),
+        )
+
+
+def test_jpeg_420_multi_mcu_luma_fidelity():
+    """Gray-content 4:2:0 at q=1 across a 3x2 MCU grid: luma path is
+    untouched by chroma subsampling — per-pixel error <= 1."""
+    from linkmerce_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    w, h = 33, 19
+    px = []
+    for r0 in range(h):
+        for c0 in range(w):
+            v = (r0 * 8 + c0 * 5) % 256
+            px += [v, v, v]
+    d = decode_jpeg(
+        encode_jpeg(px, w, h, 3, q=1, subsampling="420"), want_pixels=True
+    )
+    worst = max(abs(a - b) for a, b in zip(px[0::3], d["pixels"][0::3]))
+    assert worst <= 1
+
+
+def test_jpeg_fixture_route_covers_both_subsampling_layouts(spark):
+    from linkmerce_spark.operators.multimodal import (
+        extract_media_stats,
+        synthesize_media,
+    )
+
+    rows = [(i, "image") for i in (6, 14, 22, 30)]  # 6,22 -> 444; 14,30 -> 420
+    media = synthesize_media(
+        spark.createDataFrame(rows, "media_id long, kind string")
+    )
+    # raw bytes differ by layout: check the SOF sampling byte
+    raw = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    for mid, expect in ((6, 0x11), (22, 0x11), (14, 0x22), (30, 0x22)):
+        j = raw[mid].find(b"\xff\xc0")
+        assert raw[mid][j + 11] == expect, mid
+    stats = {r["media_id"]: r for r in extract_media_stats(media).collect()}
+    for mid, row in stats.items():
+        er, eg, eb = _solid_jpeg_closed_form(
+            mid * 7 % 251, mid * 11 % 251, mid * 13 % 251
+        )
+        assert row["parse_error"] is None
+        assert (row["mean_r"], row["mean_g"], row["mean_b"]) == (
+            float(er), float(eg), float(eb),
+        ), mid
