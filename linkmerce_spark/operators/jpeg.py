@@ -56,7 +56,13 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_jpeg", "encode_jpeg"]
+__all__ = [
+    "apply_exif_orientation",
+    "decode_jpeg",
+    "encode_jpeg",
+    "exif_app1",
+    "parse_exif_orientation",
+]
 
 # Zigzag scan order, GENERATED from the diagonal walk rather than
 # transcribed (a one-entry typo in the classic 64-literal table would
@@ -349,6 +355,7 @@ def encode_jpeg(
     channels: int = 3,
     q: int = 16,
     subsampling: str = "444",
+    orientation: int | None = None,
 ) -> bytes:
     """Encode a REAL baseline-sequential JPEG.
 
@@ -403,7 +410,8 @@ def encode_jpeg(
                     zz, c, tid, dc_pred, dc_freq, ac_freq, sym_stream
                 )
     return _assemble_jpeg(
-        sym_stream, dc_freq, ac_freq, width, height, channels, q, samp
+        sym_stream, dc_freq, ac_freq, width, height, channels, q, samp,
+        orientation,
     )
 
 
@@ -420,7 +428,8 @@ def _emit_block(zz, c, tid, dc_pred, dc_freq, ac_freq, sym_stream) -> None:
 
 
 def _assemble_jpeg(
-    sym_stream, dc_freq, ac_freq, width, height, channels, q, samp
+    sym_stream, dc_freq, ac_freq, width, height, channels, q, samp,
+    orientation=None,
 ) -> bytes:
     tables = {}
     used_tids = sorted({0} | ({1} if channels == 3 else set()))
@@ -448,6 +457,8 @@ def _assemble_jpeg(
     out = bytearray(b"\xff\xd8")
     app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    if orientation is not None:
+        out += exif_app1(orientation)
     for tid in used_tids:
         dqt = bytes([tid]) + bytes([q] * 64)
         out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
@@ -470,6 +481,73 @@ def _assemble_jpeg(
     out += scan
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --- EXIF orientation (APP1) ------------------------------------------------
+
+EXIF_ORIENTATION_TAG = 0x0112
+
+
+def exif_app1(orientation: int) -> bytes:
+    """A minimal REAL APP1/EXIF segment: 'Exif\\0\\0' + little-endian
+    TIFF header + one IFD holding the Orientation tag."""
+    if not 1 <= orientation <= 8:
+        raise ValueError("EXIF orientation must be 1..8")
+    tiff = struct.pack("<2sHI", b"II", 42, 8)  # byte order, magic, IFD offset
+    ifd = struct.pack("<H", 1)  # one entry
+    ifd += struct.pack("<HHIHH", EXIF_ORIENTATION_TAG, 3, 1, orientation, 0)
+    ifd += struct.pack("<I", 0)  # no next IFD
+    payload = b"Exif\x00\x00" + tiff + ifd
+    return b"\xff\xe1" + struct.pack(">H", 2 + len(payload)) + payload
+
+
+def parse_exif_orientation(seg: bytes) -> int | None:
+    """Orientation from an APP1 payload via a real TIFF IFD walk —
+    both byte orders, offset-based IFD location, SHORT value in the
+    inline slot. Returns None when absent/malformed (EXIF is advisory
+    metadata; a broken blob must not fail the decode)."""
+    if not seg.startswith(b"Exif\x00\x00"):
+        return None
+    t = seg[6:]
+    if len(t) < 8 or t[:2] not in (b"II", b"MM"):
+        return None
+    end = "<" if t[:2] == b"II" else ">"
+    try:
+        (magic,) = struct.unpack(f"{end}H", t[2:4])
+        if magic != 42:
+            return None
+        (ifd_off,) = struct.unpack(f"{end}I", t[4:8])
+        (n,) = struct.unpack(f"{end}H", t[ifd_off : ifd_off + 2])
+        for i in range(n):
+            e = t[ifd_off + 2 + 12 * i : ifd_off + 14 + 12 * i]
+            tag, typ, cnt = struct.unpack(f"{end}HHI", e[:8])
+            if tag == EXIF_ORIENTATION_TAG and typ == 3 and cnt == 1:
+                (val,) = struct.unpack(f"{end}H", e[8:10])
+                return val if 1 <= val <= 8 else None
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
+def apply_exif_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
+    """Transform an (h, w, c) pixel array to its upright form — the
+    auto-rotate every image ingest performs (PIL's exif_transpose
+    vocabulary: flips, 90/180/270 rotations, transpose/transverse)."""
+    if orientation == 2:
+        return arr[:, ::-1]
+    if orientation == 3:
+        return arr[::-1, ::-1]
+    if orientation == 4:
+        return arr[::-1]
+    if orientation == 5:
+        return arr.transpose(1, 0, 2)
+    if orientation == 6:
+        return np.rot90(arr, k=3)
+    if orientation == 7:
+        return arr.transpose(1, 0, 2)[::-1, ::-1]
+    if orientation == 8:
+        return np.rot90(arr, k=1)
+    return arr
 
 
 # --- decoder ---------------------------------------------------------------
@@ -504,6 +582,7 @@ def decode_jpeg(content: bytes, want_pixels: bool = False) -> dict:
     sof = None
     comps: list = []
     restart_interval = 0
+    exif_orientation = None
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
@@ -553,6 +632,8 @@ def decode_jpeg(content: bytes, want_pixels: bool = False) -> dict:
             sof = (w, h, nc)
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xE1:
+            exif_orientation = parse_exif_orientation(seg) or exif_orientation
         elif marker == 0xDA:
             ns = seg[0]
             for c in range(ns):
@@ -636,6 +717,15 @@ def decode_jpeg(content: bytes, want_pixels: bool = False) -> dict:
         samples.append(
             np.clip(_floor_half(p[:h, :w] + 128.0), 0, 255).astype(np.int64)
         )
+    # EXIF auto-rotate: transform to the upright image (the ingest
+    # default); dimensions report the upright shape for 90-degree
+    # orientations. Means are permutation-invariant; pixels are not.
+    if exif_orientation and exif_orientation != 1:
+        samples = [
+            apply_exif_orientation(s[:, :, None], exif_orientation)[:, :, 0]
+            for s in samples
+        ]
+        h, w = samples[0].shape
     if nc == 3:
         y, cb, cr = (s.astype(np.float64) for s in samples)
         r = np.clip(_floor_half(y + 1.402 * (cr - 128)), 0, 255)

@@ -654,6 +654,7 @@ def decode_jpeg_meta(content: bytes) -> dict:
     if len(content) < 4 or content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG file")
     pos = 2
+    orientation = None
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
@@ -661,18 +662,28 @@ def decode_jpeg_meta(content: bytes) -> dict:
         if marker in (0xD9, 0xDA):  # EOI / start-of-scan: SOF must precede
             break
         (seglen,) = struct.unpack(">H", content[pos + 2 : pos + 4])
+        if marker == 0xE1:  # APP1: EXIF orientation rides the identify tier
+            from linkmerce_spark.operators.jpeg import parse_exif_orientation
+
+            orientation = (
+                parse_exif_orientation(content[pos + 4 : pos + 2 + seglen])
+                or orientation
+            )
         if marker in _SOF_MARKERS:
             precision, h, w, nc = struct.unpack(
                 ">BHHB", content[pos + 4 : pos + 10]
             )
             if precision not in (8, 12, 16):
                 raise ValueError(f"bad JPEG sample precision {precision}")
-            return {
+            out = {
                 "format": "jpeg",
                 "width": w,
                 "height": h,
                 "channels": nc,
             }
+            if orientation is not None:
+                out["orientation"] = orientation
+            return out
         pos += 2 + seglen
     raise ValueError("no SOF marker before scan data")
 

@@ -804,3 +804,78 @@ def test_jpeg_fixture_route_covers_both_subsampling_layouts(spark):
         assert (row["mean_r"], row["mean_g"], row["mean_b"]) == (
             float(er), float(eg), float(eb),
         ), mid
+
+
+# --- EXIF orientation (APP1) ------------------------------------------------
+
+
+def _ref_orient(arr, o):
+    """Coordinate-mapping reference for the 8 EXIF orientations."""
+    if o == 2:
+        return arr[:, ::-1]
+    if o == 3:
+        return arr[::-1, ::-1]
+    if o == 4:
+        return arr[::-1]
+    if o == 5:
+        return arr.transpose(1, 0, 2)
+    if o == 6:
+        return arr.transpose(1, 0, 2)[:, ::-1]  # rotate 90 CW
+    if o == 7:
+        return arr.transpose(1, 0, 2)[::-1, ::-1]  # transverse
+    if o == 8:
+        return arr.transpose(1, 0, 2)[::-1, :]  # rotate 90 CCW
+    return arr
+
+
+def test_exif_orientation_transforms_match_reference():
+    import numpy as np
+
+    from linkmerce_spark.operators.jpeg import apply_exif_orientation
+
+    arr = np.arange(2 * 3 * 3).reshape(2, 3, 3)
+    inv = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
+    for o in range(1, 9):
+        assert np.array_equal(apply_exif_orientation(arr, o), _ref_orient(arr, o))
+        assert np.array_equal(
+            apply_exif_orientation(apply_exif_orientation(arr, o), inv[o]), arr
+        )
+
+
+def test_exif_end_to_end_meta_walk_and_auto_rotate():
+    import random
+
+    import numpy as np
+
+    from linkmerce_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        exif_app1,
+        parse_exif_orientation,
+    )
+    from linkmerce_spark.operators.multimodal import decode_jpeg_meta
+
+    for o in range(1, 9):
+        assert parse_exif_orientation(exif_app1(o)[4:]) == o
+    rng = random.Random(6)
+    w, h = 5, 3
+    px = [rng.randrange(256) for _ in range(w * h * 3)]
+    plain = decode_jpeg(encode_jpeg(px, w, h, 3, q=1), want_pixels=True)
+    for o in (3, 6, 8):
+        data = encode_jpeg(px, w, h, 3, q=1, orientation=o)
+        assert decode_jpeg_meta(data)["orientation"] == o
+        d = decode_jpeg(data, want_pixels=True)
+        # upright dims swap for the 90-degree orientations
+        assert (d["width"], d["height"]) == ((h, w) if o in (6, 8) else (w, h))
+        # channel means are permutation-invariant; pixels are not
+        assert (d["mean_r"], d["mean_g"], d["mean_b"]) == (
+            plain["mean_r"], plain["mean_g"], plain["mean_b"],
+        )
+        a = np.array(plain["pixels"]).reshape(h, w, 3)
+        assert d["pixels"] == _ref_orient(a, o).reshape(-1).tolist()
+    # malformed APP1 payloads are advisory: never raise, never rotate
+    bad = bytearray(encode_jpeg(px, w, h, 3, orientation=6))
+    i = bad.find(b"Exif\x00\x00")
+    bad[i + 6 : i + 8] = b"XX"  # corrupt the TIFF byte-order mark
+    d = decode_jpeg(bytes(bad))
+    assert (d["width"], d["height"]) == (w, h)
