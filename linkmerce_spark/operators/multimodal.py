@@ -894,12 +894,17 @@ def synthesize_media(df: DataFrame) -> DataFrame:
       LZW-compressed against the fixed ``_gif_palette`` table
       (r=i, g=2i%256, b=5i%256);
     - ``6`` -> a REAL baseline JPEG (operators/jpeg.py: FDCT,
-      quantization, optimized Huffman entropy coding) of the solid
-      color r=``(id*7)%251``, g=``(id*11)%251``, b=``(id*13)%251`` —
-      block-constant content keeps the lossy chain integer-exact
-      (quantized-DC-only), so the decoded means are closed-form:
-      color-convert -> DC quantize/reconstruct -> inverse convert,
-      every rounding ``floor(x+0.5)``.
+      quantization, optimized Huffman entropy coding). ``id%16==6``:
+      4:4:4 at 16x16 with a different solid color per 8x8 block
+      (block f=``2*by+bx``, colors r=``(id*7+19f)%251``,
+      g=``(id*11+23f)%251``, b=``(id*13+29f)%251`` — the AVI frame
+      formula), so the scan carries real multi-block DC prediction
+      while every block stays DC-only/closed-form. ``id%16==14``:
+      4:2:0 of the solid f=0 color (a block pattern would put AC
+      energy into the subsampled chroma). Decoded means are
+      closed-form either way: color-convert -> DC quantize/
+      reconstruct -> inverse convert, every rounding
+      ``floor(x+0.5)``.
 
     ``kind='video'`` -> a REAL Motion-JPEG AVI (operators/video.py):
     ``2 + id%3`` frames at 10 fps, frame ``f`` a solid-color JPEG with
@@ -931,17 +936,37 @@ def synthesize_media(df: DataFrame) -> DataFrame:
                     if route == 6:
                         from linkmerce_spark.operators.jpeg import encode_jpeg
 
-                        rgb = [
-                            (mid * 7) % 251,
-                            (mid * 11) % 251,
-                            (mid * 13) % 251,
-                        ] * (w * h)
-                        # alternate 4:4:4 / 4:2:0 containers — solid
-                        # color reconstructs identically (the chroma
-                        # floor-mean of a constant is the constant),
-                        # so the oracle chain covers both layouts
-                        sub = "444" if mid % 16 == 6 else "420"
-                        content.append(encode_jpeg(rgb, w, h, 3, subsampling=sub))
+                        if mid % 16 == 6:
+                            # 4:4:4 at 16x16 with a DIFFERENT solid color
+                            # per 8x8 block (block index f = 2*by + bx,
+                            # the same (id, f) color formula as the AVI
+                            # frames): every block stays DC-only, so the
+                            # lossy chain is still closed-form, but the
+                            # scan now carries real multi-block DC
+                            # prediction and four distinct entropy runs.
+                            w, h = 16, 16
+                            rgb = []
+                            for r in range(h):
+                                for c in range(w):
+                                    f = 2 * (r // 8) + (c // 8)
+                                    rgb += [
+                                        (mid * 7 + 19 * f) % 251,
+                                        (mid * 11 + 23 * f) % 251,
+                                        (mid * 13 + 29 * f) % 251,
+                                    ]
+                            content.append(encode_jpeg(rgb, w, h, 3))
+                        else:
+                            # 4:2:0 stays solid (a per-block pattern
+                            # would put AC energy into the subsampled
+                            # chroma and leave closed form)
+                            rgb = [
+                                (mid * 7) % 251,
+                                (mid * 11) % 251,
+                                (mid * 13) % 251,
+                            ] * (w * h)
+                            content.append(
+                                encode_jpeg(rgb, w, h, 3, subsampling="420")
+                            )
                     elif route == 4:
                         idx = [(mid * 7 + j) % 251 for j in range(w * h)]
                         content.append(encode_gif(idx, w, h))

@@ -899,8 +899,10 @@ WITH m AS (
 ),
 img AS (
   SELECT media_id,
-         CAST(4 + media_id % 5 AS INTEGER) AS w,
-         CAST(2 + media_id % 3 AS INTEGER) AS h
+         CAST(CASE WHEN media_id % 16 = 6 THEN 16
+                   ELSE 4 + media_id % 5 END AS INTEGER) AS w,
+         CAST(CASE WHEN media_id % 16 = 6 THEN 16
+                   ELSE 2 + media_id % 3 END AS INTEGER) AS h
   FROM m WHERE kind = 'image'
 ),
 vid AS (
@@ -916,11 +918,15 @@ vid AS (
 -- zero) — JFIF color convert, DC quantize q=16 / reconstruct, inverse
 -- convert, each rounding floor(x+0.5), mirroring operators/jpeg.py.
 jpegsrc AS (
-  SELECT media_id, FALSE AS is_video,
-         media_id * 7 % 251 AS r0,
-         media_id * 11 % 251 AS g0,
-         media_id * 13 % 251 AS b0
-  FROM img WHERE media_id % 8 = 6
+  -- stills: id%16==6 averages over its four per-block colors
+  -- (f = block index), id%16==14 is the solid f=0 color
+  SELECT i.media_id, FALSE AS is_video,
+         (i.media_id * 7 + 19 * t.f) % 251 AS r0,
+         (i.media_id * 11 + 23 * t.f) % 251 AS g0,
+         (i.media_id * 13 + 29 * t.f) % 251 AS b0
+  FROM img i CROSS JOIN (SELECT unnest(range(0, 4)) AS f) t
+  WHERE i.media_id % 8 = 6
+    AND (i.media_id % 16 = 6 OR t.f = 0)
   UNION ALL
   SELECT v.media_id, TRUE,
          (v.media_id * 7 + 19 * t.f) % 251,
@@ -1027,32 +1033,39 @@ WITH m AS (
 ),
 dims AS (
   SELECT media_id, kind,
-         CAST(4 + media_id % 5 AS INTEGER) AS w,
-         CAST(2 + media_id % 3 AS INTEGER) AS h
+         CAST(CASE WHEN kind = 'image' AND media_id % 16 = 6 THEN 16
+                   ELSE 4 + media_id % 5 END AS INTEGER) AS w,
+         CAST(CASE WHEN kind = 'image' AND media_id % 16 = 6 THEN 16
+                   ELSE 2 + media_id % 3 END AS INTEGER) AS h
   FROM m
 ),
+-- reconstructed color per (media_id, f): f = frame 0 for video and
+-- the solid 4:2:0 still, f = block index 0..3 for the 16x16
+-- block-pattern 4:4:4 still
 const AS (
-  SELECT media_id,
+  SELECT media_id, f,
     CAST(LEAST(255, GREATEST(0, FLOOR(y2 + 1.402 * (cr2 - 128) + 0.5))) AS INTEGER) AS jr,
     CAST(LEAST(255, GREATEST(0, FLOOR(y2 - 0.344136 * (cb2 - 128)
                                     - 0.714136 * (cr2 - 128) + 0.5))) AS INTEGER) AS jg,
     CAST(LEAST(255, GREATEST(0, FLOOR(y2 + 1.772 * (cb2 - 128) + 0.5))) AS INTEGER) AS jb
   FROM (
-    SELECT media_id,
+    SELECT media_id, f,
       LEAST(255, GREATEST(0, 2 * FLOOR((y0 - 128) / 2.0 + 0.5) + 128)) AS y2,
       LEAST(255, GREATEST(0, 2 * FLOOR((cb0 - 128) / 2.0 + 0.5) + 128)) AS cb2,
       LEAST(255, GREATEST(0, 2 * FLOOR((cr0 - 128) / 2.0 + 0.5) + 128)) AS cr2
     FROM (
-      SELECT media_id,
+      SELECT media_id, f,
         LEAST(255, GREATEST(0, FLOOR(0.299 * r0 + 0.587 * g0 + 0.114 * b0 + 0.5))) AS y0,
         LEAST(255, GREATEST(0, FLOOR(128 - 0.168736 * r0 - 0.331264 * g0 + 0.5 * b0 + 0.5))) AS cb0,
         LEAST(255, GREATEST(0, FLOOR(128 + 0.5 * r0 - 0.418688 * g0 - 0.081312 * b0 + 0.5))) AS cr0
       FROM (
-        SELECT media_id,
-               media_id * 7 % 251 AS r0,
-               media_id * 11 % 251 AS g0,
-               media_id * 13 % 251 AS b0
-        FROM dims WHERE kind = 'video' OR media_id % 8 = 6
+        SELECT d.media_id, t.f,
+               (d.media_id * 7 + 19 * t.f) % 251 AS r0,
+               (d.media_id * 11 + 23 * t.f) % 251 AS g0,
+               (d.media_id * 13 + 29 * t.f) % 251 AS b0
+        FROM dims d CROSS JOIN (SELECT unnest(range(0, 4)) AS f) t
+        WHERE (d.kind = 'video' OR d.media_id % 8 = 6)
+          AND (t.f = 0 OR (d.kind = 'image' AND d.media_id % 16 = 6))
       )
     )
   )
@@ -1105,9 +1118,20 @@ varthumb AS (
     string_agg(printf('%02x%02x%02x', vr, vg, vb), '' ORDER BY ti, tj) AS thumb_hex
   FROM cellagg GROUP BY 1
 ),
+-- thumbnail cells for every const-chain row: a 16x16 block-pattern
+-- still (4 px/cell) maps cell (ti,tj) -> block f = 2*(ti//2)+(tj//2);
+-- solid stills and video first-frames use their single f=0 color
+constcells AS (
+  SELECT c.media_id, cell.ti, cell.tj, c.jr, c.jg, c.jb
+  FROM const c
+  JOIN cells cell
+    ON c.f = CASE WHEN c.media_id % 2 = 0 AND c.media_id % 16 = 6
+                  THEN 2 * (cell.ti // 2) + (cell.tj // 2) ELSE 0 END
+),
 constthumb AS (
-  SELECT media_id, repeat(printf('%02x%02x%02x', jr, jg, jb), 16) AS thumb_hex
-  FROM const
+  SELECT media_id,
+    string_agg(printf('%02x%02x%02x', jr, jg, jb), '' ORDER BY ti, tj) AS thumb_hex
+  FROM constcells GROUP BY 1
 ),
 -- one (media_id, idx, val) row per thumbnail component: cell-major,
 -- idx = (ti*4+tj)*3 + channel, channels r,g,b — the vector form the
@@ -1117,10 +1141,9 @@ thumbvals AS (
          CASE ch.c WHEN 0 THEN vr WHEN 1 THEN vg ELSE vb END AS val
   FROM cellagg CROSS JOIN (SELECT unnest(range(0, 3)) AS c) ch
   UNION ALL
-  SELECT media_id, (cell.i) * 3 + ch.c AS idx,
+  SELECT media_id, (ti * 4 + tj) * 3 + ch.c AS idx,
          CASE ch.c WHEN 0 THEN jr WHEN 1 THEN jg ELSE jb END AS val
-  FROM const
-  CROSS JOIN (SELECT unnest(range(0, 16)) AS i) cell
+  FROM constcells
   CROSS JOIN (SELECT unnest(range(0, 3)) AS c) ch
 )
 """

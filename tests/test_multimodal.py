@@ -492,9 +492,26 @@ def test_jpeg_unsupported_modes_degrade_to_meta_tier(spark):
     assert struct.unpack(">H", data2[j + 5 : j + 7])[0] == 2  # height intact
 
 
+def _fixture_jpeg_means(mid):
+    """Expected decoded means for the JPEG fixture routes: id%16==6 is
+    16x16 with a per-block color (f = block index), id%16==14 solid."""
+    fs = range(4) if mid % 16 == 6 else (0,)
+    recs = [
+        _solid_jpeg_closed_form(
+            (mid * 7 + 19 * f) % 251,
+            (mid * 11 + 23 * f) % 251,
+            (mid * 13 + 29 * f) % 251,
+        )
+        for f in fs
+    ]
+    n = len(recs)
+    return tuple(sum(float(r[ch]) for r in recs) / n for ch in range(3))
+
+
 def test_jpeg_fixture_route_is_fully_decoded(spark):
-    """synthesize_media route 6 now produces REAL JPEG bytes whose
-    decoded means match the closed-form chain (the oracle's SQL)."""
+    """synthesize_media route 6 produces REAL JPEG bytes (16x16
+    block-pattern 4:4:4 / solid 4:2:0) whose decoded means match the
+    closed-form chain (the oracle's SQL)."""
     from linkmerce_spark.operators.multimodal import (
         extract_media_stats,
         synthesize_media,
@@ -506,13 +523,12 @@ def test_jpeg_fixture_route_is_fully_decoded(spark):
     )
     stats = {r["media_id"]: r for r in extract_media_stats(media).collect()}
     for mid, row in stats.items():
-        er, eg, eb = _solid_jpeg_closed_form(
-            mid * 7 % 251, mid * 11 % 251, mid * 13 % 251
-        )
+        er, eg, eb = _fixture_jpeg_means(mid)
         assert row["format"] == "jpeg" and row["parse_error"] is None
-        assert (row["mean_r"], row["mean_g"], row["mean_b"]) == (
-            float(er), float(eg), float(eb),
+        assert (row["width"], row["height"]) == (
+            (16, 16) if mid % 16 == 6 else (4 + mid % 5, 2 + mid % 3)
         )
+        assert (row["mean_r"], row["mean_g"], row["mean_b"]) == (er, eg, eb)
 
 
 # --- MJPEG-in-AVI video tier (operators/video.py) -------------------------
@@ -797,13 +813,10 @@ def test_jpeg_fixture_route_covers_both_subsampling_layouts(spark):
         assert raw[mid][j + 11] == expect, mid
     stats = {r["media_id"]: r for r in extract_media_stats(media).collect()}
     for mid, row in stats.items():
-        er, eg, eb = _solid_jpeg_closed_form(
-            mid * 7 % 251, mid * 11 % 251, mid * 13 % 251
-        )
         assert row["parse_error"] is None
-        assert (row["mean_r"], row["mean_g"], row["mean_b"]) == (
-            float(er), float(eg), float(eb),
-        ), mid
+        assert (
+            row["mean_r"], row["mean_g"], row["mean_b"]
+        ) == _fixture_jpeg_means(mid), mid
 
 
 # --- EXIF orientation (APP1) ------------------------------------------------

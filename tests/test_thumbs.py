@@ -81,10 +81,27 @@ def test_thumbnails_decode_every_image_container(spark):
     for p in range(w * h):
         px += list(_gif_palette((mid * 7 + p) % 251))
     assert got[4]["thumb"] == area_resize(px, w, h, 4, 4)
-    # jpeg still + avi first frame: constant thumbnails
-    for mid in (6, 3):
-        th = got[mid]["thumb"]
-        assert len(th) == 48 and th[0:3] * 16 == th
+    # avi first frame: constant thumbnail; the 16x16 block-pattern
+    # jpeg (id%16==6) thumbnails to its four per-block colors (cell
+    # (ti,tj) -> block f = 2*(ti//2)+(tj//2))
+    th3 = got[3]["thumb"]
+    assert len(th3) == 48 and th3[0:3] * 16 == th3
+    from tests.test_multimodal import _solid_jpeg_closed_form
+
+    mid = 6
+    blocks = [
+        _solid_jpeg_closed_form(
+            (mid * 7 + 19 * f) % 251,
+            (mid * 11 + 23 * f) % 251,
+            (mid * 13 + 29 * f) % 251,
+        )
+        for f in range(4)
+    ]
+    expected = []
+    for ti in range(4):
+        for tj in range(4):
+            expected += list(blocks[2 * (ti // 2) + (tj // 2)])
+    assert got[6]["thumb"] == expected
     # audio rows have no pixel tier: degrade, never fail
     assert got[1]["thumb"] is None and got[1]["parse_error"] is not None
     # ...and the stats tier still handles the same frame
