@@ -201,7 +201,13 @@ def bpe_train_full(
     )
     n_vocab = vocab.count()
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    parts = max(1, min(int(prev_shuffle), n_vocab // 100_000 + 1))
+    try:
+        # AQE-managed runtimes report 'auto' here; fall back to a sane
+        # loop width instead of raising before any training runs.
+        shuffle_width = int(prev_shuffle)
+    except (TypeError, ValueError):
+        shuffle_width = 200
+    parts = max(1, min(shuffle_width, n_vocab // 100_000 + 1))
     if parts < vocab.rdd.getNumPartitions():
         vocab = vocab.repartition(parts).localCheckpoint(eager=True)
     bests: list[DataFrame] = []

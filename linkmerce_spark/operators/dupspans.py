@@ -142,9 +142,23 @@ def dup_span_rewrite(
 
     Output: ``id_col, n_words, kept_words, clean_text``. Docs shorter
     than ``n`` words have no grams and pass through verbatim.
+
+    Precondition: ``id_col`` must be an integral column with values in
+    ``[0, 2^31)`` — the canonical-occurrence key packs ``(doc_id, pos)``
+    into one BIGINT as ``doc_id * 2^32 + pos`` so both engines MIN a
+    plain integer; a wider or non-numeric id would overflow or fail to
+    multiply. Validated below; remap ids (e.g. ``xxhash64 & 0x7FFFFFFF``
+    plus a collision check, or a ``row_number`` surrogate) before
+    calling if the corpus uses string or 64-bit ids.
     """
     if n <= 0 or min_count <= 1:
         raise ValueError("n must be positive and min_count >= 2")
+    id_dtype = dict(df.dtypes).get(id_col)
+    if id_dtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"dup_span_rewrite requires an integral id column in [0, 2^31); "
+            f"{id_col!r} is {id_dtype!r} — remap to a surrogate id first"
+        )
     words = F.split(F.col(text_col), " ")
     n_grams = F.size(words) - n + 1
     starts = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(

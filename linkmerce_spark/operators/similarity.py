@@ -31,12 +31,38 @@ __all__ = [
     "quantized_cosine",
     "cell_pair_cosines",
     "QUANT_DEFAULT",
+    "IVF_CELL_TARGET",
+    "ivf_k_for",
     "ivf_centroids",
     "ivf_assign",
     "ivf_train",
 ]
 
 QUANT_DEFAULT = 1000
+
+# Target IVF cell size for k proportional to N. A POWER OF TWO so the
+# SQL twin's CEIL(n / 512.0) divides exactly in binary floating point
+# (any n < 2^53 / 512) and matches Python's integer ceil-division
+# bit-for-bit.
+IVF_CELL_TARGET = 512
+
+
+def ivf_k_for(n_rows: int, target_cell_size: int = IVF_CELL_TARGET, k_min: int = 8) -> int:
+    """Cell count for an IVF index over ``n_rows`` vectors: enough
+    cells that the EXPECTED cell holds ~``target_cell_size`` vectors,
+    floored at ``k_min``.
+
+    This is the lever that keeps blocked in-cell pair scoring LINEAR
+    in corpus size: pair volume is O(sum(cell²)) ≈ N²/k, so a fixed k
+    turns every 10x data step into 100x pairs, while k = N/c makes it
+    N·c/2 — data-proportional. The SQL twin derives the same k from
+    the same formula (GREATEST(k_min, CEIL(COUNT(*) / c)) with c a
+    power of two, exact in both engines), so parity holds at every
+    scale factor without a per-sf fixture parameter.
+    """
+    if n_rows < 0 or target_cell_size <= 0 or k_min <= 0:
+        raise ValueError("n_rows >= 0, target_cell_size > 0, k_min > 0 required")
+    return max(k_min, -(-n_rows // target_cell_size))
 
 # (df-ref, centroids) per (id(df), params) — see ivf_train. Bounded
 # FIFO (strong df refs pin sessions; queries.clear_query_cache also

@@ -884,10 +884,16 @@ FROM documents
 # Channel semantics are the FILE's: pixel byte position 3i is Blue in a
 # BMP (media_id % 8 = 0) but Red in a PNG (% 8 = 2); a GIF (% 8 = 4)
 # goes through the fixed palette (r=i, g=2i%256, b=5i%256) applied to
-# the index formula; a JPEG shell (% 8 = 6) yields dimensions and
-# channel count from the SOF marker with NULL means (metadata walk, no
-# entropy decode). A decoder that ignores any container's structure
-# breaks the hash.
+# the index formula; a JPEG (% 8 = 6) carries full entropy decode
+# through the lossy chain — the jpegrec CTE below recomputes the
+# decoded means in closed form per block color: RGB -> YCbCr
+# (floor(x+0.5), clamped), the DC quantize/dequantize round-trip
+# (2*floor((v-128)/2+0.5)+128 — each 8x8 block is a solid color so only
+# the DC coefficient 8*(mean-128) survives the FDCT, and the fixture's
+# q=16 DC step is exactly step 2 in mean space), then YCbCr -> RGB; so
+# the oracle means equal what a real baseline decoder recovers from the
+# entropy bits.
+# A decoder that ignores any container's structure breaks the hash.
 ORACLES["media_stats_real"] = """
 WITH m AS (
   SELECT doc_id AS media_id,
@@ -7229,13 +7235,18 @@ def _bpe_oracle(n_merges: int, final_select: str) -> str:
             f"b{k} AS MATERIALIZED (SELECT ml, mr, cnt FROM p{k} "
             f"ORDER BY cnt DESC, ml, mr LIMIT 1)"
         )
+        # LEFT JOIN ON TRUE (not CROSS JOIN): if the vocabulary is fully
+        # merged before n_merges rounds, b{k} is EMPTY — a cross join
+        # would wipe v{k+1}, while the left join keeps every row with
+        # NULL ml/mr, making the fold's CASE predicate NULL → ELSE →
+        # pass-through: the same no-op round the Spark trainer performs.
         layers.append(
             f"v{k + 1} AS MATERIALIZED (\n"
             f"  SELECT list_reduce(list_transform(v.sym, s -> [s]),\n"
             f"           (acc, s) -> CASE WHEN acc[-1] = ml AND s[1] = mr\n"
             f"                            THEN acc[:-2] || [ml || mr]\n"
             f"                            ELSE acc || s END) AS sym, v.wc\n"
-            f"  FROM v{k} v CROSS JOIN b{k})"
+            f"  FROM v{k} v LEFT JOIN b{k} ON TRUE)"
         )
     return "WITH " + ",\n".join(layers) + "\n" + final_select
 

@@ -144,6 +144,40 @@ def test_bpe_token_counts_weighted_by_word_frequency(spark):
     )
 
 
+def test_bpe_oracle_exhaustion_rounds_are_noops():
+    # Twin-side mirror of test_bpe_exhaustion_rounds_are_noops: the
+    # DuckDB CTE chain uses LEFT JOIN b{k} ON TRUE, so when the argmax
+    # layer is EMPTY (vocabulary fully merged before n_merges rounds)
+    # the NULL ml/mr makes the fold a pass-through rather than a
+    # CROSS JOIN wiping the vocabulary.
+    import duckdb
+
+    from linkmerce_spark.oracles import _bpe_oracle
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT 'ab ab ab' AS text, "
+        "CAST(1 AS BIGINT) AS doc_id, 'src' AS source"
+    )
+    merges = con.execute(
+        _bpe_oracle(
+            5,
+            "SELECT * FROM (\n"
+            + "\n  UNION ALL ".join(
+                f"SELECT {k + 1} AS merge_rank, ml, mr, CAST(cnt AS BIGINT) AS cnt"
+                f" FROM b{k}"
+                for k in range(5)
+            )
+            + "\n) ORDER BY merge_rank",
+        )
+    ).fetchall()
+    assert merges == [(1, "a", "b", 3)]
+    vocab = con.execute(
+        _bpe_oracle(5, "SELECT sym, wc FROM v5")
+    ).fetchall()
+    assert vocab == [(["ab"], 3)]
+
+
 def test_bpe_rejects_bad_params(spark):
     from linkmerce_spark.operators.bpe import bpe_token_counts, bpe_train
 

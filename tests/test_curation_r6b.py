@@ -396,6 +396,22 @@ def test_exact_substr_rewrite_semantics(spark):
     assert got[4] == (2, 2, d)                   # too short to gram
 
 
+def test_exact_substr_rewrite_rejects_non_integral_id(spark):
+    # The canonical key packs (doc_id, pos) into one BIGINT, which
+    # requires an integral id in [0, 2^31); string ids must be remapped
+    # to a surrogate first — the operator raises early instead of
+    # producing a silent overflow or an analysis error mid-plan.
+    import pytest as _pytest
+
+    from linkmerce_spark.operators.dupspans import dup_span_rewrite
+
+    df = spark.createDataFrame(
+        [("d1", "a b c d e f g h")], "doc_id string, text string"
+    )
+    with _pytest.raises(TypeError, match="integral id"):
+        dup_span_rewrite(df, "text", "doc_id")
+
+
 def test_exact_substr_rewrite_matches_reference_on_random_corpus(spark):
     import random
 
