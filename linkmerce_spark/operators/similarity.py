@@ -253,6 +253,21 @@ def _nearest_centroid_kernel(cents: list[list[int]], quant: int | None):
     import numpy as np
 
     C = np.asarray(cents, dtype="int64")
+    # The k-loop of (Q - C[j])^2 row sums is O(k) numpy passes per
+    # batch — fine at k=8, quadratic pain once k scales with N. When
+    # components are small enough that every intermediate — partial
+    # dot sums, squared norms, and the distance itself, bounded by
+    # dim · (max|q| + max|c|)^2 ≤ 4 · dim · max² < 2^53 — stays an
+    # exactly-representable integer in float64, expand
+    # |q - c|^2 = |q|^2 - 2 q·C^T + |C|^2 and let ONE BLAS matmul
+    # score all k centroids: every partial sum is an integer < 2^53,
+    # so the result is bit-identical to the int64 loop regardless of
+    # BLAS summation order. At the engine's quant=1000 / dim=64 the
+    # bound holds with ~2^20 headroom.
+    _EXACT_LIMIT = float(1 << 53)
+    _c_max = float(np.abs(C).max(initial=0))
+    _Cf = C.astype("float64")
+    _c2 = (_Cf * _Cf).sum(axis=1)
 
     @pandas_udf("struct<cell:int,dist2:bigint>")
     def _nn(v: pd.Series) -> pd.DataFrame:
@@ -264,17 +279,27 @@ def _nearest_centroid_kernel(cents: list[list[int]], quant: int | None):
         else:
             V = np.array([np.asarray(x, dtype="float64") for x in v])
             Q = np.floor(V * quant + 0.5).astype("int64")
-        d = np.empty((Q.shape[0], C.shape[0]), dtype="int64")
-        for j in range(C.shape[0]):
-            diff = Q - C[j]
-            d[:, j] = (diff * diff).sum(axis=1)
+        _q_max = float(np.abs(Q).max(initial=0))
+        _dim = float(Q.shape[1])
+        if 4.0 * _dim * max(_q_max, _c_max) ** 2 < _EXACT_LIMIT:
+            Qf = Q.astype("float64")
+            d = (
+                (Qf * Qf).sum(axis=1)[:, None]
+                - 2.0 * (Qf @ _Cf.T)
+                + _c2[None, :]
+            )
+        else:
+            d = np.empty((Q.shape[0], C.shape[0]), dtype="int64")
+            for j in range(C.shape[0]):
+                diff = Q - C[j]
+                d[:, j] = (diff * diff).sum(axis=1)
         return pd.DataFrame(
             {
                 # np.argmin takes the FIRST minimum — the same tie rule
                 # as array_position(darr, array_min(darr)) and DuckDB's
                 # list_position(list_min).
                 "cell": (d.argmin(axis=1) + 1).astype("int32"),
-                "dist2": d.min(axis=1),
+                "dist2": d.min(axis=1).astype("int64"),
             }
         )
 

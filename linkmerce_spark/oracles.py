@@ -784,18 +784,26 @@ SELECT source, id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.02
 """
 
 # Deterministic k-means||-style IVF training, re-derived in SQL from
-# scratch (operators/similarity.ivf_train semantics): 16 smallest-id
-# candidate seeds -> full-data weighting (first-min tie rule) -> top-8
+# scratch (operators/similarity.ivf_train semantics): k*2 smallest-id
+# candidate seeds -> full-data weighting (first-min tie rule) -> top-k
 # by (weight DESC, candidate ASC) -> one exact-integer Lloyd step with
 # floor-mean and empty-cell seed fallback -> final assignment.
+# k SCALES WITH THE CORPUS: GREATEST(8, CEIL(n / 512.0)) — the same
+# formula as similarity.ivf_k_for (512 is a power of two, so the
+# double division is exact and the two engines' ceils agree for any
+# n < 2^53/512). Cells of ~constant size keep the in-cell pair
+# queries linear in N instead of N²/k_fixed.
 _IVF_TRAIN_CTE = """
 ivf_q AS (
   SELECT vec_id,
     list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
   FROM embeddings
+), ivf_k AS (
+  SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 512.0) AS BIGINT)) AS k FROM ivf_q
 ), ivf_cand AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, q
-  FROM (SELECT vec_id, q FROM ivf_q ORDER BY vec_id LIMIT 16)
+  FROM (SELECT vec_id, q FROM ivf_q ORDER BY vec_id
+        LIMIT (SELECT 2 * k FROM ivf_k))
 ), ivf_a1 AS (
   SELECT vec_id, cid AS cell FROM (
     SELECT v.vec_id, c.cid,
@@ -810,7 +818,7 @@ ivf_q AS (
     FROM ivf_cand c
     LEFT JOIN (SELECT cell, COUNT(*) AS cnt FROM ivf_a1 GROUP BY cell) w
       ON c.cid = w.cell
-  ) WHERE cell <= 8
+  ) WHERE cell <= (SELECT k FROM ivf_k)
 ), ivf_a2 AS (
   SELECT vec_id, cell FROM (
     SELECT v.vec_id, s.cell,

@@ -75,6 +75,28 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [tables[n] for n in names]
 
 
+def _ivf_index(spark: SparkSession, sf_dir: str):
+    """Shared trained IVF quantizer for every embedding-index consumer.
+
+    The cell count scales with the corpus — k = max(8, ceil(n / 512))
+    (similarity.ivf_k_for) — so in-cell pair volume stays N·512/2
+    instead of N²/8: the property that keeps the blocked pair kernels
+    linear across sf decades. The count is parquet-metadata-cheap; the
+    training itself is memoized per (frame, params), so the five
+    catalog consumers share one quantizer per (session, sf).
+
+    Returns ``(emb, cents, cells, k)`` where ``cells`` carries
+    (vec_id, embedding, cell, dist2).
+    """
+    from linkmerce_spark.operators.similarity import ivf_assign, ivf_k_for, ivf_train
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    k = ivf_k_for(emb.count())
+    cents = ivf_train(emb, "vec_id", "embedding", dim=64, k=k)
+    cells = ivf_assign(emb, "embedding", dim=64, k=k, centroids=cents)
+    return emb, cents, cells, k
+
+
 def _dsum(c: Column | str, scale: int = 2) -> Column:
     """Deterministic double sum: exact decimal aggregation, double out."""
     col = F.col(c) if isinstance(c, str) else c
@@ -1239,20 +1261,16 @@ def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-mate clears the cosine threshold — the kept set is the
     greedy lowest-id representative of every semantic group, computed
     without materializing groups. Same blocking economics as
-    ``embedding_near_dups``: pair count is O(sum(cell²)), controlled
-    by k, and the survivor anti-join is one hash join on vec_id.
+    ``embedding_near_dups``: pair count is O(sum(cell²)) with k
+    derived from corpus size (cells of ~512 vectors — see
+    ``_ivf_index``), so the scoring stays linear across sf decades;
+    the survivor anti-join is one hash join on vec_id.
     """
-    from linkmerce_spark.operators.similarity import (
-        cell_pair_cosines,
-        ivf_assign,
-        ivf_train,
-    )
+    from linkmerce_spark.operators.similarity import cell_pair_cosines
 
-    (emb,) = _t(spark, sf_dir, "embeddings")
-    cents = ivf_train(emb, "vec_id", "embedding", dim=64, k=8)
-    cells = ivf_assign(emb, "embedding", dim=64, k=8, centroids=cents)
+    emb, cents, cells, k = _ivf_index(spark, sf_dir)
     doomed = (
-        cell_pair_cosines(cells, min_cosine=0.35, n_cells=8)
+        cell_pair_cosines(cells, min_cosine=0.35, n_cells=k)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
@@ -1558,11 +1576,7 @@ def q_embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate is int64 arithmetic (engine-portable, no doubles). One
     shuffle (the k-sized cell rollup) + a 1-row broadcast for totals.
     """
-    from linkmerce_spark.operators.similarity import ivf_assign, ivf_train
-
-    (emb,) = _t(spark, sf_dir, "embeddings")
-    cents = ivf_train(emb, "vec_id", "embedding", dim=64, k=8)
-    cells = ivf_assign(emb, "embedding", dim=64, k=8, centroids=cents)
+    emb, cents, cells, k = _ivf_index(spark, sf_dir)
     tot = cells.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
     return (
         cells.groupBy(F.col("cell").cast("int").alias("cell"))
@@ -1851,25 +1865,21 @@ def q_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, bucketed by IVF coarse cell.
 
-    The coarse quantizer (ivf_assign, k=8 cells) is the blocking key:
-    pairs are scored only within a cell, so the pair count is
-    O(sum(cell^2)) and CONTROLLED BY k — unlike blocking on a data
-    column whose cardinality is luck. Raising k shrinks buckets
-    linearly; the assignment itself is a pure map (no shuffle). The
-    brute-force baseline is q_embedding_topk.
+    The coarse quantizer (ivf_assign) is the blocking key: pairs are
+    scored only within a cell, so the pair count is O(sum(cell^2)) and
+    CONTROLLED BY k — unlike blocking on a data column whose
+    cardinality is luck. k is derived from corpus size (cells of ~512
+    vectors, ``_ivf_index``), which makes the pair volume N·512/2 —
+    linear in the corpus, the property a fixed k would lose at every
+    10x data step. The assignment itself is a pure map (no shuffle).
+    The brute-force baseline is q_embedding_topk.
     """
-    from linkmerce_spark.operators.similarity import (
-        cell_pair_cosines,
-        ivf_assign,
-        ivf_train,
-    )
+    from linkmerce_spark.operators.similarity import cell_pair_cosines
 
-    (emb,) = _t(spark, sf_dir, "embeddings")
-    cents = ivf_train(emb, "vec_id", "embedding", dim=64, k=8)
-    cells = ivf_assign(emb, "embedding", dim=64, k=8, centroids=cents)
+    emb, cents, cells, k = _ivf_index(spark, sf_dir)
     # One matmul per cell (vectors shipped once) instead of a pair
     # join carrying two arrays per candidate — see cell_pair_cosines.
-    return cell_pair_cosines(cells, min_cosine=0.25, n_cells=8).select(
+    return cell_pair_cosines(cells, min_cosine=0.25, n_cells=k).select(
         "cell", "id_a", "id_b", "cosine"
     )
 
@@ -2213,13 +2223,8 @@ def q_embedding_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k reduce -> one exact-integer Lloyd step), then nearest-cell
     assignment (the ANN index-build step). The oracle re-derives the
     same centroids in SQL from scratch."""
-    from linkmerce_spark.operators.similarity import ivf_assign, ivf_train
-
-    (emb,) = _t(spark, sf_dir, "embeddings")
-    cents = ivf_train(emb, "vec_id", "embedding", dim=64, k=8)
-    return ivf_assign(emb, "embedding", dim=64, k=8, centroids=cents).select(
-        "vec_id", "cell", "dist2"
-    )
+    emb, cents, cells, k = _ivf_index(spark, sf_dir)
+    return cells.select("vec_id", "cell", "dist2")
 
 
 def q_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6261,18 +6266,15 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-vector cell assignment. Search: each query probes its nprobe=2
     nearest cells and scores ONLY vectors in those cells — candidate
     count drops from N to ~2N/k per query, the IVF recall/cost dial.
-    All arithmetic is exact-integer (engine-portable); ranking breaks
-    cosine ties by neighbor id.
+    With k derived from corpus size (``_ivf_index``), candidates per
+    query are ~2·512 regardless of N, so total search work is linear
+    in the query count. All arithmetic is exact-integer
+    (engine-portable); ranking breaks cosine ties by neighbor id.
     """
-    from linkmerce_spark.operators.similarity import (
-        ivf_assign,
-        ivf_train,
-        quantized_cosine,
-    )
+    from linkmerce_spark.operators.similarity import quantized_cosine
 
-    (emb,) = _t(spark, sf_dir, "embeddings")
-    cents = ivf_train(emb, "vec_id", "embedding", dim=64, k=8)
-    cells = ivf_assign(emb, "embedding", dim=64, k=8, centroids=cents).select(
+    emb, cents, icells, k = _ivf_index(spark, sf_dir)
+    cells = icells.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
         "cell",
