@@ -934,8 +934,17 @@ def synthesize_media(df: DataFrame) -> DataFrame:
                     w, h = 4 + mid % 5, 2 + mid % 3
                     route = mid % 8
                     if route == 6:
-                        from linkmerce_spark.operators.jpeg import encode_jpeg
+                        from linkmerce_spark.operators.jpeg import (
+                            encode_jpeg,
+                            encode_jpeg_progressive,
+                        )
 
+                        # Half of each JPEG sub-route encodes the SAME
+                        # pixels PROGRESSIVELY (SOF2, mid % 32 picks):
+                        # the quantized coefficients are identical, so
+                        # every closed-form oracle value is unchanged —
+                        # the hash gate then proves the progressive
+                        # entropy decode, not just the container walk.
                         if mid % 16 == 6:
                             # 4:4:4 at 16x16 with a DIFFERENT solid color
                             # per 8x8 block (block index f = 2*by + bx,
@@ -954,7 +963,12 @@ def synthesize_media(df: DataFrame) -> DataFrame:
                                         (mid * 11 + 23 * f) % 251,
                                         (mid * 13 + 29 * f) % 251,
                                     ]
-                            content.append(encode_jpeg(rgb, w, h, 3))
+                            enc = (
+                                encode_jpeg_progressive
+                                if mid % 32 == 6
+                                else encode_jpeg
+                            )
+                            content.append(enc(rgb, w, h, 3))
                         else:
                             # 4:2:0 stays solid (a per-block pattern
                             # would put AC energy into the subsampled
@@ -964,8 +978,13 @@ def synthesize_media(df: DataFrame) -> DataFrame:
                                 (mid * 11) % 251,
                                 (mid * 13) % 251,
                             ] * (w * h)
+                            enc = (
+                                encode_jpeg_progressive
+                                if mid % 32 == 14
+                                else encode_jpeg
+                            )
                             content.append(
-                                encode_jpeg(rgb, w, h, 3, subsampling="420")
+                                enc(rgb, w, h, 3, subsampling="420")
                             )
                     elif route == 4:
                         idx = [(mid * 7 + j) % 251 for j in range(w * h)]

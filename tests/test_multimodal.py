@@ -455,8 +455,10 @@ def test_jpeg_sparse_block_exercises_zrl():
 
 
 def test_jpeg_unsupported_modes_degrade_to_meta_tier(spark):
-    """Progressive SOF2 parses in the metadata walk (dimensions, no
-    pixel stats) — the library-tier boundary is explicit."""
+    """A MALFORMED progressive file (baseline scan relabeled SOF2 —
+    its single SOS claims the full spectral band for a DC-style
+    interleaved scan, which T.81 forbids) degrades to the metadata walk
+    (dimensions, no pixel stats); real progressive decodes fully."""
     import struct
 
     from linkmerce_spark.operators.jpeg import decode_jpeg, encode_jpeg
@@ -467,12 +469,12 @@ def test_jpeg_unsupported_modes_degrade_to_meta_tier(spark):
 
     data = bytearray(encode_jpeg([100, 150, 200] * 6, 3, 2, 3))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    data[i + 1] = 0xC2  # relabel SOF0 -> SOF2 without progressive scans
     try:
         decode_jpeg(bytes(data))
-        raise AssertionError("progressive must raise")
-    except ValueError as e:
-        assert "progressive" in str(e)
+        raise AssertionError("malformed progressive must raise")
+    except ValueError:
+        pass
     rows = [(1, "image", bytes(data), "image/jpeg", None, None, None)]
     out = extract_media_stats(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
     assert out[0]["parse_error"] is None
@@ -806,11 +808,18 @@ def test_jpeg_fixture_route_covers_both_subsampling_layouts(spark):
     media = synthesize_media(
         spark.createDataFrame(rows, "media_id long, kind string")
     )
-    # raw bytes differ by layout: check the SOF sampling byte
+    # raw bytes differ by layout: check the SOF sampling byte (ids
+    # %32 in {6,14} carry the progressive SOF2 frame since round 8;
+    # their %32 in {22,30} siblings stay baseline SOF0)
     raw = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
-    for mid, expect in ((6, 0x11), (22, 0x11), (14, 0x22), (30, 0x22)):
-        j = raw[mid].find(b"\xff\xc0")
-        assert raw[mid][j + 11] == expect, mid
+    for mid, sof, expect in (
+        (6, b"\xff\xc2", 0x11),
+        (22, b"\xff\xc0", 0x11),
+        (14, b"\xff\xc2", 0x22),
+        (30, b"\xff\xc0", 0x22),
+    ):
+        j = raw[mid].find(sof)
+        assert j >= 0 and raw[mid][j + 11] == expect, mid
     stats = {r["media_id"]: r for r in extract_media_stats(media).collect()}
     for mid, row in stats.items():
         assert row["parse_error"] is None
@@ -892,3 +901,85 @@ def test_exif_end_to_end_meta_walk_and_auto_rotate():
     bad[i + 6 : i + 8] = b"XX"  # corrupt the TIFF byte-order mark
     d = decode_jpeg(bytes(bad))
     assert (d["width"], d["height"]) == (w, h)
+
+
+# --- progressive JPEG (round 8: SOF2 encode + decode) ----------------------
+
+
+def test_jpeg_progressive_roundtrip_equals_baseline():
+    """The progressive encoder writes the SAME quantized coefficients
+    as the baseline encoder under a different entropy layer, so the
+    two decodes must agree pixel-for-pixel — across sizes, 4:4:4/4:2:0,
+    grayscale, quality levels, EXIF orientations, and content shapes
+    (flat exercises pure EOB runs; random exercises every refinement
+    path: correction bits, ZRL-in-refinement, newly-significant runs)."""
+    import random
+
+    from linkmerce_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = random.Random(7)
+    for _ in range(16):
+        w, h = rng.randrange(1, 36), rng.randrange(1, 30)
+        channels = rng.choice([1, 3, 3])
+        sub = rng.choice(["444", "420"]) if channels == 3 else "444"
+        q = rng.choice([1, 2, 8, 16])
+        orient = rng.choice([None, 1, 3, 6, 8])
+        n = w * h * channels
+        kind = rng.choice(["random", "flat", "gradient"])
+        if kind == "random":
+            px = [rng.randrange(256) for _ in range(n)]
+        elif kind == "flat":
+            px = [rng.randrange(256) for _ in range(channels)] * (w * h)
+        else:
+            px = [(j * 7 + c * 13) % 256 for j in range(w * h) for c in range(channels)]
+        b_base = encode_jpeg(px, w, h, channels, q=q, subsampling=sub, orientation=orient)
+        b_prog = encode_jpeg_progressive(
+            px, w, h, channels, q=q, subsampling=sub, orientation=orient
+        )
+        assert b"\xff\xc2" in b_prog and b"\xff\xc0" not in b_prog
+        d_base = decode_jpeg(b_base, want_pixels=True)
+        d_prog = decode_jpeg(b_prog, want_pixels=True)
+        assert d_base == d_prog, (w, h, channels, sub, q, orient, kind)
+
+
+def test_jpeg_progressive_has_multiple_scans():
+    from linkmerce_spark.operators.jpeg import encode_jpeg_progressive
+
+    b = encode_jpeg_progressive([10, 200, 30] * 256, 16, 16, 3)
+    assert b.count(b"\xff\xda") == 12  # the full color scan script
+    b1 = encode_jpeg_progressive(list(range(64)) * 4, 16, 16, 1)
+    assert b1.count(b"\xff\xda") == 8  # grayscale drops the 4 chroma scans
+
+
+def test_jpeg_progressive_fixture_route_is_fully_decoded(spark):
+    """synthesize_media encodes the mid%32==6 (block-pattern 4:4:4)
+    and mid%32==14 (solid 4:2:0) JPEGs progressively; the decoded
+    means must STILL equal the closed-form chain — same oracle values
+    as the baseline siblings, proving the SOF2 entropy decode."""
+    from linkmerce_spark.operators.multimodal import (
+        extract_media_stats,
+        synthesize_media,
+    )
+
+    rows = [(i, "image") for i in (6, 14, 38, 46)]  # %32: 6, 14, 6+32? no:
+    # 6 -> progressive 444, 14 -> progressive 420, 38 (%32=6) ->
+    # progressive 444, 46 (%32=14) -> progressive 420 — and the
+    # baseline siblings 22 (%32) / 30 (%32):
+    rows += [(22, "image"), (30, "image")]
+    media = synthesize_media(
+        spark.createDataFrame(rows, "media_id long, kind string")
+    )
+    raw = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    for mid in (6, 14):
+        assert b"\xff\xc2" in raw[mid]  # progressive container
+    for mid in (22, 30):
+        assert b"\xff\xc0" in raw[mid]  # baseline sibling
+    stats = {r["media_id"]: r for r in extract_media_stats(media).collect()}
+    for mid, row in stats.items():
+        er, eg, eb = _fixture_jpeg_means(mid)
+        assert row["format"] == "jpeg" and row["parse_error"] is None
+        assert (row["mean_r"], row["mean_g"], row["mean_b"]) == (er, eg, eb), mid
