@@ -7121,72 +7121,28 @@ def q_asof_bucketed_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plus the 4 new round-5 operators rotate in this round). Window
 # composition is documented inline below.
 QUERIES = {
-    # ===== new round-7 entries (never driver-gated — in-window first) =====
-    "doc_curation_e2e": q_doc_curation_e2e,
+    # ===== round-8 window: entries whose CODE changed this round
+    # (k-proportional IVF family, progressive-JPEG media fixtures,
+    # BPE twin exhaustion fix, dupspans guard) lead; then the 39
+    # least-recently-gated entries (r3/r4 vintage) rotate in. =====
+    "embedding_near_dups": q_embedding_near_dups,
+    "embedding_semdedup": q_embedding_semdedup,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
+    "embedding_ivf_cells": q_embedding_ivf_cells,
+    "embedding_cluster_stats": q_embedding_cluster_stats,
+    "media_stats_real": q_media_stats_real,
+    "media_thumbnails": q_media_thumbnails,
+    "media_near_dups": q_media_near_dups,
     "doc_bpe_train": q_doc_bpe_train,
     "doc_bpe_tokens": q_doc_bpe_tokens,
-    "domain_pagerank": q_domain_pagerank,
-    "doc_pii_redact": q_doc_pii_redact,
-    "doc_dsir_select": q_doc_dsir_select,
-    "media_thumbnails": q_media_thumbnails,
-    "media_audio_features": q_media_audio_features,
-    "media_near_dups": q_media_near_dups,
     "doc_exact_substr_rewrite": q_doc_exact_substr_rewrite,
-    "doc_clean_select_e2e": q_doc_clean_select_e2e,
-    # ===== round-7 window (first 50 = the driver hash-check set) =====
-    # Rotation by STALENESS: every entry below last held a driver row
-    # in r2-r5 (the r6 window re-verified the other 50); the four
-    # heavy marts lead because the code under them kept changing.
-    # New r7 queries are inserted ABOVE this line as they land.
-    # (a) heavy marts, last driver-gated r4/r5:
-    "core_sales_daily": q_core_sales_daily,
-    "smartstore_sales_daily": q_smartstore_sales_daily,
-    "stock_report_ds": q_stock_report_ds,
-    "searchad_insight_daily": q_searchad_insight_daily,
-    # (b) last gated r2 (27 entries):
-    "array_predicates": q_array_predicates,
-    "customer_order_anchor": q_customer_order_anchor,
-    "date_pruned_orders": q_date_pruned_orders,
-    "date_spine_daily_orders": q_date_spine_daily_orders,
-    "distinct_segments": q_distinct_segments,
-    "doc_exact_dedup": q_doc_exact_dedup,
-    "doc_lang_guess": q_doc_lang_guess,
-    "doc_text_metrics": q_doc_text_metrics,
-    "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
-    "embedding_ivf_cells": q_embedding_ivf_cells,
-    "embedding_lsh_buckets": q_embedding_lsh_buckets,
-    "embedding_topk": q_embedding_topk,
-    "events_hourly_windows": q_events_hourly_windows,
-    "events_json_extract": q_events_json_extract,
-    "insert_ignore_orders": q_insert_ignore_orders,
-    "json_struct_projection": q_json_struct_projection,
-    "mart_rolling_sales": q_mart_rolling_sales,
-    "mart_sales_daily": q_mart_sales_daily,
-    "media_features": q_media_features,
-    "merge_upsert_balances": q_merge_upsert_balances,
-    "ngram_jaccard_blocked": q_ngram_jaccard_blocked,
-    "pivot_status_counts": q_pivot_status_counts,
-    "safe_casts": q_safe_casts,
-    "simhash_fingerprints": q_simhash_fingerprints,
-    "sql_model_sales_by_priority": q_sql_model_sales_by_priority,
-    "string_agg_names": q_string_agg_names,
-    "unpivot_lineitem_measures": q_unpivot_lineitem_measures,
-    # (c) last gated r3 (fills the window to 45; 5 slots left for new r7 entries):
-    "cj_stock_parse": q_cj_stock_parse,
-    "coupang_ad_report_rollup": q_coupang_ad_report_rollup,
-    "coupang_rocket_options": q_coupang_rocket_options,
-    "coupang_settlement_sales": q_coupang_settlement_sales,
-    "customer_spend_deciles": q_customer_spend_deciles,
-    "dable_report_split": q_dable_report_split,
-    "doc_hash_splits": q_doc_hash_splits,
-    "doc_top_bigrams": q_doc_top_bigrams,
+    # ----- staleness rotation (last driver-gated r3/r4) -----
     "events_cohort_retention": q_events_cohort_retention,
     "events_funnel": q_events_funnel,
     "google_ads_insight": q_google_ads_insight,
     "google_asset_view": q_google_asset_view,
     "meta_insights_split": q_meta_insights_split,
     "naver_book_parse": q_naver_book_parse,
-    # ===== below the driver window: r3-r6-gated remainder, stalest first =====
     "naver_cafe_articles": q_naver_cafe_articles,
     "naver_product_upsert": q_naver_product_upsert,
     "naver_shop_rank": q_naver_shop_rank,
@@ -7215,12 +7171,56 @@ QUERIES = {
     "date_functions": q_date_functions,
     "doc_clean_corpus": q_doc_clean_corpus,
     "effective_dated_campaign": q_effective_dated_campaign,
-    "embedding_near_dups": q_embedding_near_dups,
     "enum_encoding": q_enum_encoding,
     "explode_part_words": q_explode_part_words,
     "full_outer_merge_events": q_full_outer_merge_events,
     "google_ad_master": q_google_ad_master,
     "largest_parts": q_largest_parts,
+    # ===== below the driver's 50-entry gate window =====
+    "doc_curation_e2e": q_doc_curation_e2e,
+    "domain_pagerank": q_domain_pagerank,
+    "doc_pii_redact": q_doc_pii_redact,
+    "doc_dsir_select": q_doc_dsir_select,
+    "media_audio_features": q_media_audio_features,
+    "doc_clean_select_e2e": q_doc_clean_select_e2e,
+    "core_sales_daily": q_core_sales_daily,
+    "smartstore_sales_daily": q_smartstore_sales_daily,
+    "stock_report_ds": q_stock_report_ds,
+    "searchad_insight_daily": q_searchad_insight_daily,
+    "array_predicates": q_array_predicates,
+    "customer_order_anchor": q_customer_order_anchor,
+    "date_pruned_orders": q_date_pruned_orders,
+    "date_spine_daily_orders": q_date_spine_daily_orders,
+    "distinct_segments": q_distinct_segments,
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_lang_guess": q_doc_lang_guess,
+    "doc_text_metrics": q_doc_text_metrics,
+    "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
+    "embedding_lsh_buckets": q_embedding_lsh_buckets,
+    "embedding_topk": q_embedding_topk,
+    "events_hourly_windows": q_events_hourly_windows,
+    "events_json_extract": q_events_json_extract,
+    "insert_ignore_orders": q_insert_ignore_orders,
+    "json_struct_projection": q_json_struct_projection,
+    "mart_rolling_sales": q_mart_rolling_sales,
+    "mart_sales_daily": q_mart_sales_daily,
+    "media_features": q_media_features,
+    "merge_upsert_balances": q_merge_upsert_balances,
+    "ngram_jaccard_blocked": q_ngram_jaccard_blocked,
+    "pivot_status_counts": q_pivot_status_counts,
+    "safe_casts": q_safe_casts,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "sql_model_sales_by_priority": q_sql_model_sales_by_priority,
+    "string_agg_names": q_string_agg_names,
+    "unpivot_lineitem_measures": q_unpivot_lineitem_measures,
+    "cj_stock_parse": q_cj_stock_parse,
+    "coupang_ad_report_rollup": q_coupang_ad_report_rollup,
+    "coupang_rocket_options": q_coupang_rocket_options,
+    "coupang_settlement_sales": q_coupang_settlement_sales,
+    "customer_spend_deciles": q_customer_spend_deciles,
+    "dable_report_split": q_dable_report_split,
+    "doc_hash_splits": q_doc_hash_splits,
+    "doc_top_bigrams": q_doc_top_bigrams,
     "latest_order_dedupe": q_latest_order_dedupe,
     "meta_campaign_master": q_meta_campaign_master,
     "minhash_near_dups": q_minhash_near_dups,
@@ -7257,7 +7257,6 @@ QUERIES = {
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_tfidf_terms": q_doc_tfidf_terms,
     "ecount_stock_qty_batch": q_ecount_stock_qty_batch,
-    "embedding_ivf_topk": q_embedding_ivf_topk,
     "hll_distinct_sketch": q_hll_distinct_sketch,
     "opex_daily": q_opex_daily,
     "rfm_order_count": q_rfm_order_count,
@@ -7295,8 +7294,6 @@ QUERIES = {
     "doc_unigram_lm": q_doc_unigram_lm,
     "domain_mixture_weights": q_domain_mixture_weights,
     "dq_orders_checks": q_dq_orders_checks,
-    "embedding_cluster_stats": q_embedding_cluster_stats,
-    "embedding_semdedup": q_embedding_semdedup,
     "events_sessions": q_events_sessions,
     "google_adgroup_master": q_google_adgroup_master,
     "google_campaign_master": q_google_campaign_master,
@@ -7305,7 +7302,6 @@ QUERIES = {
     "interval_overlap_promos": q_interval_overlap_promos,
     "kmv_priority_overlap": q_kmv_priority_overlap,
     "mart_profit_mom": q_mart_profit_mom,
-    "media_stats_real": q_media_stats_real,
     "meta_ad_master": q_meta_ad_master,
     "meta_adset_master": q_meta_adset_master,
     "meta_report_daily": q_meta_report_daily,
