@@ -258,23 +258,35 @@ def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass — PNG spec 4.5.2. Each
+# pass is filtered as an independent sub-image (its own zero prev row),
+# and passes whose sub-image is empty contribute NO bytes at all.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-def encode_png(pixels_rgb: list, width: int, height: int) -> bytes:
-    """Build a REAL 8-bit RGB PNG (zlib-deflated, CRC-correct).
 
-    ``pixels_rgb``: ``width*height*3`` byte values, row-major from the
-    top row, channels in R,G,B order. Each row's filter type cycles
-    0..4 (None/Sub/Up/Average/Paeth), so a decoder must implement the
-    FULL per-row unfilter pass to read these bytes back — the encode
-    side is what makes the decode side's filter coverage testable on
-    genuine files. Output opens in any image viewer."""
-    import zlib
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
 
-    bpp, stride = 3, width * 3
+
+def _filter_rows(rows: list, bpp: int) -> bytearray:
+    """Apply the per-scanline PNG filter pass to equal-length byte
+    rows, filter type cycling 0..4 (None/Sub/Up/Average/Paeth) so a
+    decoder must implement the FULL unfilter pass to read the stream
+    back. ``bpp`` = bytes per pixel (1 for palette indices)."""
     raw = bytearray()
+    stride = len(rows[0]) if rows else 0
     prev = bytes(stride)
-    for r in range(height):
-        row = bytes(pixels_rgb[r * stride : (r + 1) * stride])
+    for r, row in enumerate(rows):
         ft = r % 5
         raw.append(ft)
         if ft == 0:
@@ -292,67 +304,33 @@ def encode_png(pixels_rgb: list, width: int, height: int) -> bytes:
                 for i in range(stride)
             )
         else:  # Paeth
-            out = bytearray()
-            for i in range(stride):
-                a = row[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                cc = prev[i - bpp] if i >= bpp else 0
-                p = a + b - cc
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
-                out.append((row[i] - pred) & 0xFF)
-            raw += out
-        prev = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + _png_chunk(b"IEND", b"")
-    )
+            raw += bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - bpp] if i >= bpp else 0,
+                        prev[i],
+                        prev[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        prev = bytes(row)
+    return raw
 
 
-def decode_png(content: bytes, want_pixels: bool = False) -> dict:
-    """Parse an 8-bit gray/RGB/RGBA PNG: chunk walk, zlib inflate,
-    full per-row unfilter (all five filter types), per-channel means.
-
-    Pure stdlib (struct + zlib) — no image library. Raises ValueError
-    on interlaced, paletted, or non-8-bit files. ``want_pixels`` adds
-    ``pixels``: flat top-row-major [r,g,b,...] ints (gray replicated,
-    alpha dropped)."""
-    import zlib
-
-    if len(content) < 8 or content[:8] != _PNG_SIG:
-        raise ValueError("not a PNG file")
-    pos, ihdr, idat = 8, None, bytearray()
-    while pos + 8 <= len(content):
-        (size,) = struct.unpack(">I", content[pos : pos + 4])
-        ctype = content[pos + 4 : pos + 8]
-        chunk = content[pos + 8 : pos + 8 + size]
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", chunk[:13])
-        elif ctype == b"IDAT":
-            idat += chunk
-        elif ctype == b"IEND":
-            break
-        pos += 12 + size  # len + type + payload + crc
-    if ihdr is None or not idat:
-        raise ValueError("missing IHDR/IDAT chunk")
-    width, height, depth, ctype_n, _, _, interlace = ihdr
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype_n)
-    if depth != 8 or channels is None or interlace != 0:
-        raise ValueError(
-            f"unsupported PNG (depth={depth}, color={ctype_n}, interlace={interlace})"
-        )
-    raw = zlib.decompress(bytes(idat))
-    bpp, stride = channels, width * channels
-    if len(raw) < (stride + 1) * height:
+def _unfilter_rows(raw: bytes, offset: int, nrows: int, stride: int, bpp: int):
+    """Reverse ``_filter_rows`` for one (sub-)image: ``nrows``
+    scanlines of ``stride`` bytes each starting at ``raw[offset]``.
+    Returns ``(rows, next_offset)``."""
+    need = offset + nrows * (stride + 1)
+    if len(raw) < need:
         raise ValueError("truncated PNG pixel data")
-    sums = [0] * channels
-    pixels: list = []
+    rows: list = []
     prev = bytes(stride)
-    for r in range(height):
-        base = r * (stride + 1)
+    for r in range(nrows):
+        base = offset + r * (stride + 1)
         ft = raw[base]
         line = raw[base + 1 : base + 1 + stride]
         if ft == 0:
@@ -371,15 +349,200 @@ def decode_png(content: bytes, want_pixels: bool = False) -> dict:
         elif ft == 4:  # Paeth
             row = bytearray(stride)
             for i in range(stride):
-                a = row[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                cc = prev[i - bpp] if i >= bpp else 0
-                p = a + b - cc
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
-                row[i] = (line[i] + pred) & 0xFF
+                row[i] = (
+                    line[i]
+                    + _paeth(
+                        row[i - bpp] if i >= bpp else 0,
+                        prev[i],
+                        prev[i - bpp] if i >= bpp else 0,
+                    )
+                ) & 0xFF
         else:
             raise ValueError(f"bad filter type {ft}")
+        rows.append(row)
+        prev = bytes(row)
+    return rows, need
+
+
+def _adam7_split(sample_rows: list, width: int, height: int, bpp: int):
+    """Yield each non-empty Adam7 pass as a list of byte rows drawn
+    from the full-resolution ``sample_rows`` (one bytearray per image
+    row, ``width*bpp`` bytes each)."""
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+        ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        rows = []
+        for py in range(ph):
+            src = sample_rows[y0 + py * dy]
+            row = bytearray()
+            for px in range(pw):
+                x = x0 + px * dx
+                row += src[x * bpp : (x + 1) * bpp]
+            rows.append(row)
+        yield rows
+
+
+def _png_encode_body(
+    sample_rows: list,
+    width: int,
+    height: int,
+    bpp: int,
+    color_type: int,
+    interlace: bool,
+    plte: bytes = b"",
+) -> bytes:
+    import zlib
+
+    if interlace:
+        raw = bytearray()
+        for pass_rows in _adam7_split(sample_rows, width, height, bpp):
+            raw += _filter_rows(pass_rows, bpp)
+    else:
+        raw = _filter_rows(sample_rows, bpp)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+    )
+    body = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if plte:
+        body += _png_chunk(b"PLTE", plte)
+    return body + _png_chunk(b"IDAT", zlib.compress(bytes(raw))) + _png_chunk(
+        b"IEND", b""
+    )
+
+
+def encode_png(
+    pixels_rgb: list, width: int, height: int, interlace: bool = False
+) -> bytes:
+    """Build a REAL 8-bit RGB PNG (zlib-deflated, CRC-correct).
+
+    ``pixels_rgb``: ``width*height*3`` byte values, row-major from the
+    top row, channels in R,G,B order. Each row's filter type cycles
+    0..4 (None/Sub/Up/Average/Paeth), so a decoder must implement the
+    FULL per-row unfilter pass to read these bytes back — the encode
+    side is what makes the decode side's filter coverage testable on
+    genuine files. ``interlace=True`` writes the Adam7 layout (PNG
+    spec 4.5.2): seven independently-filtered sub-images, the
+    progressive-rendering form a web-scraped corpus actually
+    contains. Output opens in any image viewer."""
+    stride = width * 3
+    rows = [
+        bytearray(pixels_rgb[r * stride : (r + 1) * stride])
+        for r in range(height)
+    ]
+    return _png_encode_body(rows, width, height, 3, 2, interlace)
+
+
+def encode_png_paletted(
+    pixels_rgb: list, width: int, height: int, interlace: bool = False
+) -> bytes:
+    """Build a REAL paletted PNG (color type 3): the palette is the
+    image's distinct colors in first-appearance order (<=256 required),
+    pixel data is 8-bit palette indices through the same cycling
+    filter schedule (bpp=1 for the Sub/Average/Paeth left-neighbor,
+    per spec). Same RGB semantics as ``encode_png`` — a decoder that
+    maps PLTE back reproduces identical pixels, which is what lets the
+    paletted container slot under an unchanged closed-form oracle."""
+    palette: dict = {}
+    idx_rows: list = []
+    stride = width * 3
+    for r in range(height):
+        row = bytearray()
+        for c in range(width):
+            base = r * stride + c * 3
+            rgb = (
+                pixels_rgb[base],
+                pixels_rgb[base + 1],
+                pixels_rgb[base + 2],
+            )
+            if rgb not in palette:
+                if len(palette) == 256:
+                    raise ValueError("paletted PNG needs <=256 distinct colors")
+                palette[rgb] = len(palette)
+            row.append(palette[rgb])
+        idx_rows.append(row)
+    plte = b"".join(bytes(rgb) for rgb in palette)
+    return _png_encode_body(idx_rows, width, height, 1, 3, interlace, plte)
+
+
+def decode_png(content: bytes, want_pixels: bool = False) -> dict:
+    """Parse an 8-bit gray/RGB/RGBA/paletted PNG, sequential OR Adam7
+    interlaced: chunk walk, zlib inflate, full per-(sub-)image
+    unfilter (all five filter types), deinterlace scatter, PLTE
+    index->RGB mapping, per-channel means.
+
+    Pure stdlib (struct + zlib) — no image library. Raises ValueError
+    on non-8-bit files. Paletted rows report ``channels=3`` (the
+    palette-mapped view, matching the GIF decoder's convention).
+    ``want_pixels`` adds ``pixels``: flat top-row-major [r,g,b,...]
+    ints (gray replicated, alpha dropped)."""
+    import zlib
+
+    if len(content) < 8 or content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    pos, ihdr, idat, plte = 8, None, bytearray(), b""
+    while pos + 8 <= len(content):
+        (size,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        chunk = content[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk[:13])
+        elif ctype == b"PLTE":
+            plte = bytes(chunk)
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # len + type + payload + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    width, height, depth, ctype_n, _, _, interlace = ihdr
+    # bytes per pixel IN THE FILTERED STREAM: palette indices are 1
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_n)
+    if depth != 8 or bpp is None or interlace not in (0, 1):
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={ctype_n}, interlace={interlace})"
+        )
+    if ctype_n == 3 and (not plte or len(plte) % 3):
+        raise ValueError("paletted PNG missing/malformed PLTE")
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        rows, _ = _unfilter_rows(raw, 0, height, width * bpp, bpp)
+    else:
+        # Adam7: unfilter each non-empty pass independently, scatter
+        # its pixels back to the full-resolution grid
+        rows = [bytearray(width * bpp) for _ in range(height)]
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            pass_rows, offset = _unfilter_rows(raw, offset, ph, pw * bpp, bpp)
+            for py in range(ph):
+                dst = rows[y0 + py * dy]
+                src = pass_rows[py]
+                for px in range(pw):
+                    x = x0 + px * dx
+                    dst[x * bpp : (x + 1) * bpp] = src[px * bpp : (px + 1) * bpp]
+    if ctype_n == 3:
+        # map indices through PLTE -> RGB rows, then treat as 3-channel
+        nplte = len(plte) // 3
+        mapped = []
+        for row in rows:
+            out_row = bytearray()
+            for idx in row:
+                if idx >= nplte:
+                    raise ValueError(f"palette index {idx} out of range")
+                out_row += plte[idx * 3 : idx * 3 + 3]
+            mapped.append(out_row)
+        rows, channels = mapped, 3
+    else:
+        channels = bpp
+    sums = [0] * channels
+    pixels: list = []
+    for row in rows:
         for c in range(channels):
             sums[c] += sum(row[c::channels])
         if want_pixels:
@@ -389,7 +552,6 @@ def decode_png(content: bytes, want_pixels: bool = False) -> dict:
                     pixels += [row[base_c], row[base_c + 1], row[base_c + 2]]
                 else:
                     pixels += [row[base_c]] * 3
-        prev = bytes(row)
     n = width * height
     out = {
         "format": "png",
@@ -888,8 +1050,14 @@ def synthesize_media(df: DataFrame) -> DataFrame:
 
     - ``0`` -> uncompressed 24-bit BMP, pixel byte j =
       ``(media_id*7 + j) % 251`` in file order B,G,R;
-    - ``2`` -> 8-bit RGB PNG (same byte formula, order R,G,B, rows
-      zlib-deflated through the cycling 0-4 filter schedule);
+    - ``2`` -> 8-bit PNG (same byte formula, order R,G,B, rows
+      zlib-deflated through the cycling 0-4 filter schedule). Image
+      ids are multiples of 10, so ``mid % 32`` further picks the
+      container layout over IDENTICAL pixels: 2 sequential RGB, 10
+      Adam7 interlaced RGB, 18 paletted (PLTE = distinct colors in
+      first-appearance order), 26 interlaced+paletted — the oracle
+      values don't move, the hash gates the deinterlace/palette
+      decode paths;
     - ``4`` -> GIF89a: palette INDEX j = ``(media_id*7 + j) % 251``
       LZW-compressed against the fixed ``_gif_palette`` table
       (r=i, g=2i%256, b=5i%256);
@@ -994,7 +1162,23 @@ def synthesize_media(df: DataFrame) -> DataFrame:
                         if route == 0:
                             content.append(encode_bmp(px, w, h))
                         else:
-                            content.append(encode_png(px, w, h))
+                            # image ids are multiples of 10, so the PNG
+                            # route (mid%8==2) is mid%32 in {2,10,18,26}
+                            # — four sub-variants of the SAME RGB bytes:
+                            # sequential, Adam7 interlaced, paletted,
+                            # interlaced+paletted. Pixels are identical,
+                            # so every closed-form oracle value is
+                            # unchanged and the hash gate proves the
+                            # deinterlace/PLTE decode paths.
+                            sub = mid % 32
+                            enc = (
+                                encode_png_paletted
+                                if sub in (18, 26)
+                                else encode_png
+                            )
+                            content.append(
+                                enc(px, w, h, interlace=sub in (10, 26))
+                            )
                 elif kind == "video":
                     from linkmerce_spark.operators.video import (
                         encode_solid_mjpeg_avi,

@@ -176,6 +176,66 @@ def test_png_roundtrip_all_filter_types_exact():
     assert d["mean_b"] == sum(px[2::3]) / n
 
 
+def test_png_adam7_and_paletted_match_sequential_per_pixel():
+    """Round-8 container variety: the Adam7-interlaced and paletted
+    (color type 3) layouts must reproduce EXACTLY the pixels of the
+    sequential RGB encode — sizes chosen so every Adam7 pass shape
+    occurs (all-7-pass, degenerate single-row/column, sub-8 images
+    where later passes are empty)."""
+    from linkmerce_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        encode_png_paletted,
+    )
+
+    for w, h in [(1, 1), (4, 2), (8, 4), (5, 3), (13, 11), (16, 9), (7, 1), (1, 9), (23, 17)]:
+        px = [((j * 97 + w * 31 + h * 7) % 64) * 4 for j in range(w * h * 3)]
+        for enc, kw in [
+            (encode_png, dict(interlace=True)),
+            (encode_png_paletted, dict()),
+            (encode_png_paletted, dict(interlace=True)),
+        ]:
+            d = decode_png(enc(px, w, h, **kw), want_pixels=True)
+            assert d["pixels"] == px, (w, h, enc.__name__, kw)
+            assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+            n = w * h
+            assert d["mean_r"] == sum(px[0::3]) / n
+            assert d["mean_b"] == sum(px[2::3]) / n
+
+
+def test_png_paletted_wire_format_is_spec_true():
+    """Paletted variant: IHDR says color type 3 / the PLTE chunk holds
+    first-appearance distinct colors / the filtered stream is 1 byte
+    per pixel; interlaced variant: IHDR interlace byte = 1. >256
+    distinct colors must be rejected."""
+    import struct
+
+    import pytest
+
+    from linkmerce_spark.operators.multimodal import (
+        encode_png,
+        encode_png_paletted,
+    )
+
+    px = [10, 20, 30, 40, 50, 60, 10, 20, 30, 70, 80, 90]  # 3 colors
+    blob = encode_png_paletted(px, 2, 2)
+    ihdr = blob[16:29]
+    w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", ihdr)
+    assert (w, h, depth, ctype, interlace) == (2, 2, 8, 3, 0)
+    ppos = blob.find(b"PLTE")
+    (psize,) = struct.unpack(">I", blob[ppos - 4 : ppos])
+    assert blob[ppos + 4 : ppos + 4 + psize] == bytes(
+        [10, 20, 30, 40, 50, 60, 70, 80, 90]
+    )
+    i_blob = encode_png(px, 2, 2, interlace=True)
+    assert struct.unpack(">IIBBBBB", i_blob[16:29])[-1] == 1
+    too_many: list = []
+    for i in range(300):  # 300 provably-distinct colors
+        too_many += [i % 256, (i // 256) % 256, i % 251]
+    with pytest.raises(ValueError):
+        encode_png_paletted(too_many, 30, 10)
+
+
 def test_png_crc_and_zlib_are_real():
     """The emitted chunks must be spec-true: CRCs verify and the IDAT
     stream re-inflates with plain zlib."""
@@ -706,6 +766,7 @@ def test_decoders_never_crash_on_fuzzed_bytes():
         encode_bmp,
         encode_gif,
         encode_png,
+        encode_png_paletted,
         encode_wav,
     )
     from linkmerce_spark.operators.video import decode_avi, encode_solid_mjpeg_avi
@@ -715,6 +776,12 @@ def test_decoders_never_crash_on_fuzzed_bytes():
     valid = [
         encode_bmp([rng.randrange(256) for _ in range(5 * 3 * 3)], 5, 3),
         encode_png([rng.randrange(256) for _ in range(5 * 3 * 3)], 5, 3),
+        encode_png(
+            [rng.randrange(256) for _ in range(9 * 9 * 3)], 9, 9, interlace=True
+        ),
+        encode_png_paletted(
+            [rng.randrange(4) * 64 for _ in range(5 * 3 * 3)], 5, 3
+        ),
         encode_gif([rng.randrange(251) for _ in range(15)], 5, 3),
         encode_jpeg([rng.randrange(256) for _ in range(5 * 3 * 3)], 5, 3),
         encode_wav([rng.randrange(-1024, 1024) for _ in range(40)]),
