@@ -1,0 +1,117 @@
+"""Scalar quantization (SQ8) for embedding columns.
+
+The storage-path operator a 100 TB embedding corpus actually needs:
+float32 vectors are 4 bytes/dim; per-dimension affine int8 codes are
+1 byte/dim at a reconstruction error bounded by half a quantization
+step. This module implements the classic train/encode/audit shape
+(FAISS ScalarQuantizer QT_8bit semantics — public knowledge) as pure
+DataFrame expressions:
+
+- **train**: per-dimension ``min``/``max`` over the corpus — a
+  64-row aggregate with map-side partials (never a window over the
+  exploded fact: 64 reducers would be the classic skew trap at scale);
+- **encode**: ``q = floor((x - mn) * 255 / (mx - mn) + 0.5)`` with the
+  trained stats broadcast back — codes 0..255;
+- **audit**: reconstruction ``x_hat = mn + q * (mx - mn) / 255`` and
+  integer-exact error statistics per dimension.
+
+Engine-exactness: every float is an exact IEEE double (float32
+widens exactly), min/max involve no summation, and encode/reconstruct
+are fixed expression trees evaluated identically by Spark and DuckDB —
+so errors quantized to integer nanounits sum order-independently and
+the twin matches bit-for-bit. At 100 TB the plan is two shuffles
+(the 64-row stat agg + the 64-row audit agg); the explode stays
+in-plan and pipelines with the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+__all__ = ["sq8_train", "sq8_audit"]
+
+_LEVELS = 255.0  # codes 0..255 -> 256 levels, scale = (mx-mn)/255
+
+
+def sq8_train(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension quantizer stats: ``(dim, mn, mx)`` — dim 0-based.
+
+    One shuffle, output rows = vector dimensionality. NULL vectors
+    contribute nothing (posexplode emits no rows for them)."""
+    return (
+        emb.select(F.posexplode(vec_col).alias("dim", "__xf"))
+        .select("dim", F.col("__xf").cast("double").alias("x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+
+
+def sq8_audit(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Quantize -> reconstruct -> per-dimension integer-exact audit.
+
+    Output (one row per dimension, 0-based ``dim``):
+
+    - ``n_values``: corpus values in the dimension;
+    - ``mn_micro`` / ``mx_micro``: trained range, half-up microunits;
+    - ``sum_code`` / ``max_code``: the int8 code mass (distribution
+      drift between shards shows up here before it hurts recall);
+    - ``sum_err_nano`` / ``max_err_nano``: reconstruction |x_hat - x|
+      in half-up nanounits — ``max_err_nano`` is provably bounded by
+      ``(mx - mn) / 255 / 2`` scaled, the SQ8 contract.
+
+    Constant dimensions (mx == mn) take code 0 and zero error."""
+    x = (
+        emb.select(F.posexplode(vec_col).alias("dim", "__xf"))
+        .select("dim", F.col("__xf").cast("double").alias("x"))
+    )
+    stats = (
+        x.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    j = x.join(broadcast(stats), "dim")
+    mn, mx, xv = F.col("mn"), F.col("mx"), F.col("x")
+    # fixed expression trees, mirrored verbatim in the SQL twin: each
+    # IEEE op on exact doubles is engine-identical
+    code = F.when(
+        mx > mn,
+        F.floor((xv - mn) * F.lit(_LEVELS) / (mx - mn) + F.lit(0.5)),
+    ).otherwise(F.lit(0).cast("bigint"))
+    q = j.select(
+        "dim",
+        "x",
+        "mn",
+        "mx",
+        code.alias("q"),
+    )
+    xhat = mn + (F.col("q").cast("double") * (mx - mn)) / F.lit(_LEVELS)
+    r = q.select(
+        "dim",
+        "q",
+        "mn",
+        "mx",
+        F.abs(xhat - F.col("x")).alias("err"),
+    )
+    half_up = lambda c, s: F.floor(c * F.lit(s) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    return (
+        r.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            half_up(F.min("mn"), 1e6).alias("mn_micro"),
+            half_up(F.max("mx"), 1e6).alias("mx_micro"),
+            F.sum("q").cast("bigint").alias("sum_code"),
+            F.max("q").cast("bigint").alias("max_code"),
+            F.sum(half_up(F.col("err"), 1e9)).cast("bigint").alias("sum_err_nano"),
+            F.max(half_up(F.col("err"), 1e9)).cast("bigint").alias("max_err_nano"),
+        )
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "n_values",
+            "mn_micro",
+            "mx_micro",
+            "sum_code",
+            "max_code",
+            "sum_err_nano",
+            "max_err_nano",
+        )
+    )

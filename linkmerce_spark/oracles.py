@@ -6884,6 +6884,44 @@ SELECT CAST(cell AS INTEGER) AS cell,
 FROM ivf_cells, tot GROUP BY cell
 """
 
+# SQ8 quantization audit: every float is an exact IEEE double
+# (float32 widens exactly), min/max involve no summation, and the
+# encode/reconstruct expression trees below mirror the Spark side of
+# operators/quantize.py verbatim — so the per-element nanounit floors
+# are bit-identical and their int64 sums order-independent.
+ORACLES["embedding_sq8"] = """
+WITH x AS (
+  SELECT CAST(dim AS INTEGER) - 1 AS dim,
+         CAST(embedding[dim] AS DOUBLE) AS x
+  FROM (SELECT embedding,
+               UNNEST(range(1, len(embedding) + 1)) AS dim
+        FROM embeddings)
+), s AS (
+  SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM x GROUP BY dim
+), q AS (
+  SELECT x.dim, x.x, s.mn, s.mx,
+    CASE WHEN s.mx > s.mn
+      THEN CAST(FLOOR((x.x - s.mn) * 255.0 / (s.mx - s.mn) + 0.5) AS BIGINT)
+      ELSE 0 END AS q
+  FROM x JOIN s USING (dim)
+), r AS (
+  SELECT dim, q, mn, mx,
+    ABS((mn + ((CAST(q AS DOUBLE) * (mx - mn)) / 255.0)) - x) AS err
+  FROM q
+)
+SELECT CAST(dim AS INTEGER) AS dim,
+  CAST(COUNT(*) AS BIGINT) AS n_values,
+  CAST(FLOOR(MIN(mn) * 1000000.0 + 0.5) AS BIGINT) AS mn_micro,
+  CAST(FLOOR(MAX(mx) * 1000000.0 + 0.5) AS BIGINT) AS mx_micro,
+  CAST(SUM(q) AS BIGINT) AS sum_code,
+  CAST(MAX(q) AS BIGINT) AS max_code,
+  CAST(SUM(CAST(FLOOR(err * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+    AS sum_err_nano,
+  CAST(MAX(CAST(FLOOR(err * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+    AS max_err_nano
+FROM r GROUP BY dim
+"""
+
 ORACLES["doc_rare_grams"] = """
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS words FROM documents

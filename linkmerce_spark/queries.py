@@ -1650,6 +1650,24 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantization audit (training-data op, round 8).
+
+    The storage path for an embedding corpus: per-dimension affine
+    int8 codes (FAISS ScalarQuantizer QT_8bit shape) cut vector
+    storage 4x. train = 64-row min/max agg with map-side partials;
+    encode = ``floor((x-mn)*255/(mx-mn)+0.5)`` with the trained stats
+    BROADCAST back (never a window over the exploded fact — 64
+    reducers would be the skew trap at 100 TB); audit = reconstruction
+    error in half-up nanounits, integer-exact so the twin matches
+    bit-for-bit. ``max_err_nano`` per dim is bounded by half a
+    quantization step — the SQ8 contract a drift monitor watches."""
+    from linkmerce_spark.operators.quantize import sq8_audit
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return sq8_audit(emb)
+
+
 def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT wide->long via stack (SURVEY §7.2.3 / U-pivot).
 
@@ -7121,10 +7139,12 @@ def q_asof_bucketed_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plus the 4 new round-5 operators rotate in this round). Window
 # composition is documented inline below.
 QUERIES = {
-    # ===== round-8 window: entries whose CODE changed this round
-    # (k-proportional IVF family, progressive-JPEG media fixtures,
-    # BPE twin exhaustion fix, dupspans guard) lead; then the 39
-    # least-recently-gated entries (r3/r4 vintage) rotate in. =====
+    # ===== round-8 window: never-gated round-8 additions first, then
+    # entries whose CODE changed this round (k-proportional IVF
+    # family, progressive-JPEG + PNG-variant media fixtures, BPE twin
+    # exhaustion fix, dupspans guard); then the least-recently-gated
+    # entries (r3/r4 vintage) rotate in. =====
+    "embedding_sq8": q_embedding_sq8,
     "embedding_near_dups": q_embedding_near_dups,
     "embedding_semdedup": q_embedding_semdedup,
     "embedding_ivf_topk": q_embedding_ivf_topk,

@@ -1,0 +1,81 @@
+"""SQ8 scalar quantization: contract properties + a pure-Python third
+computation (the third-engine discipline — independent of both the
+Spark builder and the DuckDB twin)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _py_sq8_audit(vectors):
+    """Pure-Python reference of operators/quantize.sq8_audit."""
+    dims = len(vectors[0])
+    out = {}
+    for d in range(dims):
+        xs = [float(v[d]) for v in vectors]
+        mn, mx = min(xs), max(xs)
+        codes, errs = [], []
+        for x in xs:
+            q = math.floor((x - mn) * 255.0 / (mx - mn) + 0.5) if mx > mn else 0
+            xhat = mn + (float(q) * (mx - mn)) / 255.0
+            codes.append(q)
+            errs.append(abs(xhat - x))
+        out[d] = {
+            "n_values": len(xs),
+            "mn_micro": math.floor(mn * 1e6 + 0.5),
+            "mx_micro": math.floor(mx * 1e6 + 0.5),
+            "sum_code": sum(codes),
+            "max_code": max(codes),
+            "sum_err_nano": sum(math.floor(e * 1e9 + 0.5) for e in errs),
+            "max_err_nano": max(math.floor(e * 1e9 + 0.5) for e in errs),
+        }
+    return out
+
+
+def test_sq8_audit_matches_pure_python_and_contract(spark):
+    import random
+
+    from linkmerce_spark.operators.quantize import sq8_audit
+
+    rng = random.Random(42)
+    # float32-exact inputs (parquet embeddings are float32): round-trip
+    # through struct-of-float semantics by quantizing to 2^-10 grid
+    vecs = [
+        [round(rng.uniform(-1, 1) * 1024) / 1024 for _ in range(8)]
+        for _ in range(200)
+    ]
+    # make dim 7 constant -> code 0, zero error (the mx==mn edge)
+    for v in vecs:
+        v[7] = 0.25
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    got = {r["dim"]: r.asDict() for r in sq8_audit(df).collect()}
+    want = _py_sq8_audit(vecs)
+    assert set(got) == set(want)
+    for d in want:
+        for k, v in want[d].items():
+            assert got[d][k] == v, (d, k, got[d][k], v)
+    # contract: codes bounded, error bounded by half a step (in nanounits)
+    for d, row in got.items():
+        assert 0 <= row["max_code"] <= 255
+        step_half_nano = (
+            (want[d]["mx_micro"] - want[d]["mn_micro"]) * 1000 / 255.0 / 2.0
+        )
+        assert row["max_err_nano"] <= step_half_nano + 2, d
+    assert got[7]["max_code"] == 0 and got[7]["sum_err_nano"] == 0
+
+
+def test_sq8_plan_broadcasts_stats_no_smj(spark):
+    """The trained 64-row stats must come back as a BROADCAST join —
+    a sort-merge join (or a window over the exploded fact) would put
+    the whole corpus through 64 reducers at scale."""
+    from linkmerce_spark.operators.quantize import sq8_audit
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3)]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = sq8_audit(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

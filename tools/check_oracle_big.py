@@ -132,6 +132,13 @@ def main() -> None:
     names = sys.argv[2:] or list(q.QUERIES)
     spark = get_spark()
     con = duckdb.connect()
+    # The checksum gate is order-independent by design, so the twin can
+    # drop insertion-order preservation (the main reason large DuckDB
+    # CTE chains hold whole intermediates in memory) and spill to disk:
+    # at sf10 the chained capstone twins otherwise exhaust the
+    # allocator (r8 rotation: doc_clean_select_e2e OOM'd without this).
+    con.execute("SET preserve_insertion_order=false")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in STAR_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
