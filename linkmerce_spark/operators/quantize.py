@@ -30,9 +30,46 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-__all__ = ["sq8_train", "sq8_audit"]
+__all__ = ["sq8_train", "sq8_audit", "bq_signatures"]
 
 _LEVELS = 255.0  # codes 0..255 -> 256 levels, scale = (mx-mn)/255
+
+
+def bq_signatures(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Binary quantization: 1 bit per dimension, the 32x-smaller ANN
+    pre-filter code (sign-bit BQ over centered embeddings — public
+    practice: Hamming pre-rank, exact rerank of survivors).
+
+    Bit ``d`` is set iff ``x_d > 0.0`` — a threshold involving no
+    corpus statistics, so the code is engine- and shard-independent.
+    The signature is packed into TWO bigints of 32 bits each
+    (``sig_lo`` dims 0-31, ``sig_hi`` dims 32-63): DuckDB's checked
+    arithmetic rejects ``1::BIGINT << 63``, and the split form
+    generalizes past 64 dims. Zero-shuffle: one projection of
+    ``zip_with``/``aggregate`` expressions, pipelines with the scan.
+    Hamming distance between rows is
+    ``bit_count(lo^lo') + bit_count(hi^hi')``."""
+    v = vec_col
+    lo = (
+        f"aggregate(zip_with(slice({v}, 1, 32), "
+        f"sequence(0, least(size({v}), 32) - 1), "
+        f"(x, i) -> IF(CAST(x AS DOUBLE) > 0.0D, shiftleft(1L, i), 0L)), "
+        f"0L, (a, b) -> a | b)"
+    )
+    hi = (
+        f"IF(size({v}) > 32, "
+        f"aggregate(zip_with(slice({v}, 33, 32), "
+        f"sequence(0, size({v}) - 33), "
+        f"(x, i) -> IF(CAST(x AS DOUBLE) > 0.0D, shiftleft(1L, i), 0L)), "
+        f"0L, (a, b) -> a | b), 0L)"
+    )
+    return emb.select(
+        F.col(id_col),
+        F.expr(lo).alias("sig_lo"),
+        F.expr(hi).alias("sig_hi"),
+    )
 
 
 def sq8_train(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:

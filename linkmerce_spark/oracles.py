@@ -6884,6 +6884,46 @@ SELECT CAST(cell AS INTEGER) AS cell,
 FROM ivf_cells, tot GROUP BY cell
 """
 
+# Binary quantization: sign-bit codes packed into two 32-bit halves
+# (DuckDB's checked arithmetic rejects 1::BIGINT << 63); Hamming
+# ranking is pure integer ops, bit-identical by construction. The
+# per-half bit_counts are cast to INTEGER before adding (TINYINT sums
+# would overflow at 64 + 64 > 127).
+ORACLES["embedding_bq_topk"] = """
+WITH sig AS (
+  SELECT vec_id,
+    list_reduce(list_transform(range(1, least(len(embedding), 32) + 1),
+      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0.0
+                THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INTEGER))
+                ELSE CAST(0 AS BIGINT) END),
+      (a, b) -> a | b) AS sig_lo,
+    CASE WHEN len(embedding) > 32 THEN
+      list_reduce(list_transform(range(33, len(embedding) + 1),
+        i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0.0
+                  THEN (CAST(1 AS BIGINT) << CAST(i - 33 AS INTEGER))
+                  ELSE CAST(0 AS BIGINT) END),
+        (a, b) -> a | b)
+    ELSE CAST(0 AS BIGINT) END AS sig_hi
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, sig_lo AS qlo, sig_hi AS qhi
+  FROM sig WHERE vec_id % 50 = 0
+), c AS (
+  SELECT vec_id AS neighbor_id, sig_lo, sig_hi FROM sig
+), pairs AS (
+  SELECT query_id, neighbor_id,
+         CAST(CAST(bit_count(xor(qlo, sig_lo)) AS INTEGER)
+              + CAST(bit_count(xor(qhi, sig_hi)) AS INTEGER) AS INTEGER)
+           AS hamming
+  FROM c, q WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, hamming, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY hamming ASC, neighbor_id ASC) AS rank
+  FROM pairs
+) WHERE rank <= 5
+"""
+
 # SQ8 quantization audit: every float is an exact IEEE double
 # (float32 widens exactly), min/max involve no summation, and the
 # encode/reconstruct expression trees below mirror the Spark side of

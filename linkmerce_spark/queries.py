@@ -1668,6 +1668,46 @@ def q_embedding_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_audit(emb)
 
 
+def q_embedding_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized Hamming top-k — the ANN PRE-FILTER path
+    (training-data op, round 8).
+
+    Sign-bit BQ packs each embedding into two 32-bit halves
+    (op:quantize.bq_signatures, zero-shuffle projection); candidate
+    ranking is ``bit_count(xor(lo)) + bit_count(xor(hi))`` — pure
+    integer ops in whole-stage codegen, 1 bit/dim of state. The
+    economics at 100 TB: the Hamming pass scans CODES (16 bytes/row
+    incl. id) instead of vectors (256 bytes/row), and only its
+    survivors reach an exact rerank (q_embedding_topk's kernel).
+    Queries (vec_id % 50 == 0) broadcast; ties break by neighbor id
+    so ranking is engine-deterministic."""
+    from linkmerce_spark.operators.quantize import bq_signatures
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    sig = bq_signatures(emb)
+    q = sig.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sig_lo").alias("qlo"),
+        F.col("sig_hi").alias("qhi"),
+    ).filter(F.col("query_id") % 50 == 0)
+    c = sig.select(
+        F.col("vec_id").alias("neighbor_id"), "sig_lo", "sig_hi"
+    )
+    pairs = c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    hamming = (
+        F.bit_count(F.col("qlo").bitwiseXOR(F.col("sig_lo")))
+        + F.bit_count(F.col("qhi").bitwiseXOR(F.col("sig_hi")))
+    ).cast("int")
+    scored = pairs.select("query_id", "neighbor_id", hamming.alias("hamming"))
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("hamming").asc(), F.col("neighbor_id").asc()],
+        k=5,
+        rank_col="rank",
+    )
+
+
 def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT wide->long via stack (SURVEY §7.2.3 / U-pivot).
 
@@ -7145,6 +7185,7 @@ QUERIES = {
     # exhaustion fix, dupspans guard); then the least-recently-gated
     # entries (r3/r4 vintage) rotate in. =====
     "embedding_sq8": q_embedding_sq8,
+    "embedding_bq_topk": q_embedding_bq_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "embedding_semdedup": q_embedding_semdedup,
     "embedding_ivf_topk": q_embedding_ivf_topk,

@@ -66,6 +66,78 @@ def test_sq8_audit_matches_pure_python_and_contract(spark):
     assert got[7]["max_code"] == 0 and got[7]["sum_err_nano"] == 0
 
 
+def test_bq_signatures_match_pure_python(spark):
+    """Sign-bit BQ codes vs an independent pure-Python packer, and
+    Hamming distances vs python popcount — including the 32/33rd-dim
+    half boundary, all-positive, all-negative, and exact-zero values
+    (zero is NOT positive, so its bit is 0)."""
+    import random
+
+    from linkmerce_spark.operators.quantize import bq_signatures
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(50)]
+    vecs.append([1.0] * 64)
+    vecs.append([-1.0] * 64)
+    zero_edge = [0.0] * 64
+    zero_edge[0] = 1.0
+    zero_edge[33] = 1.0
+    vecs.append(zero_edge)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: (r["sig_lo"], r["sig_hi"])
+        for r in bq_signatures(df).collect()
+    }
+
+    def py_sig(v):
+        import struct as _s
+
+        lo = hi = 0
+        for d, x in enumerate(v):
+            xf = _s.unpack("f", _s.pack("f", x))[0]  # float32 round-trip
+            if xf > 0.0:
+                if d < 32:
+                    lo |= 1 << d
+                else:
+                    hi |= 1 << (d - 32)
+        return lo, hi
+
+    for i, v in enumerate(vecs):
+        assert got[i] == py_sig(v), i
+    assert got[len(vecs) - 3] == ((1 << 32) - 1, (1 << 32) - 1)  # all +1
+    assert got[len(vecs) - 2] == (0, 0)  # all -1
+    assert got[len(vecs) - 1] == (1, 2)  # bits 0 and 33 only
+    # Hamming via bit_count(xor) == python popcount
+    a, b = got[0], got[1]
+    from pyspark.sql import functions as F2
+
+    ham = (
+        df.sparkSession.range(1)
+        .select(
+            (
+                F2.bit_count(F2.lit(a[0]).bitwiseXOR(F2.lit(b[0])))
+                + F2.bit_count(F2.lit(a[1]).bitwiseXOR(F2.lit(b[1])))
+            ).alias("h")
+        )
+        .collect()[0]["h"]
+    )
+    assert ham == bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+
+def test_bq_signatures_zero_shuffle(spark):
+    """The code build must be a pure projection — no exchange."""
+    from linkmerce_spark.operators.quantize import bq_signatures
+
+    df = spark.createDataFrame(
+        [(i, [float(i), -1.0, 2.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = bq_signatures(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_sq8_plan_broadcasts_stats_no_smj(spark):
     """The trained 64-row stats must come back as a BROADCAST join —
     a sort-merge join (or a window over the exploded fact) would put
