@@ -46,22 +46,28 @@ def bq_signatures(
     corpus statistics, so the code is engine- and shard-independent.
     The signature is packed into TWO bigints of 32 bits each
     (``sig_lo`` dims 0-31, ``sig_hi`` dims 32-63): DuckDB's checked
-    arithmetic rejects ``1::BIGINT << 63``, and the split form
-    generalizes past 64 dims. Zero-shuffle: one projection of
-    ``zip_with``/``aggregate`` expressions, pipelines with the scan.
-    Hamming distance between rows is
+    arithmetic rejects ``1::BIGINT << 63``. The code covers the FIRST
+    64 dimensions — dims >= 65 are intentionally not represented (two
+    32-bit halves hold 64 bits; both the Spark and the SQL twin bound
+    their index sequences identically, so there is no engine
+    divergence, just a documented cap). NULL and empty vectors take
+    the total signature ``(0L, 0L)`` rather than NULL, keeping
+    downstream Hamming arithmetic non-null on every row. Zero-shuffle:
+    one projection of ``zip_with``/``aggregate`` expressions,
+    pipelines with the scan. Hamming distance between rows is
     ``bit_count(lo^lo') + bit_count(hi^hi')``."""
     v = vec_col
     lo = (
+        f"IF({v} IS NOT NULL AND size({v}) > 0, "
         f"aggregate(zip_with(slice({v}, 1, 32), "
         f"sequence(0, least(size({v}), 32) - 1), "
         f"(x, i) -> IF(CAST(x AS DOUBLE) > 0.0D, shiftleft(1L, i), 0L)), "
-        f"0L, (a, b) -> a | b)"
+        f"0L, (a, b) -> a | b), 0L)"
     )
     hi = (
-        f"IF(size({v}) > 32, "
+        f"IF({v} IS NOT NULL AND size({v}) > 32, "
         f"aggregate(zip_with(slice({v}, 33, 32), "
-        f"sequence(0, size({v}) - 33), "
+        f"sequence(0, least(size({v}), 64) - 33), "
         f"(x, i) -> IF(CAST(x AS DOUBLE) > 0.0D, shiftleft(1L, i), 0L)), "
         f"0L, (a, b) -> a | b), 0L)"
     )

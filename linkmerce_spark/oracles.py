@@ -6888,17 +6888,22 @@ FROM ivf_cells, tot GROUP BY cell
 # (DuckDB's checked arithmetic rejects 1::BIGINT << 63); Hamming
 # ranking is pure integer ops, bit-identical by construction. The
 # per-half bit_counts are cast to INTEGER before adding (TINYINT sums
-# would overflow at 64 + 64 > 127).
+# would overflow at 64 + 64 > 127). Bounds mirror the Spark operator
+# exactly: the code covers the first 64 dims (hi range capped at
+# least(len, 64)), and NULL/empty vectors take (0, 0) — list_reduce
+# over an empty list errors in DuckDB, so the lo half is guarded too.
 ORACLES["embedding_bq_topk"] = """
 WITH sig AS (
   SELECT vec_id,
-    list_reduce(list_transform(range(1, least(len(embedding), 32) + 1),
-      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0.0
-                THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INTEGER))
-                ELSE CAST(0 AS BIGINT) END),
-      (a, b) -> a | b) AS sig_lo,
-    CASE WHEN len(embedding) > 32 THEN
-      list_reduce(list_transform(range(33, len(embedding) + 1),
+    CASE WHEN embedding IS NOT NULL AND len(embedding) > 0 THEN
+      list_reduce(list_transform(range(1, least(len(embedding), 32) + 1),
+        i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0.0
+                  THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INTEGER))
+                  ELSE CAST(0 AS BIGINT) END),
+        (a, b) -> a | b)
+    ELSE CAST(0 AS BIGINT) END AS sig_lo,
+    CASE WHEN embedding IS NOT NULL AND len(embedding) > 32 THEN
+      list_reduce(list_transform(range(33, least(len(embedding), 64) + 1),
         i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0.0
                   THEN (CAST(1 AS BIGINT) << CAST(i - 33 AS INTEGER))
                   ELSE CAST(0 AS BIGINT) END),
@@ -6919,7 +6924,8 @@ WITH sig AS (
 )
 SELECT query_id, neighbor_id, hamming, CAST(rank AS INTEGER) AS rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY hamming ASC, neighbor_id ASC) AS rank
+                               ORDER BY hamming ASC NULLS LAST,
+                                        neighbor_id ASC) AS rank
   FROM pairs
 ) WHERE rank <= 5
 """

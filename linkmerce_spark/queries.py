@@ -1702,7 +1702,10 @@ def q_embedding_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_per_group(
         scored,
         ["query_id"],
-        [F.col("hamming").asc(), F.col("neighbor_id").asc()],
+        # hamming is non-null by construction (bq_signatures maps
+        # NULL/empty vectors to (0L, 0L)); nulls_last pins the order
+        # explicitly so both engines agree even if that ever changes
+        [F.col("hamming").asc_nulls_last(), F.col("neighbor_id").asc()],
         k=5,
         rank_col="rank",
     )

@@ -80,8 +80,12 @@ def streaming_sq8_drift(
       microunits as the batch audit (bit-identical fold);
     - ``n_below`` / ``n_above``: cumulative values strictly outside
       the trained range (each one saturates its int8 code);
+    - ``untrained``: the dimension has NO trained bounds at all — a
+      new dimension appearing in the stream is the most drastic drift
+      there is (the quantizer cannot encode it), so it must flag, not
+      silently count everything as in-range;
     - ``drifted``: the retrain signal — the running range has left
-      the trained range."""
+      the trained range, or the dimension is untrained."""
     import pandas as pd
 
     from linkmerce_spark.shipping import ensure_shipped
@@ -94,6 +98,7 @@ def streaming_sq8_drift(
             StructField("mx_micro", LongType(), True),
             StructField("n_below", LongType(), True),
             StructField("n_above", LongType(), True),
+            StructField("untrained", BooleanType(), True),
             StructField("drifted", BooleanType(), True),
         ]
     )
@@ -115,6 +120,7 @@ def streaming_sq8_drift(
             st = (stored[0], stored[1], int(stored[2]), int(stored[3]), int(stored[4]))
         else:
             st = (None, None, 0, 0, 0)
+        untrained = dim not in ranges
         t_mn, t_mx = ranges.get(dim, (None, None))
         for pdf in pdfs:
             st = sq8_drift_update(st, pdf["x"].tolist(), t_mn, t_mx)
@@ -128,7 +134,8 @@ def streaming_sq8_drift(
                 "mx_micro": [None if mx is None else math.floor(mx * 1e6 + 0.5)],
                 "n_below": [below],
                 "n_above": [above],
-                "drifted": [below > 0 or above > 0],
+                "untrained": [untrained],
+                "drifted": [untrained or below > 0 or above > 0],
             }
         )
 

@@ -126,6 +126,55 @@ def test_bq_signatures_match_pure_python(spark):
     assert ham == bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
 
 
+def test_bq_signatures_edge_vectors_match_duckdb(spark):
+    """Empty and NULL vectors must produce (0L, 0L), not NULL
+    (sequence(0,-1) builds a DESCENDING list and zip_with null-pads
+    without the guard); dims >= 65 are capped out of the code on BOTH
+    engines (two 32-bit halves hold 64 bits). Spark and the oracle's
+    sig expression are run side-by-side on the same handcrafted rows."""
+    import duckdb
+
+    from linkmerce_spark.operators.quantize import bq_signatures
+
+    seventy = [1.0 if d % 3 == 0 else -1.0 for d in range(70)]
+    rows = [
+        (0, []),            # empty -> (0, 0)
+        (1, None),          # NULL  -> (0, 0)
+        (2, [1.0] * 70),    # 70 dims: hi must cap at dims 33..64
+        (3, seventy),       # mixed signs past the cap
+        (4, [1.0] * 40),    # partial hi half
+        (5, [-0.5, 0.5]),   # lo-only short vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["sig_lo"], r["sig_hi"])
+        for r in bq_signatures(df).collect()
+    }
+    assert got[0] == (0, 0)
+    assert got[1] == (0, 0)
+    assert got[2] == ((1 << 32) - 1, (1 << 32) - 1)  # dims 65-70 ignored
+    assert got[4] == ((1 << 32) - 1, (1 << 8) - 1)
+    assert got[5] == (2, 0)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {('NULL' if v is None else 'CAST(' + str([float(x) for x in v]) + ' AS FLOAT[])')})"
+            for i, v in rows
+        )
+        + ") t(vec_id, embedding)"
+    )
+    from linkmerce_spark.oracles import ORACLES
+
+    sig_cte = ORACLES["embedding_bq_topk"].split("), q AS (")[0] + ")"
+    duck = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(sig_cte + " SELECT * FROM sig").fetchall()
+    }
+    assert duck == got
+
+
 def test_bq_signatures_zero_shuffle(spark):
     """The code build must be a pure projection — no exchange."""
     from linkmerce_spark.operators.quantize import bq_signatures

@@ -37,7 +37,10 @@ def _run(spark, src, ckpt, out, schema, trained):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # availableNow drains are finite; assert the drain actually
+    # finished rather than proceeding on partial output after a slow
+    # 120 s timeout and failing with a confusing downstream assertion
+    assert q.awaitTermination(120), "availableNow drain did not finish in 120s"
 
 
 def _mk_vecs(seed, n, dims=6, lo=-1.0, hi=1.0):
@@ -112,6 +115,23 @@ def test_streaming_drift_matches_batch_and_resumes(spark, workdir):
     n_rows = raw.count()
     _run(spark, src, ckpt, out, schema, trained)
     assert spark.read.parquet(out).count() == n_rows
+
+
+def test_untrained_dimension_flags_drift(spark, workdir):
+    """A dimension absent from the trained mapping is the most drastic
+    drift there is (the quantizer cannot encode it) — it must flag
+    untrained/drifted instead of silently counting everything in-range."""
+    src, ckpt, out = f"{workdir}/v", f"{workdir}/ck", f"{workdir}/out"
+    _write(spark, src, _mk_vecs(5, 20))  # 6-dim vectors
+    schema = spark.read.parquet(src).schema
+    trained = {d: (-1.0, 1.0) for d in range(5)}  # dim 5 untrained
+    _run(spark, src, ckpt, out, schema, trained)
+    rows = {r["dim"]: r.asDict() for r in spark.read.parquet(out).collect()}
+    assert rows[5]["untrained"] is True and rows[5]["drifted"] is True
+    for d in range(5):
+        assert rows[d]["untrained"] is False
+        assert rows[d]["drifted"] is False, d  # uniform(-1,1) stays in range
+        assert rows[d]["n_below"] == 0 and rows[d]["n_above"] == 0
 
 
 def test_drift_update_edges():
