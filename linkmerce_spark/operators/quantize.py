@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-__all__ = ["sq8_train", "sq8_audit", "bq_signatures"]
+__all__ = ["sq8_train", "sq8_audit", "sq8_reconstruct", "bq_signatures"]
 
 _LEVELS = 255.0  # codes 0..255 -> 256 levels, scale = (mx-mn)/255
 
@@ -88,6 +88,49 @@ def sq8_train(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
         .select("dim", F.col("__xf").cast("double").alias("x"))
         .groupBy("dim")
         .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+
+
+def sq8_reconstruct(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """The DECODE path of the storage tier: train -> encode -> rebuild
+    each vector from its int8 codes. Returns ``(id, rv array<double>)``
+    where ``rv[d] = mn_d + q_d * (mx_d - mn_d) / 255`` — what a reader
+    of the quantized corpus actually sees.
+
+    Same engine-exactness argument as :func:`sq8_audit`: every term is
+    a fixed IEEE expression tree on exact doubles, so the reconstructed
+    values are bit-identical across engines and the round-trip capstone
+    can be oracle-twinned. Plan shape: one 64-row stat agg broadcast
+    back onto the exploded fact, then ONE shuffle to reassemble arrays
+    (groupBy id, array_sort by dim — dims are unique per vector, so the
+    sort is a total order and the rebuild deterministic). At 100 TB the
+    encode/decode pipelines with the scan; only the reassembly
+    shuffles, on the uniform vector id."""
+    x = (
+        emb.select(id_col, F.posexplode(vec_col).alias("dim", "__xf"))
+        .select(id_col, "dim", F.col("__xf").cast("double").alias("x"))
+    )
+    stats = (
+        x.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    j = x.join(broadcast(stats), "dim")
+    mn, mx, xv = F.col("mn"), F.col("mx"), F.col("x")
+    code = F.when(
+        mx > mn,
+        F.floor((xv - mn) * F.lit(_LEVELS) / (mx - mn) + F.lit(0.5)),
+    ).otherwise(F.lit(0).cast("bigint"))
+    xhat = mn + (code.cast("double") * (mx - mn)) / F.lit(_LEVELS)
+    return (
+        j.select(id_col, "dim", xhat.alias("xhat"))
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "xhat"))),
+                lambda s: s["xhat"],
+            ).alias("rv")
+        )
     )
 
 

@@ -6930,6 +6930,115 @@ SELECT query_id, neighbor_id, hamming, CAST(rank AS INTEGER) AS rank FROM (
 ) WHERE rank <= 5
 """
 
+# Quantized-storage round-trip capstone: SQ8 train/encode/reconstruct
+# (exact IEEE trees, bit-identical to operators/quantize.sq8_reconstruct),
+# sign-bit BQ over the RECONSTRUCTED vectors, Hamming top-20 pre-filter,
+# integer-quantized-cosine rerank of the survivors to top-5, and a
+# recall audit against the exact float path (embedding_topk's kernel).
+# Every stage is deterministic: min/max has no summation, floor/div
+# trees are fixed, cosine operates on int64-quantized components whose
+# partial sums stay far under 2^53, and every ranking carries an id
+# tiebreak with NULLS LAST pinned.
+ORACLES["embedding_sq8_roundtrip"] = f"""
+WITH x AS (
+  SELECT vec_id, CAST(dim AS INTEGER) - 1 AS dim,
+         CAST(embedding[dim] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding,
+               UNNEST(range(1, len(embedding) + 1)) AS dim
+        FROM embeddings)
+), s AS (
+  SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM x GROUP BY dim
+), r AS (
+  SELECT vec_id, x.dim,
+    mn + (CAST(CASE WHEN mx > mn
+                    THEN FLOOR((x - mn) * 255.0 / (mx - mn) + 0.5)
+                    ELSE 0 END AS DOUBLE) * (mx - mn)) / 255.0 AS xhat
+  FROM x JOIN s ON x.dim = s.dim
+), rv AS (
+  SELECT vec_id, list(xhat ORDER BY dim) AS rv FROM r GROUP BY vec_id
+), sig AS (
+  SELECT vec_id,
+    list_reduce(list_transform(range(1, least(len(rv), 32) + 1),
+      i -> CASE WHEN rv[i] > 0.0
+                THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INTEGER))
+                ELSE CAST(0 AS BIGINT) END),
+      (a, b) -> a | b) AS sig_lo,
+    CASE WHEN len(rv) > 32 THEN
+      list_reduce(list_transform(range(33, least(len(rv), 64) + 1),
+        i -> CASE WHEN rv[i] > 0.0
+                  THEN (CAST(1 AS BIGINT) << CAST(i - 33 AS INTEGER))
+                  ELSE CAST(0 AS BIGINT) END),
+        (a, b) -> a | b)
+    ELSE CAST(0 AS BIGINT) END AS sig_hi
+  FROM rv
+), qs AS (
+  SELECT vec_id AS query_id, sig_lo AS qlo, sig_hi AS qhi
+  FROM sig WHERE vec_id % 50 = 0
+), pre AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         CAST(CAST(bit_count(xor(qlo, sig_lo)) AS INTEGER)
+              + CAST(bit_count(xor(qhi, sig_hi)) AS INTEGER) AS INTEGER)
+           AS hamming
+  FROM sig c, qs WHERE query_id <> c.vec_id
+), surv AS (
+  SELECT query_id, neighbor_id, hamming FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY hamming ASC NULLS LAST,
+                                          neighbor_id ASC) AS hr
+    FROM pre
+  ) WHERE hr <= 20
+), qq AS (
+  SELECT vec_id,
+         list_transform(rv, v -> CAST(FLOOR(v * 1000 + 0.5) AS BIGINT)) AS qv
+  FROM rv
+), rerank AS (
+  SELECT sv.query_id, sv.neighbor_id, sv.hamming,
+    FLOOR(CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                                       i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+          / NULLIF(sqrt(CAST(list_sum(list_transform(a.qv, v -> v * v)) AS DOUBLE))
+                   * sqrt(CAST(list_sum(list_transform(b.qv, v -> v * v)) AS DOUBLE)),
+                   0.0)
+          * 1000000.0 + 0.5) / 1000000.0 AS cosine_q
+  FROM surv sv
+  JOIN qq a ON a.vec_id = sv.query_id
+  JOIN qq b ON b.vec_id = sv.neighbor_id
+), top5 AS (
+  SELECT query_id, neighbor_id, hamming, cosine_q,
+         CAST(rk AS INTEGER) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_q DESC NULLS LAST,
+                                          neighbor_id ASC) AS rk
+    FROM rerank
+  ) WHERE rk <= 5
+), eq AS (
+  SELECT vec_id AS query_id, {_QVEC} AS qv
+  FROM embeddings WHERE vec_id % 50 = 0
+), ecand AS (
+  SELECT vec_id AS neighbor_id, {_QVEC} AS cv FROM embeddings
+), epairs AS (
+  SELECT query_id, neighbor_id,
+         FLOOR(CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                                            i -> qv[i] * cv[i])) AS DOUBLE)
+               / NULLIF(sqrt(CAST(list_sum(list_transform(qv, v -> v * v)) AS DOUBLE))
+                        * sqrt(CAST(list_sum(list_transform(cv, v -> v * v)) AS DOUBLE)),
+                        0.0)
+               * 1000000.0 + 0.5) / 1000000.0 AS ecos
+  FROM ecand, eq WHERE query_id <> neighbor_id
+), exact5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY ecos DESC NULLS LAST,
+                                          neighbor_id ASC) AS er
+    FROM epairs
+  ) WHERE er <= 5
+)
+SELECT t.query_id, t.neighbor_id, t.rank, t.hamming, t.cosine_q,
+       (e.neighbor_id IS NOT NULL) AS hit
+FROM top5 t
+LEFT JOIN exact5 e
+  ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+"""
+
 # SQ8 quantization audit: every float is an exact IEEE double
 # (float32 widens exactly), min/max involve no summation, and the
 # encode/reconstruct expression trees below mirror the Spark side of

@@ -1711,6 +1711,115 @@ def q_embedding_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_sq8_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-storage round-trip capstone (training-data op,
+    round 9): SQ8-encode the corpus, serve ANN from the RECONSTRUCTED
+    vectors behind a BQ Hamming pre-filter, and audit recall against
+    the exact float path — the composed 100 TB serving shape
+    (storage tier -> 1-bit pre-filter -> quantized rerank), proving
+    the round-8 pieces compose.
+
+    Stages, each engine-exact so the whole chain oracle-twins:
+
+    1. ``sq8_reconstruct``: train (64-row agg, broadcast back) ->
+       int8 codes -> ``rv[d] = mn + q*(mx-mn)/255`` (exact IEEE trees);
+    2. ``bq_signatures`` over the RECONSTRUCTED vectors (what a reader
+       of the quantized corpus actually has) — 16 bytes/row;
+    3. Hamming pre-filter: queries (vec_id % 50 == 0) broadcast, top
+       M=20 survivors per query (hamming asc, id tiebreak). At 100 TB
+       this pass scans codes, not vectors — the economics that make
+       the tier worth building;
+    4. exact rerank of the M survivors on reconstructed vectors
+       (integer-quantized cosine, 6dp) -> top-5;
+    5. recall audit: ``hit`` = the neighbor also appears in the exact
+       float top-5 (q_embedding_topk's kernel over the ORIGINAL
+       vectors). The exact pass is the AUDIT leg — production serves
+       from stages 2-4 only; tests gate aggregate recall@5.
+
+    Plan note: self-contained over raw parquet, the reconstruct chain
+    is re-derived for the signature and both rerank legs (visible as
+    repeated stat-broadcast subtrees). In production the codes are a
+    MATERIALIZED table — that is the point of the storage tier — so
+    each leg reads 1-byte codes once; nothing in the operator shape
+    changes, only the source.
+    """
+    from linkmerce_spark.operators.quantize import bq_signatures, sq8_reconstruct
+    from linkmerce_spark.operators.similarity import quantized_cosine
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    rv = sq8_reconstruct(emb)  # (vec_id, rv array<double>)
+    sig = bq_signatures(rv, vec_col="rv")
+    qsig = sig.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sig_lo").alias("qlo"),
+        F.col("sig_hi").alias("qhi"),
+    )
+    cand = sig.select(F.col("vec_id").alias("neighbor_id"), "sig_lo", "sig_hi")
+    hamming = (
+        F.bit_count(F.col("qlo").bitwiseXOR(F.col("sig_lo")))
+        + F.bit_count(F.col("qhi").bitwiseXOR(F.col("sig_hi")))
+    ).cast("int")
+    prefilter = cand.join(
+        broadcast(qsig), F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", hamming.alias("hamming"))
+    surv = top_k_per_group(
+        prefilter,
+        ["query_id"],
+        [F.col("hamming").asc_nulls_last(), F.col("neighbor_id").asc()],
+        k=20,
+        rank_col="__hrank",
+    ).drop("__hrank")
+    # rerank survivors on reconstructed vectors: survivors are Q*M-
+    # sized, so THEY broadcast into the corpus-side array lookups
+    nv = rv.select(F.col("vec_id").alias("neighbor_id"), F.col("rv").alias("nv"))
+    qv = rv.select(F.col("vec_id").alias("query_id"), F.col("rv").alias("qv"))
+    pairs = nv.join(broadcast(surv), "neighbor_id").join(broadcast(qv), "query_id")
+    cos = quantized_cosine("qv", "nv")
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        "hamming",
+        (F.floor(cos * 1000000.0 + 0.5) / 1000000.0).alias("cosine_q"),
+    )
+    top5 = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine_q").desc_nulls_last(), F.col("neighbor_id").asc()],
+        k=5,
+        rank_col="rank",
+    )
+    # exact float path (audit leg): q_embedding_topk's kernel verbatim
+    eq = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eqv")
+    )
+    ec = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ecv")
+    )
+    ecos = quantized_cosine("eqv", "ecv")
+    exact5 = top_k_per_group(
+        ec.join(broadcast(eq), F.col("query_id") != F.col("neighbor_id")).select(
+            "query_id",
+            "neighbor_id",
+            (F.floor(ecos * 1000000.0 + 0.5) / 1000000.0).alias("__ecos"),
+        ),
+        ["query_id"],
+        [F.col("__ecos").desc_nulls_last(), F.col("neighbor_id").asc()],
+        k=5,
+        rank_col="__erank",
+    ).select("query_id", "neighbor_id", F.lit(True).alias("__hit"))
+    return (
+        top5.join(broadcast(exact5), ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            "hamming",
+            "cosine_q",
+            F.coalesce(F.col("__hit"), F.lit(False)).alias("hit"),
+        )
+    )
+
+
 def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT wide->long via stack (SURVEY §7.2.3 / U-pivot).
 
@@ -7182,11 +7291,11 @@ def q_asof_bucketed_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plus the 4 new round-5 operators rotate in this round). Window
 # composition is documented inline below.
 QUERIES = {
-    # ===== round-8 window: never-gated round-8 additions first, then
-    # entries whose CODE changed this round (k-proportional IVF
-    # family, progressive-JPEG + PNG-variant media fixtures, BPE twin
-    # exhaustion fix, dupspans guard); then the least-recently-gated
-    # entries (r3/r4 vintage) rotate in. =====
+    # ===== round-9 window: the never-gated round-9 addition first,
+    # then entries whose CODE changed this round (BQ signature edge
+    # guards + NULLS LAST pin), then the round-8 window's rotation
+    # tail continues below. =====
+    "embedding_sq8_roundtrip": q_embedding_sq8_roundtrip,
     "embedding_sq8": q_embedding_sq8,
     "embedding_bq_topk": q_embedding_bq_topk,
     "embedding_near_dups": q_embedding_near_dups,

@@ -313,3 +313,21 @@ def test_doc_curation_e2e_composes_without_plan_blowup(spark):
         "doc_id", "source", "split", "n_tokens",
         "tokens_before", "pack_id", "pack_offset",
     }
+
+
+def test_sq8_roundtrip_all_joins_broadcast(spark):
+    """Round-9 capstone: the storage->prefilter->rerank->audit chain
+    must never SortMergeJoin — stats are 64 rows, survivors are Q*M,
+    exact5 is Q*5, so every join builds a broadcast side. The only
+    nested-loop joins allowed are the two broadcast query-set passes
+    (the != predicate on the prefilter and the exact audit leg),
+    exactly q_embedding_topk's adjudicated shape."""
+    from linkmerce_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["embedding_sq8_roundtrip"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2

@@ -126,6 +126,84 @@ def test_bq_signatures_match_pure_python(spark):
     assert ham == bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
 
 
+def test_sq8_reconstruct_matches_pure_python(spark):
+    """Decode-path third computation: reconstructed vectors equal a
+    pure-Python train/encode/decode bit-for-bit, and every element is
+    within half a quantization step of the original (the SQ8 bound)."""
+    import random
+
+    from linkmerce_spark.operators.quantize import sq8_reconstruct
+
+    rng = random.Random(11)
+    vecs = [
+        [round(rng.uniform(-2, 2) * 1024) / 1024 for _ in range(6)]
+        for _ in range(80)
+    ]
+    for v in vecs:
+        v[5] = -0.125  # constant dim: mx == mn -> xhat == mn exactly
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    got = {r["vec_id"]: list(r["rv"]) for r in sq8_reconstruct(df).collect()}
+
+    dims = len(vecs[0])
+    mn = [min(v[d] for v in vecs) for d in range(dims)]
+    mx = [max(v[d] for v in vecs) for d in range(dims)]
+
+    def py_decode(v):
+        out = []
+        for d, x in enumerate(v):
+            q = (
+                math.floor((x - mn[d]) * 255.0 / (mx[d] - mn[d]) + 0.5)
+                if mx[d] > mn[d]
+                else 0
+            )
+            out.append(mn[d] + (float(q) * (mx[d] - mn[d])) / 255.0)
+        return out
+
+    for i, v in enumerate(vecs):
+        assert got[i] == py_decode(v), i  # bit-identical IEEE trees
+        for d in range(dims):
+            step = (mx[d] - mn[d]) / 255.0
+            assert abs(got[i][d] - v[d]) <= step / 2.0 + 1e-12, (i, d)
+    assert all(got[i][5] == -0.125 for i in got)  # constant dim exact
+
+
+def test_sq8_roundtrip_recall_gate(spark):
+    """The composed storage->prefilter->rerank path must keep real
+    recall vs the exact float path: >= 0.5 aggregate recall@5 on the
+    uniform-random fixture (measured 0.6 at sf0.001 AND sf0.01 —
+    uniform vectors are the worst case for 1-bit sign codes; the gate
+    allows fixture regeneration without chasing the exact value), and
+    every rank-1 quantized cosine must at least be a positive-
+    similarity neighbor (uniform-random fixtures keep cosines small,
+    so no tighter bound is honest at this corpus size)."""
+    from pyspark.sql import functions as F2
+
+    from linkmerce_spark.queries import q_embedding_sq8_roundtrip
+
+    df = q_embedding_sq8_roundtrip(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    n = len(rows)
+    hits = sum(1 for r in rows if r["hit"])
+    assert n == 50  # 10 queries x top-5
+    assert hits / n >= 0.5, hits
+    assert all(0 <= r["hamming"] <= 64 for r in rows)
+    assert all(1 <= r["rank"] <= 5 for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in per_q.items():
+        assert len(rs) == 5, qid
+        ranked = sorted(rs, key=lambda r: r["rank"])
+        cosines = [r["cosine_q"] for r in ranked]
+        assert cosines == sorted(cosines, reverse=True), qid
+    # sanity on the audit leg itself: rank-1 must at least be a
+    # positive-similarity neighbor, never an anti-correlated row
+    top1 = df.filter(F2.col("rank") == 1)
+    assert top1.filter(F2.col("cosine_q") <= 0.0).count() == 0
+
+
 def test_bq_signatures_edge_vectors_match_duckdb(spark):
     """Empty and NULL vectors must produce (0L, 0L), not NULL
     (sequence(0,-1) builds a DESCENDING list and zip_with null-pads
