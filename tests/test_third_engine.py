@@ -683,3 +683,416 @@ def test_core_sales_daily(spark):
         expected,
         ["order_date", "product_id", "shop_id", "order_status", *measures],
     )
+
+
+# =========================================================== round-9 pins
+# The r8 verdict's Next #5: the highest-remaining-value shared-author
+# twins — the searchad FULL OUTER report merge, stock_report's
+# cumulative chain, the smartstore fee allocation, the SCD2 pair —
+# plus the window/range/pivot idioms that feed them.
+
+
+def _months_add(d: dt.date, n: int) -> dt.date:
+    """Spark add_months: clamp the day to the target month's length."""
+    import calendar
+
+    y, m = divmod(d.year * 12 + (d.month - 1) + n, 12)
+    return dt.date(y, m + 1, min(d.day, calendar.monthrange(y, m + 1)[1]))
+
+
+def test_searchad_report_merge(spark):
+    """AdvancedReport merge (models.sql:712-797): stat + conv rollups
+    at the report PK, FULL OUTER with COALESCE'd keys, zero-filled
+    measures, customer scope applied to both sides."""
+    from collections import defaultdict
+
+    stat = defaultdict(lambda: [0, 0, 0, 0])
+    conv = defaultdict(lambda: [0, 0, 0, 0])
+    for e in _tbl("events"):
+        media = e["event_id"] % 4
+        m3 = e["event_id"] % 3
+        key = (
+            e["ts"].date(),                                  # ymd
+            e["user_id"] % 5,                                # customer_id
+            f"ad-{e['user_id'] % 50}",                       # ad_id
+            0 if media == 3 else media,                      # media NULL -> 0
+            0 if m3 == 0 else (1 if m3 == 1 else 2),         # device code
+        )
+        et = e["event_type"]
+        if et in ("view", "click"):
+            s = stat[key]
+            s[0] += math.floor(e["value"])
+            s[1] += 1 if et == "click" else 0
+            s[2] += math.floor(e["value"] * 7)
+            s[3] += e["event_id"] % 10
+        elif et == "purchase":
+            direct = (1 + e["event_id"] % 2) == 1
+            amt = math.floor(e["value"] * 100)
+            c = conv[key]
+            c[0] += 1
+            c[1] += 1 if direct else 0
+            c[2] += amt
+            c[3] += amt if direct else 0
+    keys = {k for k in stat if k[1] == 2} | {k for k in conv if k[1] == 2}
+    expected = []
+    for k in sorted(keys):
+        ymd, cust, ad, media, dev = k
+        s = stat.get(k, [0, 0, 0, 0])
+        c = conv.get(k, [0, 0, 0, 0])
+        expected.append((ad, cust, media, dev, *s, *c, ymd))
+    _assert_rows(
+        spark,
+        "searchad_report_merge",
+        expected,
+        [
+            "ad_id", "customer_id", "media_code", "pc_mobile_type",
+            "impression_count", "click_count", "ad_cost", "ad_rank_sum",
+            "conv_count", "direct_conv_count", "conv_amount",
+            "direct_conv_amount", "ymd",
+        ],
+    )
+
+
+def test_full_outer_merge_events(spark):
+    """J3: purchase/error per-user halves FULL OUTER merged with
+    COALESCE'd key and zero-filled measures."""
+    from collections import defaultdict
+
+    p_cnt: dict = defaultdict(int)
+    p_val: dict = defaultdict(Decimal)
+    e_cnt: dict = defaultdict(int)
+    for e in _tbl("events"):
+        if e["event_type"] == "purchase":
+            p_cnt[e["user_id"]] += 1
+            p_val[e["user_id"]] += _dec(e["value"])
+        elif e["event_type"] == "error":
+            e_cnt[e["user_id"]] += 1
+    expected = [
+        (u, p_cnt.get(u, 0),
+         float(p_val[u]) if u in p_val else 0.0,
+         e_cnt.get(u, 0))
+        for u in set(p_cnt) | set(e_cnt)
+    ]
+    _assert_rows(
+        spark,
+        "full_outer_merge_events",
+        expected,
+        ["user_id", "purchase_count", "purchase_value", "error_count"],
+    )
+
+
+def test_rolling_30d_qty(spark):
+    """J6: trailing [d-30, d-1] per-part rolling decimal sum as a
+    RANGE window (the reference's date-spine join re-expressed)."""
+    from collections import defaultdict
+
+    by_part = defaultdict(list)
+    for li in _tbl("lineitem"):
+        by_part[li["l_partkey"]].append(li)
+    expected = []
+    for rows in by_part.values():
+        for r in rows:
+            d = r["l_shipdate"].date()
+            window = [
+                _dec(o["l_quantity"])
+                for o in rows
+                if 1 <= (d - o["l_shipdate"].date()).days <= 30
+            ]
+            qty = float(sum(window)) if window else None
+            expected.append((r["l_orderkey"], r["l_linenumber"], qty))
+    _assert_rows(
+        spark, "rolling_30d_qty", expected,
+        ["l_orderkey", "l_linenumber", "qty_30d"],
+    )
+
+
+def test_cumulative_customer_spend(spark):
+    """J7: running cumulative decimal spend per customer ordered by
+    (o_orderdate, o_orderkey), double out per row."""
+    from collections import defaultdict
+
+    by_cust = defaultdict(list)
+    for o in _tbl("orders"):
+        by_cust[o["o_custkey"]].append(o)
+    expected = []
+    for cust, rows in by_cust.items():
+        rows.sort(key=lambda o: (o["o_orderdate"], o["o_orderkey"]))
+        run = Decimal(0)
+        for o in rows:
+            run += _dec(o["o_totalprice"])
+            expected.append((cust, o["o_orderkey"], float(run)))
+    _assert_rows(
+        spark, "cumulative_customer_spend", expected,
+        ["o_custkey", "o_orderkey", "cum_spend"],
+    )
+
+
+def test_effective_dated_campaign(spark):
+    """J5: segment-keyed effective-dated LEFT join (inclusive interval)
+    against the inline campaign relation, then a campaign rollup."""
+    campaigns = [
+        ("BUILDING", dt.date(1995, 1, 1), dt.date(1997, 12, 31), "early-building"),
+        ("BUILDING", dt.date(1998, 1, 1), dt.date(2999, 12, 31), "late-building"),
+        ("AUTOMOBILE", dt.date(1996, 1, 1), dt.date(1998, 12, 31), "auto-mid"),
+        ("MACHINERY", dt.date(2000, 1, 1), dt.date(2999, 12, 31), "machinery-recent"),
+    ]
+    seg = {c["c_custkey"]: c["c_mktsegment"] for c in _tbl("customer")}
+    agg: dict = {}
+    for o in _tbl("orders"):
+        s, d = seg[o["o_custkey"]], o["o_orderdate"].date()
+        camp = next(
+            (c[3] for c in campaigns if c[0] == s and c[1] <= d <= c[2]), None
+        )
+        n, tot = agg.get(camp, (0, Decimal(0)))
+        agg[camp] = (n + 1, tot + _dec(o["o_totalprice"]))
+    expected = [(camp, n, float(t)) for camp, (n, t) in agg.items()]
+    _assert_rows(
+        spark, "effective_dated_campaign", expected,
+        ["campaign", "n_orders", "total_value"],
+    )
+
+
+def test_pivot_status_counts(spark):
+    """A2 pivot: status counts per priority with a pinned value list,
+    missing cells zero-filled."""
+    from collections import Counter as _C
+
+    cnt = _C((o["o_orderpriority"], o["o_orderstatus"]) for o in _tbl("orders"))
+    prios = {o["o_orderpriority"] for o in _tbl("orders")}
+    expected = [
+        (p, cnt.get((p, "O"), 0), cnt.get((p, "F"), 0), cnt.get((p, "P"), 0))
+        for p in prios
+    ]
+    _assert_rows(
+        spark, "pivot_status_counts", expected,
+        ["o_orderpriority", "n_open", "n_filled", "n_partial"],
+    )
+
+
+def _scd2_regimes():
+    """Pure-Python scd2_from_changelog over the orders changelog:
+    per (cust, date) highest orderkey wins, consecutive identical
+    priorities collapse, half-open [from, to) windows."""
+    from collections import defaultdict
+
+    best: dict = {}
+    for o in _tbl("orders"):
+        k = (o["o_custkey"], o["o_orderdate"].date())
+        if k not in best or o["o_orderkey"] > best[k]["o_orderkey"]:
+            best[k] = o
+    by_cust = defaultdict(list)
+    for (cust, d), o in best.items():
+        by_cust[cust].append((d, o["o_orderpriority"]))
+    regimes = []
+    for cust, rows in by_cust.items():
+        rows.sort()
+        kept = [r for i, r in enumerate(rows) if i == 0 or r[1] != rows[i - 1][1]]
+        for i, (d, prio) in enumerate(kept):
+            to = kept[i + 1][0] if i + 1 < len(kept) else None
+            regimes.append((cust, prio, d, to, to is None))
+    return regimes
+
+
+def test_scd2_order_priority(spark):
+    expected = _scd2_regimes()
+    _assert_rows(
+        spark, "scd2_order_priority", expected,
+        ["o_custkey", "o_orderpriority", "effective_from", "effective_to",
+         "is_current"],
+    )
+
+
+def test_scd2_effective_revenue(spark):
+    """SCD2 producer + effective-dated consumer composed: quantity
+    shipped under the priority regime in effect at ship time."""
+    from collections import defaultdict
+
+    dim = defaultdict(list)
+    for cust, prio, frm, to, _cur in _scd2_regimes():
+        dim[cust].append((frm, to or dt.date(9999, 12, 31), prio))
+    cust_of = {o["o_orderkey"]: o["o_custkey"] for o in _tbl("orders")}
+    agg: dict = {}
+    for li in _tbl("lineitem"):
+        cust = cust_of[li["l_orderkey"]]
+        ship = li["l_shipdate"].date()
+        prio = next(
+            (p for frm, to, p in dim[cust] if frm <= ship < to), None
+        )
+        n, tot = agg.get(prio, (0, Decimal(0)))
+        agg[prio] = (n + 1, tot + _dec(li["l_quantity"]))
+    expected = [(p, n, float(t)) for p, (n, t) in agg.items()]
+    _assert_rows(
+        spark, "scd2_effective_revenue", expected,
+        ["o_orderpriority", "n_items", "sum_qty"],
+    )
+
+
+def test_smartstore_split_sales(spark):
+    """W6 fee allocation end-to-end (smartstore__sales_daily steps
+    2-3+8): bundle explode with ':N' multipliers, cost-weight split
+    with the remainder on the first row, singleton bypass, daily
+    re-aggregation preserving group totals exactly."""
+    from collections import defaultdict
+
+    prices = {"p0": 1000, "p1": 2000, "p2": 1500, "p3": 800, "p4": 0}
+    daily: dict = defaultdict(lambda: [0, 0, 0])
+    for o in _tbl("orders"):
+        ok = o["o_orderkey"]
+        if ok % 12 == 2:
+            bundle = "p4:2,p7"
+        elif ok % 3 == 0:
+            bundle = "p0:2,p3,p5"
+        elif ok % 3 == 1:
+            bundle = "p1:3,p4:x"
+        else:
+            bundle = "p2"
+        oq = ok % 4 + 1
+        payment = math.floor(o["o_totalprice"])
+        supply = math.floor(o["o_totalprice"] * 0.9)
+        rows = []
+        for bp in bundle.split(","):
+            parts = bp.split(":")
+            pid = parts[0]
+            suf = parts[1] if len(parts) > 1 else None
+            mult = int(suf) if suf is not None and re.fullmatch(r"[0-9]+", suf) else 1
+            sku_q = mult * oq
+            cost = prices.get(pid, 0) * sku_q
+            rows.append([pid, sku_q, cost])
+        rows.sort(key=lambda r: r[0])
+        total_cost = sum(r[2] for r in rows)
+        out = []
+        for amount in (payment, supply):
+            if len(rows) == 1:
+                out.append([amount])
+                continue
+            splits = [
+                math.floor(amount * (r[2] / total_cost) + 0.5)
+                if total_cost != 0
+                else 0
+                for r in rows
+            ]
+            splits[0] += amount - sum(splits)
+            out.append(splits)
+        for i, (pid, sku_q, _cost) in enumerate(rows):
+            d = daily[(o["o_orderdate"].date(), pid)]
+            d[0] += sku_q
+            d[1] += out[0][i] if len(rows) > 1 else out[0][0]
+            d[2] += out[1][i] if len(rows) > 1 else out[1][0]
+    expected = [
+        (date, pid, v[0], v[1], v[2]) for (date, pid), v in daily.items()
+    ]
+    _assert_rows(
+        spark, "smartstore_split_sales", expected,
+        ["order_date", "product_id", "sku_quantity", "payment_amount",
+         "supply_amount"],
+    )
+
+
+def test_stock_report(spark):
+    """analytics__stock_report end-to-end: lot build, ordered
+    cumulative stock, velocity attach, remain-days, performance
+    ladder, expiration string_agg, global lot_seq + option_seq."""
+    from collections import defaultdict
+
+    rd = dt.date(2001, 6, 1)
+    lots: dict = defaultdict(Decimal)
+    sold: dict = defaultdict(Decimal)
+    for li in _tbl("lineitem"):
+        d = li["l_shipdate"].date()
+        if rd - dt.timedelta(days=120) < d <= rd:
+            lots[(li["l_partkey"], dt.date(d.year, d.month, 1))] += _dec(
+                li["l_quantity"]
+            )
+        if rd - dt.timedelta(days=30) <= d < rd:
+            sold[li["l_partkey"]] += _dec(li["l_quantity"])
+    part = {p["p_partkey"]: p for p in _tbl("part")}
+
+    rows = []
+    for (pid, lot_month), qty_d in lots.items():
+        p = part[pid]
+        priority = 0 if p["p_name"].startswith("small") else 1
+        exp = None if p["p_type"] == "PROMO" else _months_add(lot_month, 6)
+        sold0 = float(sold[pid]) if pid in sold else 0.0
+        rows.append(
+            dict(
+                product_id=pid, lot_month=lot_month, qty_d=qty_d,
+                brand=p["p_brand"], priority=priority, exp=exp,
+                org_price=p["p_retailprice"], sold0=sold0,
+            )
+        )
+    by_prod = defaultdict(list)
+    for r in rows:
+        by_prod[r["product_id"]].append(r)
+    enriched = []
+    for pid, lot_rows in by_prod.items():
+        lot_rows.sort(
+            key=lambda r: (
+                -r["priority"], (r["exp"] is None, r["exp"]), r["lot_month"],
+            )
+        )
+        run = Decimal(0)
+        exp_strs = sorted(
+            {r["exp"].isoformat() for r in lot_rows if r["exp"] is not None}
+        )
+        exp_agg = "\n".join(exp_strs) or None
+        for r in lot_rows:
+            run += r["qty_d"]
+            cum = float(run)
+            sold0 = r["sold0"]
+            if sold0 == 0.0:
+                remain = 0
+            else:
+                remain = math.floor(cum / (sold0 / 30.0))
+            expected_date = rd + dt.timedelta(days=remain)
+            exp = r["exp"]
+            if r["priority"] == 0:
+                perf = "excluded"
+            elif exp is None:
+                perf = "no-expiry"
+            elif rd > exp:
+                perf = "expired"
+            elif sold0 == 0.0:
+                perf = "no-sales"
+            elif expected_date > exp:
+                perf = "sellout-after-expiry"
+            elif _months_add(expected_date, 6) > exp:
+                perf = "slow"
+            else:
+                perf = "ok"
+            stock_qty = float(r["qty_d"])
+            enriched.append(
+                dict(
+                    r, cum=cum, stock_qty=stock_qty,
+                    avg=0.0 if sold0 == 0.0 else sold0 / 30.0,
+                    remain=remain, expected_date=expected_date,
+                    exp_agg=exp_agg, perf=perf,
+                    stock_cost=r["org_price"] * stock_qty,
+                )
+            )
+    enriched.sort(
+        key=lambda r: (
+            r["brand"], -r["priority"], (r["exp"] is None, r["exp"]),
+            r["product_id"], r["lot_month"],
+        )
+    )
+    min_seq: dict = {}
+    for i, r in enumerate(enriched, start=1):
+        r["lot_seq"] = i
+        min_seq.setdefault(r["product_id"], i)
+    expected = [
+        (
+            r["lot_seq"], min_seq[r["product_id"]], r["brand"],
+            r["product_id"], r["lot_month"], r["exp"], r["exp_agg"],
+            r["stock_qty"], r["cum"], r["sold0"], r["avg"], r["remain"],
+            r["expected_date"], r["perf"], r["stock_cost"], r["priority"],
+        )
+        for r in enriched
+    ]
+    _assert_rows(
+        spark, "stock_report", expected,
+        ["lot_seq", "option_seq", "brand", "product_id", "lot_month",
+         "expiration_date", "expiration_dates", "stock_qty",
+         "cum_stock_qty", "sold_qty_30d", "avg_sold_qty_30d",
+         "remain_days", "expected_date", "performance", "stock_cost",
+         "priority"],
+    )
