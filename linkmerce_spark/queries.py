@@ -920,6 +920,21 @@ def q_doc_clean_select_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain; the rewritten+redacted frame is localCheckpoint'ed at the
     diamond (it feeds the DSIR target, the candidate pool, and the
     output attributes)."""
+    return clean_select_stages(spark, sf_dir)[1]
+
+
+def clean_select_stages(spark: SparkSession, sf_dir: str):
+    """The capstone's two stage frames: ``(safe, final)``.
+
+    ``safe`` is the span-rewritten + PII-redacted corpus (the chain's
+    diamond checkpoint), ``final`` the DSIR top-40 selection over it.
+    Exposed so the sf10 gate can checksum the chain PER STAGE: the
+    yardstick engine cannot hold the whole unnest-heavy chain as one
+    CTE plan at 500k docs (it OOMs even with spill + insertion-order
+    relaxation — tools/digests/CHECKS_sf10_r8.md), but each stage runs
+    fine standalone, so tools/sf10_staged_e2e.py materializes the
+    stage boundary to parquet on both engines and checksums each leg —
+    the identical logical chain, spillable operators."""
     from linkmerce_spark.functions.text import pii_redact
     from linkmerce_spark.operators.dsir import dsir_scores
     from linkmerce_spark.operators.dupspans import dup_span_rewrite
@@ -967,13 +982,14 @@ def q_doc_clean_select_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = safe.filter(F.col("lang") != "en")
     scored = dsir_scores(cands, target, "safe_text", "doc_id", buckets=256)
     top = scored.orderBy(F.col("dsir_score_bp").desc(), F.col("doc_id")).limit(40)
-    return (
+    final = (
         cands.select("doc_id", "lang", "source", "kept_words")
         .join(F.broadcast(top), "doc_id")
         .select(
             "doc_id", "lang", "source", "kept_words", "n_grams", "dsir_score_bp"
         )
     )
+    return safe, final
 
 
 def q_doc_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
