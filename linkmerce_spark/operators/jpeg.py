@@ -357,6 +357,18 @@ def _subsample2(plane: np.ndarray) -> np.ndarray:
     return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) // 4
 
 
+def _subsample_hv(plane: np.ndarray, fh: int, fv: int) -> np.ndarray:
+    """``fh x fv`` chroma subsample by integer floor-mean (edge-padded
+    to multiples) — the generalization of :func:`_subsample2` that the
+    4:1:1 encode path uses. Floor-mean keeps constant planes constant."""
+    h, w = plane.shape
+    p = np.pad(plane, ((0, -h % fv), (0, -w % fh)), mode="edge").astype(np.int64)
+    return (
+        p.reshape(p.shape[0] // fv, fv, p.shape[1] // fh, fh).sum(axis=(1, 3))
+        // (fh * fv)
+    )
+
+
 def encode_jpeg(
     pixels: list,
     width: int,
@@ -372,16 +384,19 @@ def encode_jpeg(
     ``channels == 3``, single luma samples when ``channels == 1``.
     ``q``: the flat quantization value written to DQT (1 = highest
     fidelity). ``subsampling``: ``'444'`` (one block per component per
-    MCU) or ``'420'`` (the real-world default: 16x16 MCUs of four luma
-    blocks plus 2x2-floor-mean-subsampled chroma). Two-pass: symbol
+    MCU), ``'420'`` (the real-world default: 16x16 MCUs of four luma
+    blocks plus 2x2-floor-mean-subsampled chroma), or ``'411'`` (the
+    DV/camera layout: 32x8 MCUs of four horizontal luma blocks plus
+    4x1-floor-mean chroma — the exotic-factor container the decoder's
+    generalized sampling path is hash-gated against). Two-pass: symbol
     statistics first, then optimized canonical Huffman tables, then
     the entropy scan."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
-    if subsampling == "420" and channels != 3:
-        raise ValueError("4:2:0 requires 3 channels")
+    if subsampling not in ("444", "420", "411"):
+        raise ValueError("subsampling must be '444', '420' or '411'")
+    if subsampling in ("420", "411") and channels != 3:
+        raise ValueError("subsampled chroma requires 3 channels")
     px = np.asarray(pixels, dtype=np.float64).reshape(height, width, channels)
     if channels == 3:
         ycc = _rgb_to_ycbcr(px.reshape(-1, 3)).reshape(height, width, 3)
@@ -394,6 +409,14 @@ def encode_jpeg(
         samp = [(2, 2), (1, 1), (1, 1)]
         planes = [planes[0], _subsample2(planes[1]), _subsample2(planes[2])]
         mw, mh = -(-width // 16), -(-height // 16)
+    elif subsampling == "411":
+        samp = [(4, 1), (1, 1), (1, 1)]
+        planes = [
+            planes[0],
+            _subsample_hv(planes[1], 4, 1),
+            _subsample_hv(planes[2], 4, 1),
+        ]
+        mw, mh = -(-width // 32), -(-height // 8)
     else:
         samp = [(1, 1)] * channels
         mw, mh = -(-width // 8), -(-height // 8)
@@ -562,6 +585,25 @@ def apply_exif_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
 # --- decoder ---------------------------------------------------------------
 
 
+def _check_sampling_divisible(comps: list) -> None:
+    """Every T.81 factor 1-4 decodes, PROVIDED each component's factor
+    divides the frame maximum on its axis — integer pixel replication
+    is then the exact upsample. That covers 4:4:4, 4:2:0, 4:2:2,
+    4:4:0, 4:1:1, 4:1:0, 3:1:1 and every other layout observed in
+    real corpora; a NON-divisible pair (e.g. max 3 against factor 2)
+    requires fractional resampling, has no standard interpolation to
+    be exact against, and is not produced by any mainstream encoder —
+    that residue alone stays on the library tier."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if hmax % c["h"] or vmax % c["v"]:
+            raise ValueError(
+                f"non-divisible sampling {c['h']}x{c['v']} vs frame max "
+                f"{hmax}x{vmax} needs the library tier"
+            )
+
+
 def _decode_huffman(reader: _BitReader, codes: dict) -> int:
     code = 0
     for ln in range(1, 17):
@@ -635,11 +677,10 @@ def decode_jpeg(content: bytes, want_pixels: bool = False) -> dict:
             for c in range(nc):
                 cid, sampling, tq = seg[6 + 3 * c : 9 + 3 * c]
                 hs, vs = sampling >> 4, sampling & 0x0F
-                if hs not in (1, 2) or vs not in (1, 2):
-                    raise ValueError(
-                        f"sampling factors {hs}x{vs} need the library tier"
-                    )
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(f"sampling factors {hs}x{vs} out of T.81 range")
                 comps.append({"id": cid, "tq": tq, "h": hs, "v": vs})
+            _check_sampling_divisible(comps)
             sof = (w, h, nc)
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -854,11 +895,10 @@ def _decode_progressive(content: bytes, want_pixels: bool = False) -> dict:
             for c in range(nc):
                 cid, sampling, tq = seg[6 + 3 * c : 9 + 3 * c]
                 hs, vs = sampling >> 4, sampling & 0x0F
-                if hs not in (1, 2) or vs not in (1, 2):
-                    raise ValueError(
-                        f"sampling factors {hs}x{vs} need the library tier"
-                    )
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(f"sampling factors {hs}x{vs} out of T.81 range")
                 comps.append({"id": cid, "tq": tq, "h": hs, "v": vs})
+            _check_sampling_divisible(comps)
             sof = (w, h, nc)
             hmax = max(c_["h"] for c_ in comps)
             vmax = max(c_["v"] for c_ in comps)

@@ -1138,22 +1138,31 @@ def synthesize_media(df: DataFrame) -> DataFrame:
                             )
                             content.append(enc(rgb, w, h, 3))
                         else:
-                            # 4:2:0 stays solid (a per-block pattern
-                            # would put AC energy into the subsampled
-                            # chroma and leave closed form)
+                            # subsampled routes stay solid (a per-block
+                            # pattern would put AC energy into the
+                            # subsampled chroma and leave closed form).
+                            # mid%32==14 -> progressive 4:2:0,
+                            # mid%32==30 -> baseline 4:1:1 (the exotic
+                            # 4x1 sampling container — solid color
+                            # decodes to the SAME pixels as 4:2:0, so
+                            # every closed-form oracle value is
+                            # unchanged and the hash gate proves the
+                            # generalized-sampling decode path).
                             rgb = [
                                 (mid * 7) % 251,
                                 (mid * 11) % 251,
                                 (mid * 13) % 251,
                             ] * (w * h)
-                            enc = (
-                                encode_jpeg_progressive
-                                if mid % 32 == 14
-                                else encode_jpeg
-                            )
-                            content.append(
-                                enc(rgb, w, h, 3, subsampling="420")
-                            )
+                            if mid % 32 == 14:
+                                content.append(
+                                    encode_jpeg_progressive(
+                                        rgb, w, h, 3, subsampling="420"
+                                    )
+                                )
+                            else:
+                                content.append(
+                                    encode_jpeg(rgb, w, h, 3, subsampling="411")
+                                )
                     elif route == 4:
                         idx = [(mid * 7 + j) % 251 for j in range(w * h)]
                         content.append(encode_gif(idx, w, h))

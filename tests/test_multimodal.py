@@ -541,17 +541,29 @@ def test_jpeg_unsupported_modes_degrade_to_meta_tier(spark):
     assert (out[0]["width"], out[0]["height"]) == (3, 2)
     assert out[0]["mean_r"] is None  # meta tier
 
-    # exotic sampling factors (3x3 — legal but rare) raise; 1/2 per
-    # axis are handled since the 4:2:0 support landed
+    # NON-DIVISIBLE sampling (3x3 luma against 2x2 chroma — needs
+    # fractional resampling, produced by no mainstream encoder) is the
+    # residue that still raises; every divisible T.81 factor 1-4
+    # decodes since the round-9 generalization (see the 411 tests)
     data2 = bytearray(encode_jpeg([100, 150, 200] * 6, 3, 2, 3))
     j = data2.find(b"\xff\xc0")
     data2[j + 11] = 0x33  # component 0 sampling 3x3
+    data2[j + 14] = 0x22  # component 1 sampling 2x2: 3 % 2 != 0
     try:
         decode_jpeg(bytes(data2))
-        raise AssertionError("exotic sampling must raise")
+        raise AssertionError("non-divisible sampling must raise")
     except ValueError as e:
         assert "library tier" in str(e)
     assert struct.unpack(">H", data2[j + 5 : j + 7])[0] == 2  # height intact
+    # out-of-range factors (0 or >4) are malformed, not library-tier
+    data3 = bytearray(encode_jpeg([100, 150, 200] * 6, 3, 2, 3))
+    k = data3.find(b"\xff\xc0")
+    data3[k + 11] = 0x50  # 5x0 — outside T.81's 1..4
+    try:
+        decode_jpeg(bytes(data3))
+        raise AssertionError("out-of-range sampling must raise")
+    except ValueError as e:
+        assert "T.81 range" in str(e)
 
 
 def _fixture_jpeg_means(mid):
@@ -871,7 +883,9 @@ def test_jpeg_fixture_route_covers_both_subsampling_layouts(spark):
         synthesize_media,
     )
 
-    rows = [(i, "image") for i in (6, 14, 22, 30)]  # 6,22 -> 444; 14,30 -> 420
+    # 6,22 -> 444; 14 -> 420; 30 -> 411 (the exotic-sampling container
+    # since round 9 — solid color, so the decoded stats are identical)
+    rows = [(i, "image") for i in (6, 14, 22, 30)]
     media = synthesize_media(
         spark.createDataFrame(rows, "media_id long, kind string")
     )
@@ -883,7 +897,7 @@ def test_jpeg_fixture_route_covers_both_subsampling_layouts(spark):
         (6, b"\xff\xc2", 0x11),
         (22, b"\xff\xc0", 0x11),
         (14, b"\xff\xc2", 0x22),
-        (30, b"\xff\xc0", 0x22),
+        (30, b"\xff\xc0", 0x41),
     ):
         j = raw[mid].find(sof)
         assert j >= 0 and raw[mid][j + 11] == expect, mid
@@ -1050,3 +1064,45 @@ def test_jpeg_progressive_fixture_route_is_fully_decoded(spark):
         er, eg, eb = _fixture_jpeg_means(mid)
         assert row["format"] == "jpeg" and row["parse_error"] is None
         assert (row["mean_r"], row["mean_g"], row["mean_b"]) == (er, eg, eb), mid
+
+
+def test_jpeg_411_solid_matches_444_closed_form():
+    """4:1:1 (4x1 luma vs 1x1 chroma — the DV/camera exotic layout):
+    solid color keeps the chroma floor-mean exact, so the decode must
+    equal the 4:4:4 decode of the same pixels bit-for-bit."""
+    from linkmerce_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    for mid in (30, 62, 94):
+        w, h = 4 + mid % 5, 2 + mid % 3
+        rgb = [(mid * 7) % 251, (mid * 11) % 251, (mid * 13) % 251] * (w * h)
+        d411 = decode_jpeg(encode_jpeg(rgb, w, h, 3, subsampling="411"),
+                           want_pixels=True)
+        d444 = decode_jpeg(encode_jpeg(rgb, w, h, 3, subsampling="444"),
+                           want_pixels=True)
+        assert (d411["width"], d411["height"]) == (w, h)
+        assert d411["pixels"] == d444["pixels"], mid
+        for c in ("mean_r", "mean_g", "mean_b"):
+            assert d411[c] == d444[c], (mid, c)
+
+
+def test_jpeg_411_multi_mcu_gray_content_per_pixel():
+    """4:1:1 with varying LUMA across multiple 32x8 MCUs: gray pixels
+    keep chroma constant (Cb=Cr=128), so the only active plane is the
+    full-resolution luma and q=1 decode must match the 4:4:4 decode of
+    the same image per pixel — this drives the 4-blocks-per-MCU luma
+    interleave and the 4x horizontal chroma replication for real."""
+    import random
+
+    from linkmerce_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = random.Random(41)
+    w, h = 70, 19  # 3 MCU columns x 3 MCU rows, ragged edges
+    px = []
+    for _ in range(w * h):
+        g = rng.randrange(256)
+        px += [g, g, g]
+    d411 = decode_jpeg(encode_jpeg(px, w, h, 3, q=1, subsampling="411"),
+                       want_pixels=True)
+    d444 = decode_jpeg(encode_jpeg(px, w, h, 3, q=1, subsampling="444"),
+                       want_pixels=True)
+    assert d411["pixels"] == d444["pixels"]
