@@ -7307,109 +7307,22 @@ def q_asof_bucketed_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plus the 4 new round-5 operators rotate in this round). Window
 # composition is documented inline below.
 QUERIES = {
-    # ===== round-9 window: the never-gated round-9 addition first,
-    # then entries whose CODE changed this round (BQ signature edge
-    # guards + NULLS LAST pin), then the round-8 window's rotation
-    # tail continues below. =====
+    # ===== round-9 window: the never-gated round-9 capstone first
+    # (embedding_sq8_roundtrip), then every entry whose CODE changed
+    # this round (BQ signature edge guards + NULLS LAST pin, the
+    # sq8 module gaining the reconstruct op, the 4:1:1 media fixture
+    # rotation, the clean_select stage refactor); the remainder is the
+    # least-recently-gated rotation (r4 vintage fills the window, then
+    # r5) so the driver's 50-entry gate keeps cycling the catalog. =====
     "embedding_sq8_roundtrip": q_embedding_sq8_roundtrip,
-    "embedding_sq8": q_embedding_sq8,
     "embedding_bq_topk": q_embedding_bq_topk,
-    "embedding_near_dups": q_embedding_near_dups,
-    "embedding_semdedup": q_embedding_semdedup,
-    "embedding_ivf_topk": q_embedding_ivf_topk,
-    "embedding_ivf_cells": q_embedding_ivf_cells,
-    "embedding_cluster_stats": q_embedding_cluster_stats,
+    "embedding_sq8": q_embedding_sq8,
     "media_stats_real": q_media_stats_real,
     "media_thumbnails": q_media_thumbnails,
     "media_near_dups": q_media_near_dups,
-    "doc_bpe_train": q_doc_bpe_train,
-    "doc_bpe_tokens": q_doc_bpe_tokens,
-    "doc_exact_substr_rewrite": q_doc_exact_substr_rewrite,
-    # ----- staleness rotation (last driver-gated r3/r4) -----
-    "events_cohort_retention": q_events_cohort_retention,
-    "events_funnel": q_events_funnel,
-    "google_ads_insight": q_google_ads_insight,
-    "google_asset_view": q_google_asset_view,
-    "meta_insights_split": q_meta_insights_split,
-    "naver_book_parse": q_naver_book_parse,
-    "naver_cafe_articles": q_naver_cafe_articles,
-    "naver_product_upsert": q_naver_product_upsert,
-    "naver_shop_rank": q_naver_shop_rank,
-    "order_count_mom": q_order_count_mom,
-    "order_value_quantiles": q_order_value_quantiles,
-    "profit_base_gates": q_profit_base_gates,
-    "sabangnet_invoice_enum": q_sabangnet_invoice_enum,
-    "sabangnet_option_download": q_sabangnet_option_download,
-    "sabangnet_option_upsert": q_sabangnet_option_upsert,
-    "sales_rollup": q_sales_rollup,
-    "searchad_contract_union": q_searchad_contract_union,
-    "searchad_exposure_products": q_searchad_exposure_products,
-    "searchad_master_ads": q_searchad_master_ads,
-    "smartstore_category_split": q_smartstore_category_split,
-    "smartstore_option_assembly": q_smartstore_option_assembly,
-    "smartstore_pageview_products": q_smartstore_pageview_products,
-    "smartstore_sales_rollup": q_smartstore_sales_rollup,
-    "allocation_integer_even": q_allocation_integer_even,
-    "allocation_proportional": q_allocation_proportional,
-    "building_segment_order_stats": q_building_segment_order_stats,
-    "core_brand_master": q_core_brand_master,
-    "core_product_master": q_core_product_master,
-    "coupang_campaign_master": q_coupang_campaign_master,
-    "cumulative_customer_spend": q_cumulative_customer_spend,
-    "customers_without_orders": q_customers_without_orders,
-    "date_functions": q_date_functions,
-    "doc_clean_corpus": q_doc_clean_corpus,
-    "effective_dated_campaign": q_effective_dated_campaign,
-    "enum_encoding": q_enum_encoding,
-    "explode_part_words": q_explode_part_words,
-    "full_outer_merge_events": q_full_outer_merge_events,
+    "doc_clean_select_e2e": q_doc_clean_select_e2e,
     "google_ad_master": q_google_ad_master,
     "largest_parts": q_largest_parts,
-    # ===== below the driver's 50-entry gate window =====
-    "doc_curation_e2e": q_doc_curation_e2e,
-    "domain_pagerank": q_domain_pagerank,
-    "doc_pii_redact": q_doc_pii_redact,
-    "doc_dsir_select": q_doc_dsir_select,
-    "media_audio_features": q_media_audio_features,
-    "doc_clean_select_e2e": q_doc_clean_select_e2e,
-    "core_sales_daily": q_core_sales_daily,
-    "smartstore_sales_daily": q_smartstore_sales_daily,
-    "stock_report_ds": q_stock_report_ds,
-    "searchad_insight_daily": q_searchad_insight_daily,
-    "array_predicates": q_array_predicates,
-    "customer_order_anchor": q_customer_order_anchor,
-    "date_pruned_orders": q_date_pruned_orders,
-    "date_spine_daily_orders": q_date_spine_daily_orders,
-    "distinct_segments": q_distinct_segments,
-    "doc_exact_dedup": q_doc_exact_dedup,
-    "doc_lang_guess": q_doc_lang_guess,
-    "doc_text_metrics": q_doc_text_metrics,
-    "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
-    "embedding_lsh_buckets": q_embedding_lsh_buckets,
-    "embedding_topk": q_embedding_topk,
-    "events_hourly_windows": q_events_hourly_windows,
-    "events_json_extract": q_events_json_extract,
-    "insert_ignore_orders": q_insert_ignore_orders,
-    "json_struct_projection": q_json_struct_projection,
-    "mart_rolling_sales": q_mart_rolling_sales,
-    "mart_sales_daily": q_mart_sales_daily,
-    "media_features": q_media_features,
-    "merge_upsert_balances": q_merge_upsert_balances,
-    "ngram_jaccard_blocked": q_ngram_jaccard_blocked,
-    "pivot_status_counts": q_pivot_status_counts,
-    "safe_casts": q_safe_casts,
-    "simhash_fingerprints": q_simhash_fingerprints,
-    "sql_model_sales_by_priority": q_sql_model_sales_by_priority,
-    "string_agg_names": q_string_agg_names,
-    "unpivot_lineitem_measures": q_unpivot_lineitem_measures,
-    "cj_stock_parse": q_cj_stock_parse,
-    "coupang_ad_report_rollup": q_coupang_ad_report_rollup,
-    "coupang_rocket_options": q_coupang_rocket_options,
-    "coupang_settlement_sales": q_coupang_settlement_sales,
-    "customer_spend_deciles": q_customer_spend_deciles,
-    "dable_report_split": q_dable_report_split,
-    "doc_hash_splits": q_doc_hash_splits,
-    "doc_top_bigrams": q_doc_top_bigrams,
     "latest_order_dedupe": q_latest_order_dedupe,
     "meta_campaign_master": q_meta_campaign_master,
     "minhash_near_dups": q_minhash_near_dups,
@@ -7505,7 +7418,96 @@ QUERIES = {
     "smartstore_option_master": q_smartstore_option_master,
     "smartstore_product_master": q_smartstore_product_master,
     "zorder_extents": q_zorder_extents,
+    "array_predicates": q_array_predicates,
+    "cj_stock_parse": q_cj_stock_parse,
+    "core_sales_daily": q_core_sales_daily,
+    "coupang_ad_report_rollup": q_coupang_ad_report_rollup,
+    "coupang_rocket_options": q_coupang_rocket_options,
+    "coupang_settlement_sales": q_coupang_settlement_sales,
+    "customer_order_anchor": q_customer_order_anchor,
+    "customer_spend_deciles": q_customer_spend_deciles,
+    "dable_report_split": q_dable_report_split,
+    "date_pruned_orders": q_date_pruned_orders,
+    "date_spine_daily_orders": q_date_spine_daily_orders,
+    "distinct_segments": q_distinct_segments,
+    "doc_curation_e2e": q_doc_curation_e2e,
+    "doc_dsir_select": q_doc_dsir_select,
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_hash_splits": q_doc_hash_splits,
+    "doc_lang_guess": q_doc_lang_guess,
+    "doc_pii_redact": q_doc_pii_redact,
+    "doc_text_metrics": q_doc_text_metrics,
+    "doc_top_bigrams": q_doc_top_bigrams,
+    "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
+    "domain_pagerank": q_domain_pagerank,
+    "embedding_lsh_buckets": q_embedding_lsh_buckets,
+    "embedding_topk": q_embedding_topk,
+    "events_hourly_windows": q_events_hourly_windows,
+    "events_json_extract": q_events_json_extract,
+    "insert_ignore_orders": q_insert_ignore_orders,
+    "json_struct_projection": q_json_struct_projection,
+    "mart_rolling_sales": q_mart_rolling_sales,
+    "mart_sales_daily": q_mart_sales_daily,
+    "media_audio_features": q_media_audio_features,
+    "media_features": q_media_features,
+    "merge_upsert_balances": q_merge_upsert_balances,
+    "ngram_jaccard_blocked": q_ngram_jaccard_blocked,
+    "pivot_status_counts": q_pivot_status_counts,
+    "safe_casts": q_safe_casts,
+    "searchad_insight_daily": q_searchad_insight_daily,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "smartstore_sales_daily": q_smartstore_sales_daily,
+    "sql_model_sales_by_priority": q_sql_model_sales_by_priority,
+    "stock_report_ds": q_stock_report_ds,
+    "string_agg_names": q_string_agg_names,
+    "unpivot_lineitem_measures": q_unpivot_lineitem_measures,
+    "allocation_integer_even": q_allocation_integer_even,
+    "allocation_proportional": q_allocation_proportional,
+    "building_segment_order_stats": q_building_segment_order_stats,
+    "core_brand_master": q_core_brand_master,
+    "core_product_master": q_core_product_master,
+    "coupang_campaign_master": q_coupang_campaign_master,
+    "cumulative_customer_spend": q_cumulative_customer_spend,
+    "customers_without_orders": q_customers_without_orders,
+    "date_functions": q_date_functions,
+    "doc_bpe_tokens": q_doc_bpe_tokens,
+    "doc_bpe_train": q_doc_bpe_train,
+    "doc_clean_corpus": q_doc_clean_corpus,
+    "doc_exact_substr_rewrite": q_doc_exact_substr_rewrite,
+    "effective_dated_campaign": q_effective_dated_campaign,
+    "embedding_cluster_stats": q_embedding_cluster_stats,
+    "embedding_ivf_cells": q_embedding_ivf_cells,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
+    "embedding_near_dups": q_embedding_near_dups,
+    "embedding_semdedup": q_embedding_semdedup,
+    "enum_encoding": q_enum_encoding,
+    "events_cohort_retention": q_events_cohort_retention,
+    "events_funnel": q_events_funnel,
+    "explode_part_words": q_explode_part_words,
+    "full_outer_merge_events": q_full_outer_merge_events,
+    "google_ads_insight": q_google_ads_insight,
+    "google_asset_view": q_google_asset_view,
+    "meta_insights_split": q_meta_insights_split,
+    "naver_book_parse": q_naver_book_parse,
+    "naver_cafe_articles": q_naver_cafe_articles,
+    "naver_product_upsert": q_naver_product_upsert,
+    "naver_shop_rank": q_naver_shop_rank,
+    "order_count_mom": q_order_count_mom,
+    "order_value_quantiles": q_order_value_quantiles,
+    "profit_base_gates": q_profit_base_gates,
+    "sabangnet_invoice_enum": q_sabangnet_invoice_enum,
+    "sabangnet_option_download": q_sabangnet_option_download,
+    "sabangnet_option_upsert": q_sabangnet_option_upsert,
+    "sales_rollup": q_sales_rollup,
+    "searchad_contract_union": q_searchad_contract_union,
+    "searchad_exposure_products": q_searchad_exposure_products,
+    "searchad_master_ads": q_searchad_master_ads,
+    "smartstore_category_split": q_smartstore_category_split,
+    "smartstore_option_assembly": q_smartstore_option_assembly,
+    "smartstore_pageview_products": q_smartstore_pageview_products,
+    "smartstore_sales_rollup": q_smartstore_sales_rollup,
 }
+
 
 
 # -- catalog-level plan memoization ----------------------------------------
