@@ -1096,3 +1096,211 @@ def test_stock_report(spark):
          "remain_days", "expected_date", "performance", "stock_cost",
          "priority"],
     )
+
+
+# ------------------------------------------------- round-9 second wave
+
+
+def test_events_sessions(spark):
+    """session_window(30 min) == gaps-and-islands: a new session starts
+    when the gap from the previous event is >= the window (session end
+    is exclusive: an event at exactly last+30min opens a new session)."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for e in _tbl("events"):
+        by_user[e["user_id"]].append(e["ts"].replace(microsecond=0))
+    expected = []
+    for u, times in by_user.items():
+        times.sort()
+        cur = [times[0]]
+        for t in times[1:]:
+            if (t - cur[-1]).total_seconds() >= 1800:
+                expected.append(
+                    (u, cur[0].strftime("%Y-%m-%d %H:%M:%S"),
+                     cur[-1].strftime("%Y-%m-%d %H:%M:%S"), len(cur))
+                )
+                cur = [t]
+            else:
+                cur.append(t)
+        expected.append(
+            (u, cur[0].strftime("%Y-%m-%d %H:%M:%S"),
+             cur[-1].strftime("%Y-%m-%d %H:%M:%S"), len(cur))
+        )
+    _assert_rows(
+        spark, "events_sessions", expected,
+        ["user_id", "session_start", "session_last", "n_events"],
+    )
+
+
+def test_asof_click_attribution(spark):
+    """Backward as-of join: per purchase the greatest click_ts <= ts,
+    nulled when farther than 24h, left row always preserved."""
+    from collections import defaultdict
+
+    epoch = dt.datetime(1970, 1, 1)
+
+    def us(t):
+        d = t - epoch
+        return d.days * 86_400_000_000 + d.seconds * 1_000_000 + d.microseconds
+
+    clicks = defaultdict(list)
+    for e in _tbl("events"):
+        if e["event_type"] == "click":
+            clicks[e["user_id"]].append((e["ts"], e["event_id"]))
+    for v in clicks.values():
+        v.sort()
+    expected = []
+    for e in _tbl("events"):
+        if e["event_type"] != "purchase":
+            continue
+        best = None
+        for cts, cid in clicks.get(e["user_id"], []):
+            if cts <= e["ts"]:
+                best = (cts, cid)
+            else:
+                break
+        if best and (e["ts"] - best[0]).total_seconds() <= 24 * 3600:
+            cus, cid = us(best[0]), best[1]
+            row = (e["event_id"], e["user_id"], us(e["ts"]), cus, cid,
+                   us(e["ts"]) - cus, e["value"])
+        else:
+            row = (e["event_id"], e["user_id"], us(e["ts"]), None, None,
+                   None, e["value"])
+        expected.append(row)
+    _assert_rows(
+        spark, "asof_click_attribution", expected,
+        ["event_id", "user_id", "purchase_us", "click_us", "click_id",
+         "gap_us", "purchase_value"],
+    )
+
+
+def test_sales_rollup(spark):
+    """ROLLUP over (region, nation): leaf rows + region subtotals +
+    the grand total, decimal-exact sums."""
+    from collections import defaultdict
+
+    nat = {n["n_nationkey"]: n for n in _tbl("nation")}
+    reg = {r["r_regionkey"]: r["r_name"] for r in _tbl("region")}
+    cust = {c["c_custkey"]: c["c_nationkey"] for c in _tbl("customer")}
+    leaf = defaultdict(lambda: [0, Decimal(0)])
+    for o in _tbl("orders"):
+        n = nat[cust[o["o_custkey"]]]
+        k = (reg[n["n_regionkey"]], n["n_name"])
+        leaf[k][0] += 1
+        leaf[k][1] += _dec(o["o_totalprice"])
+    expected = []
+    region_tot = defaultdict(lambda: [0, Decimal(0)])
+    grand = [0, Decimal(0)]
+    for (r, n), (c, t) in leaf.items():
+        expected.append((r, n, c, float(t)))
+        region_tot[r][0] += c
+        region_tot[r][1] += t
+        grand[0] += c
+        grand[1] += t
+    for r, (c, t) in region_tot.items():
+        expected.append((r, None, c, float(t)))
+    expected.append((None, None, grand[0], float(grand[1])))
+    _assert_rows(
+        spark, "sales_rollup", expected,
+        ["r_name", "n_name", "n_orders", "total_value"],
+    )
+
+
+def test_events_funnel(spark):
+    """Ordered funnel booleans with SQL three-valued logic preserved
+    (a NULL step timestamp makes the comparison NULL, not False)."""
+    from collections import defaultdict
+
+    firsts = defaultdict(dict)
+    for e in _tbl("events"):
+        if e["event_type"] in ("signup", "view", "purchase"):
+            t2 = e["ts"].replace(microsecond=0)
+            d = firsts[e["user_id"]]
+            k = e["event_type"]
+            if k not in d or t2 < d[k]:
+                d[k] = t2
+
+    def gt(a, b):
+        return None if a is None or b is None else a > b
+
+    def sql_and(a, b):
+        if a is False or b is False:
+            return False
+        if a is None or b is None:
+            return None
+        return True
+
+    expected = []
+    for u, d in firsts.items():
+        s, v, p = d.get("signup"), d.get("view"), d.get("purchase")
+        expected.append(
+            (u, s is not None, gt(v, s), sql_and(gt(p, v), gt(v, s)))
+        )
+    _assert_rows(
+        spark, "events_funnel", expected,
+        ["user_id", "did_signup", "viewed_after_signup", "full_funnel"],
+    )
+
+
+def test_doc_hash_splits(spark):
+    """The reproducible-split primitive: md5(doc_id) buckets 0-9999,
+    thresholds 9000/9500 — pinned against hashlib directly."""
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, None, None])
+    for d in _tbl("documents"):
+        b = int(hashlib.md5(str(d["doc_id"]).encode()).hexdigest()[:8], 16) % 10000
+        split = "train" if b < 9000 else ("val" if b < 9500 else "test")
+        a = agg[split]
+        a[0] += 1
+        a[1] = d["doc_id"] if a[1] is None else min(a[1], d["doc_id"])
+        a[2] = d["doc_id"] if a[2] is None else max(a[2], d["doc_id"])
+    expected = [(s, c, lo, hi) for s, (c, lo, hi) in agg.items()]
+    _assert_rows(
+        spark, "doc_hash_splits", expected,
+        ["split", "n_docs", "min_doc", "max_doc"],
+    )
+
+
+def test_largest_parts(spark):
+    """Scalar MAX subquery via broadcast cross join."""
+    parts = _tbl("part")
+    mx = max(p["p_size"] for p in parts)
+    expected = [
+        (p["p_partkey"], p["p_name"], p["p_size"])
+        for p in parts
+        if p["p_size"] == mx
+    ]
+    _assert_rows(spark, "largest_parts", expected,
+                 ["p_partkey", "p_name", "p_size"])
+
+
+def test_order_value_quantiles(spark):
+    """Exact interpolated percentiles per priority — the classic
+    pos = p*(n-1) linear interpolation, mirrored in double math."""
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for o in _tbl("orders"):
+        vals[o["o_orderpriority"]].append(o["o_totalprice"])
+
+    def pct(xs, p):
+        # Spark's Percentile.getPercentile: lower*(1-d) + higher*d —
+        # NOT lo + d*(hi-lo); the two differ in the last ulp
+        xs = sorted(xs)
+        pos = p * (len(xs) - 1)
+        lo = int(math.floor(pos))
+        if lo == pos:
+            return float(xs[lo])
+        d = pos - lo
+        return xs[lo] * (1.0 - d) + xs[lo + 1] * d
+
+    expected = [
+        (prio, len(xs), pct(xs, 0.25), pct(xs, 0.5), pct(xs, 0.75))
+        for prio, xs in vals.items()
+    ]
+    _assert_rows(
+        spark, "order_value_quantiles", expected,
+        ["priority", "n_orders", "q25", "q50", "q75"],
+    )
