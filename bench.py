@@ -1,10 +1,23 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Runs every catalog query on local[$SPARK_GRAFT_CPUS], times each
-(action = count over the result — full pipeline executes, no driver
-collect of payload), and prints ONE JSON line:
+Runs every catalog query on local[$SPARK_GRAFT_CPUS], times each, and
+prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Action = SUM(xxhash64(*all output columns)) collected as one row — the
+FULL result is computed and reduced engine-side, no driver collect of
+payload. Rounds 1-8 used ``df.count()``, which is not a full
+evaluation: Catalyst prunes unreferenced projection work under a
+count, and (the subtle half) column pruning through Aggregate drops
+every aggregate expression no one reads — a count over a groupBy
+executes the grouping but skips the sums/avgs being grouped. The
+DuckDB yardstick's ``fetchall()`` computes everything, so the old
+action under-measured the Spark side catalog-wide; rounds <= 8 pair
+totals are NOT comparable to round >= 9 numbers (the round-9 ledger
+re-ran both sides under the fixed action). The hash reduce is the
+cluster-realistic full evaluation: every expression is computed,
+every row feeds the reduction, one 8-byte row reaches the driver.
 """
 
 from __future__ import annotations
@@ -15,6 +28,20 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def full_eval(df) -> None:
+    """Force FULL evaluation of every output column: one xxhash64 over
+    all columns (map-typed columns via their JSON form — hash of
+    MapType is unsupported), summed engine-side, 1 row collected."""
+    from pyspark.sql import functions as F
+
+    cols = [
+        F.to_json(F.col(f.name)) if f.dataType.simpleString().startswith("map")
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    df.select(F.xxhash64(*cols).alias("__h")).agg(F.sum("__h")).collect()
 
 
 def main() -> None:
@@ -45,7 +72,7 @@ def main() -> None:
         "doc_dup_clusters",
         "embedding_ivf_topk",
     ):
-        QUERIES[warm](spark, sf_dir).count()
+        full_eval(QUERIES[warm](spark, sf_dir))
     spark.catalog.clearCache()
     _cqc(spark)
 
@@ -70,7 +97,7 @@ def main() -> None:
             spark.catalog.clearCache()
             clear_query_cache(spark)
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            full_eval(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 

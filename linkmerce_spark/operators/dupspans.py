@@ -137,8 +137,14 @@ def dup_span_rewrite(
        map-side-combinable integer MIN (no window);
     3. non-canonical occurrences expand to covered positions (factor
        bounded by ``n``, only for duplicated grams) — the removal set;
-    4. per-token anti-join on ``(doc_id, position)`` + ordered rebuild:
-       one doc_id shuffle.
+    4. removal positions aggregate to ONE array per affected document
+       (a shuffle sized by the removal set, not the corpus), and the
+       rebuild happens at the DOCUMENT grain in whole-stage codegen:
+       ``filter(transform(words, (w,i) -> ...), ...)`` drops removed
+       positions and ``array_join`` reassembles. The corpus token
+       stream never enters a shuffle — the previous form anti-joined
+       and re-aggregated every token row (two corpus-token-scale
+       shuffles); this one moves only duplicated-span positions.
 
     Output: ``id_col, n_words, kept_words, clean_text``. Docs shorter
     than ``n`` words have no grams and pass through verbatim.
@@ -197,30 +203,12 @@ def dup_span_rewrite(
             F.explode(F.sequence(F.col("_pos"), F.col("_pos") + n - 1)).alias("_rm"),
         )
     )
-    tokens = df.select(
-        F.col(id_col), F.posexplode(words).alias("_idx", "_tok")
-    ).select(F.col(id_col), (F.col("_idx") + 1).alias("_wpos"), "_tok")
-    # both sides descend from df: rename the removal side's id so the
-    # anti-join predicate is unambiguous (not lineage-resolved)
-    removed = removed.select(F.col(id_col).alias("_rm_id"), "_rm")
-    kept = tokens.join(
-        removed,
-        on=[
-            F.col(id_col) == F.col("_rm_id"),
-            F.col("_wpos") == F.col("_rm"),
-        ],
-        how="left_anti",
-    )
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("kept_words"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_wpos", "_tok"))),
-                lambda x: x["_tok"],
-            ),
-            " ",
-        ).alias("clean_text"),
-    )
+    # one positions-array per affected doc: the ONLY post-gram shuffle
+    # is sized by the removal set (duplicated-span positions), never by
+    # the corpus token stream; collect_set dedups overlapping spans
+    rm_sets = removed.groupBy(id_col).agg(
+        F.collect_set("_rm").alias("_rms")
+    ).select(F.col(id_col).alias("_rm_id"), "_rms")
     # ``carry``: extra input columns to forward (dims a composed
     # pipeline needs) — they ride the base join this operator already
     # pays for, so callers never re-join the input and re-execute the
@@ -229,11 +217,26 @@ def dup_span_rewrite(
         F.col(id_col),
         *[F.col(c) for c in carry],
         F.size(words).cast("bigint").alias("n_words"),
+        words.alias("_w"),
     )
-    return base.join(rebuilt, id_col, "left").select(
+    joined = base.join(
+        rm_sets, base[id_col] == rm_sets["_rm_id"], "left"
+    )
+    # document-grain rebuild in whole-stage codegen: positions are
+    # 1-based (transform's index i is 0-based); a doc with no removals
+    # has a NULL set, coalesced to empty so nothing drops
+    rms = F.coalesce(F.col("_rms"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(
+            F.col("_w"),
+            lambda w, i: F.when(~F.array_contains(rms, (i + 1).cast("int")), w),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return joined.select(
         F.col(id_col),
         *[F.col(c) for c in carry],
         "n_words",
-        F.coalesce(F.col("kept_words"), F.lit(0)).cast("bigint").alias("kept_words"),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.size(kept).cast("bigint").alias("kept_words"),
+        F.array_join(kept, " ").alias("clean_text"),
     )
