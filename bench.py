@@ -36,8 +36,10 @@ def full_eval(df) -> None:
     MapType is unsupported), summed engine-side, 1 row collected."""
     from pyspark.sql import functions as F
 
+    # Any map ANYWHERE in the type (top-level, array<map>, struct
+    # field) breaks xxhash64 analysis — route those through to_json.
     cols = [
-        F.to_json(F.col(f.name)) if f.dataType.simpleString().startswith("map")
+        F.to_json(F.col(f.name)) if "map<" in f.dataType.simpleString()
         else F.col(f.name)
         for f in df.schema.fields
     ]

@@ -57,7 +57,11 @@ def dup_span_coverage(
     """
     if n <= 0 or min_count <= 1:
         raise ValueError("n must be positive and min_count >= 2")
-    words = F.split(F.col(text_col), " ")
+    # NULL text coalesces to an empty word array so a NULL document
+    # scores as an empty one (n_words=0) instead of size(NULL) = -1.
+    words = F.coalesce(
+        F.split(F.col(text_col), " "), F.array().cast("array<string>")
+    )
     n_grams = F.size(words) - n + 1
     starts = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
         F.array().cast("array<int>")
@@ -165,7 +169,11 @@ def dup_span_rewrite(
             f"dup_span_rewrite requires an integral id column in [0, 2^31); "
             f"{id_col!r} is {id_dtype!r} — remap to a surrogate id first"
         )
-    words = F.split(F.col(text_col), " ")
+    # NULL text coalesces to an empty word array so a NULL document
+    # scores as an empty one (n_words=0) instead of size(NULL) = -1.
+    words = F.coalesce(
+        F.split(F.col(text_col), " "), F.array().cast("array<string>")
+    )
     n_grams = F.size(words) - n + 1
     starts = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
         F.array().cast("array<int>")

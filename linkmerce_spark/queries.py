@@ -1785,10 +1785,14 @@ def q_embedding_sq8_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=20,
         rank_col="__hrank",
     ).drop("__hrank")
-    # rerank survivors on reconstructed vectors: survivors are Q*M-
-    # sized, so THEY broadcast into the corpus-side array lookups
+    # rerank survivors on reconstructed vectors: both broadcast sides
+    # are query-batch-sized — surv is Q*M rows and qv is pre-filtered
+    # to the Q query vectors (never the full corpus), so at 100 TB the
+    # only corpus-scale frame is the nv scan the survivors probe into
     nv = rv.select(F.col("vec_id").alias("neighbor_id"), F.col("rv").alias("nv"))
-    qv = rv.select(F.col("vec_id").alias("query_id"), F.col("rv").alias("qv"))
+    qv = rv.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("rv").alias("qv")
+    )
     pairs = nv.join(broadcast(surv), "neighbor_id").join(broadcast(qv), "query_id")
     cos = quantized_cosine("qv", "nv")
     scored = pairs.select(

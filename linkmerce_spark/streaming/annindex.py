@@ -39,21 +39,24 @@ def streaming_bq_ingest(
     checkpoint: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    trigger: dict | None = None,
 ):
     """Continuously encode a vector stream into a parquet signature
     index: ``(vec_id, sig_lo, sig_hi)`` appended per micro-batch.
 
-    Returns the started StreamingQuery (availableNow semantics are the
-    caller's trigger choice via ``.trigger`` before ``start`` — this
-    helper pins append mode + checkpoint so a restart never re-encodes
-    a committed batch: exactly-once into the index)."""
+    ``trigger``: kwargs for ``DataStreamWriter.trigger`` — defaults to
+    ``{"availableNow": True}`` (drain-and-stop, the incremental-runner
+    shape); pass e.g. ``{"processingTime": "10 seconds"}`` for truly
+    continuous ingest. This helper pins append mode + checkpoint so a
+    restart never re-encodes a committed batch: exactly-once into the
+    index."""
     sig = bq_signatures(vecs, vec_col=vec_col, id_col=id_col)
     return (
         sig.writeStream.format("parquet")
         .option("path", index_path)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
-        .trigger(availableNow=True)
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
         .start()
     )
 
