@@ -22,6 +22,29 @@ Layout
 - ``streaming/`` : Structured Streaming windowed aggregation layer
 """
 
-__version__ = "0.1.0"
+__version__ = "1.0.0"
 
-from linkmerce_spark.session import get_spark  # noqa: F401
+from linkmerce_spark.session import get_spark, stop_spark  # noqa: F401
+
+# The stable import surface. Submodules remain importable directly
+# (linkmerce_spark.operators.minhash etc.); this names what a release
+# guarantees: the session factory plus the module namespaces below.
+__all__ = [
+    "__version__",
+    "get_spark",
+    "stop_spark",
+    # module namespaces (see USAGE.md for the per-module highlights)
+    "frames",
+    "relops",
+    "sqlmodels",
+    "queries",
+    "oracles",
+    "tasks",
+    "operators",
+    "sources",
+    "functions",
+    "plans",
+    "streaming",
+    "marts",
+    "models",
+]

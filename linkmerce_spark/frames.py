@@ -24,8 +24,42 @@ __all__ = [
     "TableRegistry",
     "load_star",
     "select_paths",
+    "widen_scan",
     "STAR_TABLES",
 ]
+
+
+def widen_scan(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition a narrow scan up to the session's
+    default parallelism — a no-op whenever the input already has that
+    many partitions (any real-scale table).
+
+    Use inside operators whose per-row compute EXPANDS far beyond the
+    input bytes (gram explodes, signature hashing, codec decode): at
+    100 TB the scan splits into thousands of tasks by itself, but a
+    small file is ONE split, and a 50x explode behind it then runs
+    single-threaded while every other core idles. Catalyst still
+    pushes filters and prunes columns through the Repartition node
+    (verified: PushedFilters reaches the FileScan below it).
+
+    Order-SENSITIVE consumers (insertion-order ``row_number``) must
+    not widen — round-robin destroys file order. The partition probe
+    (``df.rdd``) costs ~0.5 s of driver work, so the result is
+    memoized on the DataFrame object; ``load_star``'s per-session
+    table memo makes that once per session per table.
+    """
+    cached = getattr(df, "_lm_widened", None)
+    if cached is not None:
+        return cached
+    spark = df.sparkSession
+    target = min_parallelism or spark.sparkContext.defaultParallelism
+    out = df if df.rdd.getNumPartitions() >= target else df.repartition(target)
+    try:
+        df._lm_widened = out
+        out._lm_widened = out  # re-widening the widened frame is free
+    except Exception:  # pragma: no cover - frozen/mocked frames
+        pass
+    return out
 
 # Driver-generated TPC-H-ish star schema + pipeline tables (TESTDATA.md).
 STAR_TABLES = (

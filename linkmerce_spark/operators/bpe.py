@@ -51,6 +51,9 @@ def bpe_pair_counts(
     """
     if top_n <= 0:
         raise ValueError("top_n must be positive")
+    from linkmerce_spark.frames import widen_scan
+
+    df = widen_scan(df)  # token explode far exceeds the scan bytes
     toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok")).where(
         F.col("tok") != ""
     )
@@ -190,9 +193,11 @@ def bpe_train_full(
     hit = _TRAIN_MEMO.get(memo_key)
     if hit is not None and hit[0] is df:
         return hit[1]
-    toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok")).where(
-        F.col("tok") != ""
-    )
+    from linkmerce_spark.frames import widen_scan
+
+    toks = widen_scan(df).select(
+        F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).where(F.col("tok") != "")
     vocab = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))

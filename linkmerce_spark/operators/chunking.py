@@ -47,6 +47,10 @@ def chunk_by_words(
     chunk_text."""
     if window <= 0 or stride <= 0:
         raise ValueError("window and stride must be positive")
+
+    from linkmerce_spark.frames import widen_scan
+
+    df = widen_scan(df)  # token/gram explode far exceeds the scan bytes
     words = _words(text_col)
     n = F.size(words)
     starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
@@ -79,6 +83,10 @@ def boilerplate_score(
     """
     if n <= 0 or min_df <= 0:
         raise ValueError("n and min_df must be positive")
+
+    from linkmerce_spark.frames import widen_scan
+
+    df = widen_scan(df)  # token/gram explode far exceeds the scan bytes
     words = _words(text_col)
     n_grams = F.size(words) - n + 1
     positions = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(

@@ -60,6 +60,10 @@ def decontaminate(
     documents keep count 0 via the left join, so the output is a full
     corpus annotation (filter ``~contaminated`` to scrub).
     """
+
+    from linkmerce_spark.frames import widen_scan
+
+    docs = widen_scan(docs)  # gram explode far exceeds the scan bytes
     toked = docs.select(F.col(id_col), word_tokens(text_col).alias("__t"))
     grams = toked.select(
         id_col,

@@ -68,6 +68,10 @@ def hashed_gram_buckets(
     scorer share. Unigrams and word bigrams, lower-cased, split on
     non-alphanumerics (the corpus tokenizer convention), hashed with
     the portable md5 bucket."""
+
+    from linkmerce_spark.frames import widen_scan
+
+    df = widen_scan(df)  # token/gram explode far exceeds the scan bytes
     toks = df.select(F.col(id_col), word_tokens(text_col).alias("__toks"))
     # explode_outer: a gram-less document survives as one NULL-bucket
     # row, so the per-document scorer needs no join back to the input

@@ -57,6 +57,10 @@ def dup_span_coverage(
     """
     if n <= 0 or min_count <= 1:
         raise ValueError("n must be positive and min_count >= 2")
+
+    from linkmerce_spark.frames import widen_scan
+
+    df = widen_scan(df)  # gram explode far exceeds the scan bytes
     # NULL text coalesces to an empty word array so a NULL document
     # scores as an empty one (n_words=0) instead of size(NULL) = -1.
     words = F.coalesce(
@@ -163,6 +167,10 @@ def dup_span_rewrite(
     """
     if n <= 0 or min_count <= 1:
         raise ValueError("n must be positive and min_count >= 2")
+
+    from linkmerce_spark.frames import widen_scan
+
+    df = widen_scan(df)  # gram explode far exceeds the scan bytes
     id_dtype = dict(df.dtypes).get(id_col)
     if id_dtype not in ("tinyint", "smallint", "int", "bigint"):
         raise TypeError(

@@ -42,6 +42,10 @@ def inverted_index(
     tokens)."""
     if max_postings <= 0:
         raise ValueError("max_postings must be positive")
+
+    from linkmerce_spark.frames import widen_scan
+
+    df = widen_scan(df)  # token/gram explode far exceeds the scan bytes
     words = F.split(F.col(text_col), " ")
     in_bounds = (
         (F.col(id_col) >= 0)

@@ -55,6 +55,10 @@ def line_dedup_rewrite(
     """
     if seg_words <= 0 or min_count <= 1:
         raise ValueError("seg_words must be positive and min_count >= 2")
+
+    from linkmerce_spark.frames import widen_scan
+
+    df = widen_scan(df)  # token/gram explode far exceeds the scan bytes
     words = F.split(F.col(text_col), " ")
     # number of segments = ceil(n_words / seg_words), integer-exact
     n_seg = (F.size(words) + seg_words - 1).cast("bigint") / F.lit(seg_words)

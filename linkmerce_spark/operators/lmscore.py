@@ -53,6 +53,10 @@ def unigram_lm_score(
     empty documents). ``sum_ilog2`` sums ``floor(log2(corpus_tf))``
     over the document's token occurrences.
     """
+
+    from linkmerce_spark.frames import widen_scan
+
+    df = widen_scan(df)  # token/gram explode far exceeds the scan bytes
     words = F.split(F.col(text_col), " ")
     tokens = df.select(
         F.col(id_col), F.explode(words).alias("_tok")

@@ -38,14 +38,13 @@ def _fanout(df: DataFrame) -> DataFrame:
 
     Shingling + k hash mins are pure map stages; their parallelism is
     the *scan* parallelism, which for a small file is 1 partition — so
-    the whole corpus hashes on one core. Repartition up to the cluster
-    default only when the scan is narrower than that; at real scale the
-    scan already has thousands of splits and this is a no-op.
+    the whole corpus hashes on one core. Delegates to
+    ``frames.widen_scan`` (memoized partition probe; no-op at real
+    scale where the scan already has thousands of splits).
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    from linkmerce_spark.frames import widen_scan
+
+    return widen_scan(df)
 
 
 def _with_shingles(

@@ -32,6 +32,7 @@ with the authority signal those ops consume.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import broadcast
 
 _QUANT = 1_000_000_000_000_000.0  # 1e15: exact in double; sums fit int64
 
@@ -45,6 +46,7 @@ def pagerank(
     node: str = "node",
     n_iter: int = 5,
     damping: float = 0.85,
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """Weighted PageRank after exactly ``n_iter`` power iterations.
 
@@ -54,6 +56,15 @@ def pagerank(
     nothing — the standard "teleport absorbs dangling mass"
     simplification; on a symmetric edge list there are none.
 
+    ``broadcast_ranks`` (default True) pins every nodes-sized frame
+    (out-weights, per-round ranks, per-round contributions) to the
+    broadcast side, so each iteration costs exactly ONE shuffle — the
+    edge-list contribution agg — with the rank blend map-side. Right
+    whenever the node universe is orders of magnitude smaller than the
+    edge list (domains vs a 100 TB corpus — this module's use case);
+    set False for a node universe that exceeds driver/executor memory
+    (page-level web graphs), which falls back to shuffle joins.
+
     Returns (node, out_w, pagerank): total out-weight (0 for isolated
     nodes) and the final rank.
     """
@@ -61,12 +72,13 @@ def pagerank(
         raise ValueError("n_iter must be positive")
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
+    bc = broadcast if broadcast_ranks else (lambda df: df)
     omd = 1.0 - damping  # the Python float, mirrored verbatim in twins
     out_w = edges.groupBy(F.col(src).alias("__src")).agg(
         F.sum(weight).cast("bigint").alias("__out_w")
     )
     e = (
-        edges.join(out_w, F.col(src) == F.col("__src"))
+        edges.join(bc(out_w), F.col(src) == F.col("__src"))
         .select(
             F.col(src).alias("__esrc"),
             F.col(dst).alias("__edst"),
@@ -75,17 +87,101 @@ def pagerank(
         )
         .localCheckpoint(eager=True)  # re-read by every iteration
     )
-    verts = nodes.select(F.col(node).alias("__node")).distinct().localCheckpoint(
-        eager=True
-    )
-    # |V| reaches the driver as ONE scalar (the sanctioned k-sized
-    # collect) — folding 1/n into literals keeps every iteration free
-    # of the 1-row crossJoin a column-borne n would need, and the
-    # Python IEEE divisions below are bit-identical to the SQL twin's
-    # (same operands, correctly rounded).
-    n = verts.count()
-    if n == 0:
-        raise ValueError("nodes must be non-empty")
+    if broadcast_ranks:
+        # The node universe already has to fit in memory for the rank
+        # broadcasts below — collecting it once here is the SAME
+        # assumption, and turns the checkpoint+count pair (two jobs)
+        # into one job whose output seeds the ranks as a LOCAL
+        # relation: every later broadcast of the rank chain re-executes
+        # a driver-local subtree instead of a cluster scan.
+        vrows = (
+            nodes.select(F.col(node).alias("__node")).distinct().collect()
+        )
+        n = len(vrows)
+        if n == 0:
+            raise ValueError("nodes must be non-empty")
+        verts = nodes.sparkSession.createDataFrame(
+            vrows, schema=nodes.select(F.col(node).alias("__node")).schema
+        )
+    else:
+        verts = (
+            nodes.select(F.col(node).alias("__node"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # |V| reaches the driver as ONE scalar (the sanctioned k-sized
+        # collect) — folding 1/n into literals keeps every iteration
+        # free of the 1-row crossJoin a column-borne n would need, and
+        # the Python IEEE divisions below are bit-identical to the SQL
+        # twin's (same operands, correctly rounded).
+        n = verts.count()
+        if n == 0:
+            raise ValueError("nodes must be non-empty")
+    if broadcast_ranks:
+        # Per-round sync with the rank vector held driver-side: a
+        # broadcast join IS collect-to-driver + redistribute, so
+        # collecting the nodes-sized per-round contribution sums moves
+        # the SAME bytes the broadcast-chain formulation moved — minus
+        # five rounds of broadcast-exchange/blend-join plan machinery
+        # (measured ~2x the whole query's wall time on a 20-node
+        # graph). Each round stays ONE distributed job over the edge
+        # list; only the nodes-sized blend arithmetic runs in Python,
+        # and on identical IEEE operands (exact int64 quanta, binary64
+        # ops in the same order) it is bit-identical to the column
+        # expressions it replaces.
+        spark = nodes.sparkSession
+        node_type = verts.schema["__node"].dataType
+        rank_rows = [(r["__node"],) for r in vrows]
+        rank_map: dict = {k: 1.0 / float(n) for (k,) in rank_rows}
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        r_schema = StructType(
+            [
+                StructField("__node", node_type),
+                StructField("__r", DoubleType()),
+            ]
+        )
+        for _ in range(n_iter):
+            rdf = spark.createDataFrame(
+                [(k, v) for k, v in rank_map.items()], schema=r_schema
+            )
+            s_rows = (
+                e.join(broadcast(rdf), e.__esrc == rdf.__node)
+                .select(
+                    "__edst",
+                    F.floor(
+                        (
+                            F.col("__w").cast("double")
+                            / F.col("__out_w").cast("double")
+                        )
+                        * F.col("__r")
+                        * F.lit(_QUANT)
+                        + F.lit(0.5)
+                    ).alias("__c"),
+                )
+                .groupBy("__edst")
+                .agg(F.sum("__c").alias("__s"))
+                .collect()
+            )
+            smap = {r["__edst"]: r["__s"] for r in s_rows}
+            teleport = omd / float(n)
+            rank_map = {
+                k: teleport + damping * (float(smap.get(k, 0)) / _QUANT)
+                for k in rank_map
+            }
+        ranks = spark.createDataFrame(
+            [(k, v) for k, v in rank_map.items()], schema=r_schema
+        )
+        # right-outer preserves every node (isolated ones keep the
+        # teleport rank); only the LEFT side of a right join may build
+        # the broadcast table — out_w is nodes-sized too.
+        return broadcast(out_w).join(
+            ranks, ranks.__node == out_w.__src, "right"
+        ).select(
+            F.col("__node").alias(node),
+            F.coalesce("__out_w", F.lit(0)).cast("bigint").alias("out_w"),
+            F.col("__r").alias("pagerank"),
+        )
     ranks = verts.select("__node", F.lit(1.0 / float(n)).alias("__r"))
     for _ in range(n_iter):
         contrib = (
@@ -144,46 +240,50 @@ def shared_gram_edges(
     Edge weight = number of distinct shared kept grams; the list is
     symmetric by construction (both directions emitted).
 
-    Shuffles: gram distinct (1), gram frequency (piggybacked), the
-    capped self-join (1), pair rollup (1) — all on uniform gram/pair
-    hash keys.
+    Shuffles: exactly TWO — one gram-keyed set aggregation (map-side
+    partial dedup, then ``collect_set`` of the gram's group list) and
+    the pair rollup. The per-gram pair fan-out comes from a double
+    ``explode`` of the group set, NOT a gram-keyed self-join — no join
+    in the plan at all. The aggregation buffer per gram is bounded by
+    the GROUP universe (sources/domains), never the corpus: the same
+    nodes-fit-in-memory assumption ``pagerank(broadcast_ranks=True)``
+    already makes, and stop-grams shared by every domain collect one
+    domain-count-sized set before the ``min_groups..max_groups`` filter
+    drops them (at 1M domains that is an 8 MB aggregation row — fine;
+    a PAGE-level group column would need the join-based formulation
+    this replaced, see git history).
     """
     if min_groups < 2 or max_groups < min_groups:
         raise ValueError("need 2 <= min_groups <= max_groups")
+    from linkmerce_spark.frames import widen_scan
+
+    df = widen_scan(df)  # the gram explode is ~50x the input bytes
     words = F.split(F.col(text_col), " ")
     n_grams = F.size(words) - n + 1
     starts = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
         F.array().cast("array<int>")
     )
-    grams = (
-        df.select(
-            F.col(group_col).alias("__g"),
-            F.explode(starts).alias("__pos"),
-            words.alias("__w"),
-        )
-        .select(
-            "__g",
-            F.xxhash64(
-                F.array_join(F.slice(F.col("__w"), F.col("__pos"), n), " ")
-            ).alias("__gram"),
-        )
-        .distinct()
+    grams = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(starts).alias("__pos"),
+        words.alias("__w"),
+    ).select(
+        "__g",
+        F.xxhash64(
+            F.array_join(F.slice(F.col("__w"), F.col("__pos"), n), " ")
+        ).alias("__gram"),
     )
-    keep = (
+    per_gram = (
         grams.groupBy("__gram")
-        .agg(F.count(F.lit(1)).alias("__nsrc"))
+        .agg(F.collect_set("__g").alias("__gs"))
         .where(
-            (F.col("__nsrc") >= min_groups) & (F.col("__nsrc") <= max_groups)
+            (F.size("__gs") >= min_groups) & (F.size("__gs") <= max_groups)
         )
-        .select("__gram")
-    )
-    kept = grams.join(keep, "__gram")
-    other = kept.select(
-        F.col("__gram").alias("__gram2"), F.col("__g").alias("__g2")
     )
     return (
-        kept.join(other, kept.__gram == other.__gram2)
-        .where(F.col("__g") != F.col("__g2"))
-        .groupBy(F.col("__g").alias("src"), F.col("__g2").alias("dst"))
+        per_gram.select(F.explode("__gs").alias("src"), "__gs")
+        .select("src", F.explode("__gs").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
     )

@@ -50,6 +50,10 @@ def rare_gram_stats(
     """
     if n <= 0 or max_count < 1:
         raise ValueError("n must be positive and max_count >= 1")
+
+    from linkmerce_spark.frames import widen_scan
+
+    df = widen_scan(df)  # token/gram explode far exceeds the scan bytes
     words = F.split(F.col(text_col), " ")
     n_grams = F.size(words) - n + 1
     starts = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(

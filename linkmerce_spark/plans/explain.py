@@ -13,7 +13,13 @@ import re
 
 from pyspark.sql import DataFrame
 
-__all__ = ["physical_plan", "count_shuffles", "has_broadcast_join", "pushed_filters"]
+__all__ = [
+    "physical_plan",
+    "count_shuffles",
+    "count_keyed_shuffles",
+    "has_broadcast_join",
+    "pushed_filters",
+]
 
 
 def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
@@ -27,6 +33,20 @@ def count_shuffles(df: DataFrame) -> int:
     """Number of Exchange operators in the physical plan."""
     plan = physical_plan(df, "simple")
     return len(re.findall(r"\bExchange\b", plan))
+
+
+def count_keyed_shuffles(df: DataFrame) -> int:
+    """Exchange operators that move data BY KEY (hash/range).
+
+    Excludes round-robin repartitions — those are ``widen_scan``'s
+    scan-parallelism adjustments (no-ops at real scale, where the scan
+    already has enough splits), not part of an operator's data-keyed
+    shuffle budget. Plan pins on shuffle counts should use this.
+    """
+    plan = physical_plan(df, "simple")
+    total = len(re.findall(r"\bExchange\b", plan))
+    rr = len(re.findall(r"Exchange RoundRobinPartitioning", plan))
+    return total - rr
 
 
 def has_broadcast_join(df: DataFrame) -> bool:

@@ -3864,7 +3864,13 @@ def _coupang_ad_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic Coupang ad-report download (Korean headers) from
     lineitem: comma-formatted numbers, integer yyyymmdd dates, the
     3-way placement labels, and deliberate junk numerics."""
+    from linkmerce_spark.frames import widen_scan
+
     (li,) = _t(spark, sf_dir, "lineitem")
+    # comma-format synthesis + re-parse is map-heavy per byte and the
+    # chain has ONE shuffle: widening the single-split scan wins here
+    # (unlike the deep mart chains, where extra tasks per stage lose).
+    li = widen_scan(li)
     lk = F.col("l_orderkey")
     ship = F.col("l_shipdate").cast("date")
     v = (F.floor(F.col("l_extendedprice").cast("decimal(18,2)")) % 100000).cast(

@@ -101,6 +101,21 @@ def get_spark(
         # deepest mart with it off. Error messages lose the Python
         # call-site line only; exceptions themselves are unchanged.
         "spark.python.sql.dataFrameDebugging.enabled": "false",
+        # InferFiltersFromGenerate synthesizes `size(arr)>0 AND arr IS
+        # NOT NULL` above every explode and pushdown then INLINES the
+        # generator's child expression into that filter — when the
+        # array is COMPUTED (tokenize->shingle pipelines, gram slices:
+        # every generate in this engine), the whole interpreted
+        # higher-order-function chain is re-evaluated per input row
+        # inside the scan stage, below any repartition, single-threaded
+        # on a narrow scan. Measured 6x on MinHash signing (3.6 s ->
+        # 0.6 s for a 4.5k-doc corpus sign at sf0.1). The rule only
+        # ever pays when the generator input is a STORED column (skip
+        # fetching rows with empty arrays) — this engine stores text
+        # and computes arrays, so it is a pure pessimization here.
+        "spark.sql.optimizer.excludedRules": (
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+        ),
         # Constraint propagation re-derives IsNotNull/equality
         # constraints at every optimizer iteration — quadratic-ish in
         # plan depth x column count, and measured ~18% of wall time on

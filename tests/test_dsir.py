@@ -8,7 +8,7 @@ import random
 import re
 
 from linkmerce_spark.operators.dsir import dsir_scores
-from linkmerce_spark.plans.explain import count_shuffles, physical_plan
+from linkmerce_spark.plans.explain import count_keyed_shuffles, physical_plan
 
 VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
 
@@ -82,5 +82,5 @@ def test_dsir_select_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 2
-    assert count_shuffles(df) <= 3  # two bucket/model aggs + the id rollup
+    assert count_keyed_shuffles(df) <= 3  # two bucket/model aggs + the id rollup
     assert "NestedLoop" not in plan and "Cartesian" not in plan

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from linkmerce_spark.frames import load_star
 from linkmerce_spark.plans.explain import (
-    count_shuffles,
+    count_keyed_shuffles,
     has_broadcast_join,
     physical_plan,
     pushed_filters,
@@ -42,7 +42,7 @@ def test_window_dedup_is_single_shuffle(spark):
 
     orders = load_star(spark, SF_DIR, ["orders"])["orders"]
     out = dedupe_keep_first(orders, ["o_custkey"], [F.col("o_orderdate").desc()])
-    assert count_shuffles(out) == 1
+    assert count_keyed_shuffles(out) == 1
 
 
 def test_mart_date_filter_reaches_scan(spark):
@@ -74,7 +74,7 @@ def test_effective_dated_join_broadcasts_relation(spark):
     df = q_effective_dated_campaign(spark, SF_DIR)
     assert has_broadcast_join(df)
     # final aggregate adds exactly one exchange on the group key
-    assert count_shuffles(df) <= 2
+    assert count_keyed_shuffles(df) <= 2
 
 
 def test_allocation_two_windows_one_shuffle(spark):
@@ -83,7 +83,7 @@ def test_allocation_two_windows_one_shuffle(spark):
     df = q_allocation_proportional(spark, SF_DIR)
     # two window passes over the same partitioning must NOT re-shuffle:
     # shuffles = lineitem/orders join sides + (maybe) the window key
-    assert count_shuffles(df) <= 3
+    assert count_keyed_shuffles(df) <= 3
 
 
 def test_minhash_signature_aggregates_map_side(spark):
@@ -125,7 +125,7 @@ def test_stock_cost_mom_shuffle_budget(spark):
     from linkmerce_spark.queries import q_stock_cost_mom
 
     df = q_stock_cost_mom(spark, SF_DIR)
-    assert count_shuffles(df) <= 6, count_shuffles(df)
+    assert count_keyed_shuffles(df) <= 6, count_keyed_shuffles(df)
 
 
 def test_sabangnet_option_master_single_master_chain(spark):
@@ -156,14 +156,14 @@ def test_stratified_sample_single_shuffle(spark):
 
     docs = load_star(spark, SF_DIR, ["documents"])["documents"]
     out = stratified_topn(docs.withColumn("s", F.col("doc_id") % 3), "s", "doc_id", 5)
-    assert count_shuffles(out) == 1
+    assert count_keyed_shuffles(out) == 1
 
 
 def test_pack_plan_single_window_per_shard(spark):
     from linkmerce_spark.queries import q_doc_pack_plan
 
     df = q_doc_pack_plan(spark, SF_DIR)
-    assert count_shuffles(df) == 1  # the shard window exchange only
+    assert count_keyed_shuffles(df) == 1  # the shard window exchange only
 
 
 def test_sales_daily_timestamp_filter_pushed(spark):
@@ -183,7 +183,7 @@ def test_option_upsert_single_shuffle_no_join(spark):
     from linkmerce_spark.queries import q_sabangnet_option_upsert
 
     df = q_sabangnet_option_upsert(spark, SF_DIR)
-    assert count_shuffles(df) == 1
+    assert count_keyed_shuffles(df) == 1
     plan = physical_plan(df)
     assert "Join" not in plan
 
@@ -227,7 +227,7 @@ def test_r6_curation_ops_shuffle_budgets(spark):
     }
     for fn, budget in budgets.items():
         df = fn(spark, SF_DIR)
-        got = count_shuffles(df)
+        got = count_keyed_shuffles(df)
         assert got <= budget, (fn.__name__, got, budget)
 
 
@@ -260,7 +260,7 @@ def test_incremental_dedup_index_side_is_narrow(spark):
     idx = band_keys(minhash_sigs(docs, "text", "doc_id"))
     assert set(idx.columns) == {"doc_id", "band_id", "band_key"}
     # sigs-only path plans exactly ONE shuffle (the per-doc hash-min agg)
-    assert count_shuffles(minhash_sigs(docs, "text", "doc_id")) <= 2
+    assert count_keyed_shuffles(minhash_sigs(docs, "text", "doc_id")) <= 2
 
 
 def test_core_sales_daily_never_sort_merge_join(spark):
