@@ -7317,14 +7317,64 @@ def q_asof_bucketed_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plus the 4 new round-5 operators rotate in this round). Window
 # composition is documented inline below.
 QUERIES = {
-    # ===== round-9 window: the never-gated round-9 capstone first
-    # (embedding_sq8_roundtrip), then every entry whose CODE changed
-    # this round (BQ signature edge guards + NULLS LAST pin, the
-    # sq8 module gaining the reconstruct op, the 4:1:1 media fixture
-    # rotation, the clean_select stage refactor); the remainder is the
-    # least-recently-gated rotation (r4 vintage fills the window, then
-    # r5) so the driver's 50-entry gate keeps cycling the catalog. =====
+    # ===== round-10 window: every entry whose CODE changed this
+    # round leads (the pagerank edge/iteration restructure, the
+    # dup-span NULL-coalesce + widen family, the decontam/incdedup
+    # widen, the sq8-roundtrip broadcast fix, the coupang raw-widen);
+    # the remainder of the 50 is the least-recently-gated rotation
+    # (r5 vintage first, then r6) so the driver gate keeps cycling
+    # the catalog. Local gates always run ALL 192 entries. =====
+    "domain_pagerank": q_domain_pagerank,
+    "doc_dup_spans": q_doc_dup_spans,
+    "doc_exact_substr_rewrite": q_doc_exact_substr_rewrite,
+    "doc_clean_corpus": q_doc_clean_corpus,
+    "doc_fuzzy_decontam": q_doc_fuzzy_decontam,
+    "doc_incremental_dedup": q_doc_incremental_dedup,
     "embedding_sq8_roundtrip": q_embedding_sq8_roundtrip,
+    "coupang_ad_report_rollup": q_coupang_ad_report_rollup,
+    "sales_target": q_sales_target,
+    "scd2_order_priority": q_scd2_order_priority,
+    "searchad_contract_master": q_searchad_contract_master,
+    "searchad_report_merge": q_searchad_report_merge,
+    "smartstore_max_delivery_fee": q_smartstore_max_delivery_fee,
+    "smartstore_split_sales": q_smartstore_split_sales,
+    "stock_time_ds": q_stock_time_ds,
+    "adreport_daily": q_adreport_daily,
+    "asof_bucketed_attribution": q_asof_bucketed_attribution,
+    "bloom_prefilter_revenue": q_bloom_prefilter_revenue,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "compaction_plan": q_compaction_plan,
+    "coupang_adgroup_master": q_coupang_adgroup_master,
+    "coupang_option_master": q_coupang_option_master,
+    "coupang_report_daily": q_coupang_report_daily,
+    "cube_sales_grid": q_cube_sales_grid,
+    "doc_boilerplate": q_doc_boilerplate,
+    "doc_bpe_pairs": q_doc_bpe_pairs,
+    "doc_chunk_windows": q_doc_chunk_windows,
+    "doc_curation_gate": q_doc_curation_gate,
+    "doc_group_splits": q_doc_group_splits,
+    "doc_inverted_index": q_doc_inverted_index,
+    "doc_line_dedup": q_doc_line_dedup,
+    "doc_mixture_sample": q_doc_mixture_sample,
+    "doc_priority_sample": q_doc_priority_sample,
+    "doc_rare_grams": q_doc_rare_grams,
+    "doc_unigram_lm": q_doc_unigram_lm,
+    "domain_mixture_weights": q_domain_mixture_weights,
+    "dq_orders_checks": q_dq_orders_checks,
+    "events_sessions": q_events_sessions,
+    "google_adgroup_master": q_google_adgroup_master,
+    "google_campaign_master": q_google_campaign_master,
+    "google_report_daily": q_google_report_daily,
+    "histogram_order_value": q_histogram_order_value,
+    "interval_overlap_promos": q_interval_overlap_promos,
+    "kmv_priority_overlap": q_kmv_priority_overlap,
+    "mart_profit_mom": q_mart_profit_mom,
+    "meta_ad_master": q_meta_ad_master,
+    "meta_adset_master": q_meta_adset_master,
+    "meta_report_daily": q_meta_report_daily,
+    "order_value_rank_quantiles": q_order_value_rank_quantiles,
+    "sabangnet_option_master": q_sabangnet_option_master,
+    # ----- end of the driver window -----
     "embedding_bq_topk": q_embedding_bq_topk,
     "embedding_sq8": q_embedding_sq8,
     "media_stats_real": q_media_stats_real,
@@ -7374,51 +7424,6 @@ QUERIES = {
     "rfm_order_count": q_rfm_order_count,
     "rfm_stock_qty_batch": q_rfm_stock_qty_batch,
     "sabangnet_total_order": q_sabangnet_total_order,
-    "sales_target": q_sales_target,
-    "scd2_order_priority": q_scd2_order_priority,
-    "searchad_contract_master": q_searchad_contract_master,
-    "searchad_report_merge": q_searchad_report_merge,
-    "smartstore_max_delivery_fee": q_smartstore_max_delivery_fee,
-    "smartstore_split_sales": q_smartstore_split_sales,
-    "stock_time_ds": q_stock_time_ds,
-    "adreport_daily": q_adreport_daily,
-    "asof_bucketed_attribution": q_asof_bucketed_attribution,
-    "bloom_prefilter_revenue": q_bloom_prefilter_revenue,
-    "cms_heavy_hitters": q_cms_heavy_hitters,
-    "compaction_plan": q_compaction_plan,
-    "coupang_adgroup_master": q_coupang_adgroup_master,
-    "coupang_option_master": q_coupang_option_master,
-    "coupang_report_daily": q_coupang_report_daily,
-    "cube_sales_grid": q_cube_sales_grid,
-    "doc_boilerplate": q_doc_boilerplate,
-    "doc_bpe_pairs": q_doc_bpe_pairs,
-    "doc_chunk_windows": q_doc_chunk_windows,
-    "doc_curation_gate": q_doc_curation_gate,
-    "doc_dup_spans": q_doc_dup_spans,
-    "doc_fuzzy_decontam": q_doc_fuzzy_decontam,
-    "doc_group_splits": q_doc_group_splits,
-    "doc_incremental_dedup": q_doc_incremental_dedup,
-    "doc_inverted_index": q_doc_inverted_index,
-    "doc_line_dedup": q_doc_line_dedup,
-    "doc_mixture_sample": q_doc_mixture_sample,
-    "doc_priority_sample": q_doc_priority_sample,
-    "doc_rare_grams": q_doc_rare_grams,
-    "doc_unigram_lm": q_doc_unigram_lm,
-    "domain_mixture_weights": q_domain_mixture_weights,
-    "dq_orders_checks": q_dq_orders_checks,
-    "events_sessions": q_events_sessions,
-    "google_adgroup_master": q_google_adgroup_master,
-    "google_campaign_master": q_google_campaign_master,
-    "google_report_daily": q_google_report_daily,
-    "histogram_order_value": q_histogram_order_value,
-    "interval_overlap_promos": q_interval_overlap_promos,
-    "kmv_priority_overlap": q_kmv_priority_overlap,
-    "mart_profit_mom": q_mart_profit_mom,
-    "meta_ad_master": q_meta_ad_master,
-    "meta_adset_master": q_meta_adset_master,
-    "meta_report_daily": q_meta_report_daily,
-    "order_value_rank_quantiles": q_order_value_rank_quantiles,
-    "sabangnet_option_master": q_sabangnet_option_master,
     "sabangnet_product_master": q_sabangnet_product_master,
     "sample_star_consistent": q_sample_star_consistent,
     "scd2_effective_revenue": q_scd2_effective_revenue,
@@ -7431,7 +7436,6 @@ QUERIES = {
     "array_predicates": q_array_predicates,
     "cj_stock_parse": q_cj_stock_parse,
     "core_sales_daily": q_core_sales_daily,
-    "coupang_ad_report_rollup": q_coupang_ad_report_rollup,
     "coupang_rocket_options": q_coupang_rocket_options,
     "coupang_settlement_sales": q_coupang_settlement_sales,
     "customer_order_anchor": q_customer_order_anchor,
@@ -7449,7 +7453,6 @@ QUERIES = {
     "doc_text_metrics": q_doc_text_metrics,
     "doc_top_bigrams": q_doc_top_bigrams,
     "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
-    "domain_pagerank": q_domain_pagerank,
     "embedding_lsh_buckets": q_embedding_lsh_buckets,
     "embedding_topk": q_embedding_topk,
     "events_hourly_windows": q_events_hourly_windows,
@@ -7482,8 +7485,6 @@ QUERIES = {
     "date_functions": q_date_functions,
     "doc_bpe_tokens": q_doc_bpe_tokens,
     "doc_bpe_train": q_doc_bpe_train,
-    "doc_clean_corpus": q_doc_clean_corpus,
-    "doc_exact_substr_rewrite": q_doc_exact_substr_rewrite,
     "effective_dated_campaign": q_effective_dated_campaign,
     "embedding_cluster_stats": q_embedding_cluster_stats,
     "embedding_ivf_cells": q_embedding_ivf_cells,

@@ -42,8 +42,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_once(cmd: list[str], env: dict) -> dict:
     out = subprocess.run(
-        cmd, cwd=REPO, env=env, capture_output=True, text=True, check=True
+        cmd, cwd=REPO, env=env, capture_output=True, text=True
     )
+    if out.returncode != 0:
+        raise RuntimeError(
+            f"{cmd} exited {out.returncode}; stderr tail:\n{out.stderr[-3000:]}"
+        )
     # the bench scripts print ONE JSON line last; tolerate log noise
     for line in reversed(out.stdout.strip().splitlines()):
         line = line.strip()
