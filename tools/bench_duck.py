@@ -35,6 +35,14 @@ def main() -> None:
     )
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 32}")
+    # Same resilience the sf10 checksum gate runs with: a spill dir and
+    # relaxed insertion order keep the yardstick from dying allocator-
+    # bound on the corpus-scale twins (sf1 doc_curation_e2e OOM'd the
+    # r10 MED3 harness once without these). This only ever HELPS the
+    # DuckDB side — the A/B stays honest.
+    con.execute("SET preserve_insertion_order=false")
+    os.makedirs("/tmp/duckspill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duckspill'")
     for t in STAR_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
