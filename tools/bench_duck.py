@@ -52,7 +52,10 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            con.sql(sql).fetchall()
+            try:
+                con.sql(sql).fetchall()
+            except Exception as e:
+                raise RuntimeError(f"duck twin failed on {name!r}: {e}") from e
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
