@@ -129,19 +129,45 @@ def main() -> None:
                 )
             if len(outliers) > 15:
                 report.append(f"    - … and {len(outliers) - 15} more")
-    ratio = med["SPARK"]["value"] / med["DUCK"]["value"]
+    # Ratio over the COMMON query set: a side may skip entries (e.g.
+    # BENCH_DUCK_SKIP for a twin the yardstick cannot execute at this
+    # sf) — comparing totals over different sets would be dishonest.
+    common = sorted(
+        set(med["SPARK"]["queries"]) & set(med["DUCK"]["queries"])
+    )
+    skipped = sorted(
+        set(med["SPARK"]["queries"]) ^ set(med["DUCK"]["queries"])
+    )
+    s_common = round(sum(med["SPARK"]["queries"][n] for n in common), 3)
+    d_common = round(sum(med["DUCK"]["queries"][n] for n in common), 3)
+    ratio = s_common / d_common
     pair_ratios = [
-        round(p[0]["value"] / p[1]["value"], 3) for p in pairs
+        round(
+            sum(p[0]["queries"][n] for n in common)
+            / sum(p[1]["queries"][n] for n in common),
+            3,
+        )
+        for p in pairs
     ]
     lines = [
         f"# MED3_{tag} — median-of-3 interleaved A/B pairs",
         "",
-        f"sf_dir: `{sf_dir}` · {len(med['SPARK']['queries'])} queries ·"
+        f"sf_dir: `{sf_dir}` · {len(common)} queries ·"
         f" 3 interleaved (spark, duck) pairs, fresh process per run,"
         f" machine otherwise idle.",
         "",
-        f"**Median ratio (sum of per-query medians): {ratio:.3f}**"
-        f" (per-pair ratios: {pair_ratios})",
+        f"**Median ratio (sum of per-query medians over the common"
+        f" set): {ratio:.3f}** (per-pair ratios: {pair_ratios};"
+        f" common-set totals: spark {s_common} s, duck {d_common} s)",
+        *(
+            [
+                "",
+                f"Excluded from the ratio (present on one side only): "
+                f"{', '.join(f'`{n}`' for n in skipped)}",
+            ]
+            if skipped
+            else []
+        ),
         "",
         *report,
         "",
