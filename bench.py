@@ -107,15 +107,19 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Compact separators: the driver records this line with a bounded
     # buffer (BENCH_r04 was tail-truncated) — every byte of whitespace
-    # costs recorded per-query timings.
+    # costs recorded per-query timings. Key order is deliberate: the
+    # buffer keeps the TAIL of the line, so "queries" goes FIRST (its
+    # head entries are the sacrificial bytes) and the headline
+    # metric/value/sf go LAST — a truncated record still shows the
+    # total (BENCH_r10 lost it the other way around).
     print(
         json.dumps(
             {
+                "queries": timings,
+                "unit": "sec",
                 "metric": "total_query_wall_seconds",
                 "value": total,
-                "unit": "sec",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "queries": timings,
             },
             separators=(",", ":"),
         )

@@ -46,19 +46,24 @@ def widen_scan(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     not widen — round-robin destroys file order. The partition probe
     (``df.rdd``) costs ~0.5 s of driver work, so the result is
     memoized on the DataFrame object; ``load_star``'s per-session
-    table memo makes that once per session per table.
+    table memo makes that once per session per table. The memo only
+    serves the default-parallelism case: an explicit
+    ``min_parallelism`` always recomputes (a cached frame widened to a
+    different target must not be returned for it) and is not cached.
     """
-    cached = getattr(df, "_lm_widened", None)
-    if cached is not None:
-        return cached
+    if min_parallelism is None:
+        cached = getattr(df, "_lm_widened", None)
+        if cached is not None:
+            return cached
     spark = df.sparkSession
     target = min_parallelism or spark.sparkContext.defaultParallelism
     out = df if df.rdd.getNumPartitions() >= target else df.repartition(target)
-    try:
-        df._lm_widened = out
-        out._lm_widened = out  # re-widening the widened frame is free
-    except Exception:  # pragma: no cover - frozen/mocked frames
-        pass
+    if min_parallelism is None:
+        try:
+            df._lm_widened = out
+            out._lm_widened = out  # re-widening the widened frame is free
+        except Exception:  # pragma: no cover - frozen/mocked frames
+            pass
     return out
 
 # Driver-generated TPC-H-ish star schema + pipeline tables (TESTDATA.md).

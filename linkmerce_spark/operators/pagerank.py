@@ -3,26 +3,37 @@
 Link-graph authority is a standard corpus-curation signal: Common
 Crawl pipelines weight domains by a centrality score before sampling
 (harmonic/PageRank centrality — Brin & Page 1998). This module
-implements the power-iteration form with a FIXED iteration count as
-one lazy DataFrame plan:
+implements the power-iteration form with a FIXED iteration count in
+two execution modes:
 
-- the loop is unrolled into the plan, not driven from Python: each
-  iteration is [join ranks onto the edge list -> sum contributions per
-  destination -> blend with the teleport term], so the whole
-  ``n_iter``-round computation is ONE job with a linear chain of
-  ``n_iter`` joins — no per-round driver action, no lineage blowup
-  (ranks are referenced once per round; the edge list is
-  localCheckpoint'ed once and re-read every round);
-- per-iteration cost at scale is one shuffle over the EDGE list
-  (nodes-sized agg piggybacks) — the Pregel cost model without the
-  Pregel machinery, appropriate because the iteration count is a
-  constant, not convergence-driven;
-- determinism across engines: double SUM order is shuffle-dependent,
-  so each edge's contribution ``(w/out) * r`` is quantized to int64
-  at scale 1e15 (``floor(x*1e15 + 0.5)``) and summed EXACTLY; the
-  per-round blend is then a fixed sequence of scalar IEEE ops on
-  identical operands — ranks are bit-identical on any engine or
-  partitioning, which is what lets a SQL twin unroll the same rounds.
+- DEFAULT (``broadcast_ranks=False``): the loop is unrolled into the
+  plan, not driven from Python — each iteration is [join ranks onto
+  the edge list -> sum contributions per destination -> blend with the
+  teleport term], so the whole ``n_iter``-round computation is ONE
+  lazy job with a linear chain of ``n_iter`` joins. Build time runs
+  only the bounded setup (edge-list localCheckpoint + the |V| count
+  that folds 1/n into literals); the iteration itself executes at
+  first action. Per-iteration cost at scale is one shuffle over the
+  EDGE list (nodes-sized agg piggybacks) — the Pregel cost model
+  without the Pregel machinery, appropriate because the iteration
+  count is a constant, not convergence-driven. Safe for page-scale
+  graphs: nothing nodes-sized ever reaches the driver.
+- OPT-IN EAGER (``broadcast_ranks=True``): the rank vector is held
+  driver-side and each round is one distributed job over the
+  checkpointed edge list whose nodes-sized contribution sums are
+  collected back (a broadcast IS collect + redistribute — same
+  bytes, minus per-round exchange machinery). This mode EXECUTES
+  ``n_iter`` cluster jobs at call time and requires the node universe
+  to fit in driver memory — only for a node universe orders of
+  magnitude smaller than the edge list (domains vs a 100 TB corpus)
+  where the per-round rank-chain plan is the measured bottleneck.
+- determinism across engines AND modes: double SUM order is
+  shuffle-dependent, so each edge's contribution ``(w/out) * r`` is
+  quantized to int64 at scale 1e15 (``floor(x*1e15 + 0.5)``) and
+  summed EXACTLY; the per-round blend is then a fixed sequence of
+  scalar IEEE ops on identical operands — ranks are bit-identical on
+  any engine, mode, or partitioning, which is what lets a SQL twin
+  unroll the same rounds.
 
 Reference behavioral parity: the reference has no graph layer; this
 extends the curation suite (domain mixture weights, group splits)
@@ -46,7 +57,7 @@ def pagerank(
     node: str = "node",
     n_iter: int = 5,
     damping: float = 0.85,
-    broadcast_ranks: bool = True,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Weighted PageRank after exactly ``n_iter`` power iterations.
 
@@ -56,14 +67,15 @@ def pagerank(
     nothing — the standard "teleport absorbs dangling mass"
     simplification; on a symmetric edge list there are none.
 
-    ``broadcast_ranks`` (default True) pins every nodes-sized frame
-    (out-weights, per-round ranks, per-round contributions) to the
-    broadcast side, so each iteration costs exactly ONE shuffle — the
-    edge-list contribution agg — with the rank blend map-side. Right
-    whenever the node universe is orders of magnitude smaller than the
-    edge list (domains vs a 100 TB corpus — this module's use case);
-    set False for a node universe that exceeds driver/executor memory
-    (page-level web graphs), which falls back to shuffle joins.
+    ``broadcast_ranks=False`` (the default) returns a LAZY frame: the
+    ``n_iter`` rounds are unrolled into one plan of chained joins over
+    the checkpointed edge list, and nothing nodes-sized reaches the
+    driver — right for any graph, required for page-scale ones.
+    ``broadcast_ranks=True`` is the opt-in EAGER mode: it collects the
+    node universe, holds the rank vector driver-side, and runs one
+    cluster job per round at CALL time — only for a node universe
+    orders of magnitude smaller than the edge list, and only when the
+    unrolled plan is the measured bottleneck (see module docstring).
 
     Returns (node, out_w, pagerank): total out-weight (0 for isolated
     nodes) and the final rank.
@@ -238,7 +250,12 @@ def shared_gram_edges(
     dup-span coverage: the cap bounds the per-gram pair fan-out, so
     the self-join cannot quadratically blow up on a stop-gram).
     Edge weight = number of distinct shared kept grams; the list is
-    symmetric by construction (both directions emitted).
+    symmetric by construction (both directions emitted). NULL-group
+    rows are DROPPED up front (a NULL source can neither be a graph
+    node nor count toward a gram's distinct-group cap) — the pinned
+    policy for both this formulation and the pre-r10 distinct+count
+    one, and the same NULL treatment the SQL twin's COUNT(DISTINCT)
+    applies.
 
     Shuffles: exactly TWO — one gram-keyed set aggregation (map-side
     partial dedup, then ``collect_set`` of the gram's group list) and
@@ -257,7 +274,8 @@ def shared_gram_edges(
         raise ValueError("need 2 <= min_groups <= max_groups")
     from linkmerce_spark.frames import widen_scan
 
-    df = widen_scan(df)  # the gram explode is ~50x the input bytes
+    df = widen_scan(df.where(F.col(group_col).isNotNull()))
+    # the gram explode behind this scan is ~50x the input bytes
     words = F.split(F.col(text_col), " ")
     n_grams = F.size(words) - n + 1
     starts = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
@@ -273,8 +291,19 @@ def shared_gram_edges(
             F.array_join(F.slice(F.col("__w"), F.col("__pos"), n), " ")
         ).alias("__gram"),
     )
+    # Pre-shuffle on the gram key so the set aggregation runs ONCE on
+    # co-located rows: a groupBy straight off the explode plans a
+    # map-side partial collect_set, but grams rarely repeat within a
+    # map partition, so the partial phase just serializes millions of
+    # single-element sets into the shuffle (measured ~2x the whole
+    # aggregation at sf1). Shuffling the raw 16-byte (gram, group)
+    # rows instead scales linearly and the object-hash aggregate is
+    # built once per reduce partition. The explicit HashPartitioning
+    # satisfies the aggregate's required distribution, so the plan
+    # keeps exactly ONE exchange here.
     per_gram = (
-        grams.groupBy("__gram")
+        grams.repartition("__gram")
+        .groupBy("__gram")
         .agg(F.collect_set("__g").alias("__gs"))
         .where(
             (F.size("__gs") >= min_groups) & (F.size("__gs") <= max_groups)

@@ -1130,15 +1130,16 @@ def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Edges link document sources that share a word 8-gram appearing in
     2-4 distinct sources (shared enough to witness copying, capped to
     exclude boilerplate); edge building is TWO shuffles — a gram-keyed
-    ``collect_set`` of each gram's group list, then the pair rollup of
-    its double-explode (r10: no gram self-join). The five power
-    iterations each run ONE distributed job over the checkpointed edge
-    list; the nodes-sized blend is driver-held under
-    ``broadcast_ranks`` (a broadcast IS collect + redistribute — same
-    bytes, minus the per-round exchange machinery). Every edge
-    contribution quantizes to int64 before summing, so ranks are
-    bit-identical across engines and the DuckDB twin unrolls the same
-    five rounds. Isolated sources keep the teleport-only rank."""
+    ``collect_set`` of each gram's group list (pre-shuffled on the
+    gram key so the set aggregate skips the useless map-side partial
+    phase — r11), then the pair rollup of its double-explode (r10: no
+    gram self-join). The five power iterations are unrolled into ONE
+    lazy plan of chained joins over the checkpointed edge list (the
+    r11 default — the eager driver-sync mode is opt-in, see
+    ``operators/pagerank.py``). Every edge contribution quantizes to
+    int64 before summing, so ranks are bit-identical across engines
+    and modes, and the DuckDB twin unrolls the same five rounds.
+    Isolated sources keep the teleport-only rank."""
     from linkmerce_spark.operators.pagerank import pagerank, shared_gram_edges
 
     (docs,) = _t(spark, sf_dir, "documents")

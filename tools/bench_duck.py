@@ -45,8 +45,17 @@ def main() -> None:
     con.execute("SET temp_directory='/tmp/duckspill'")
     # Explicit high limit: the default (80% of RAM) left the sf1
     # doc_clean_select_e2e monolith allocator-bound intermittently —
-    # the same twin whose sf10 form needed the staged runner.
-    con.execute(f"SET memory_limit='{os.environ.get('DUCK_MEM', '110GB')}'")
+    # the same twin whose sf10 form needed the staged runner. The
+    # default derives from detected RAM (~85%) so a smaller host spills
+    # instead of inviting the system OOM killer; DUCK_MEM overrides.
+    try:
+        ram_gb = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") // 2**30
+        )
+        mem_default = f"{max(1, int(ram_gb * 0.85))}GB"
+    except (ValueError, OSError):  # pragma: no cover - non-POSIX
+        mem_default = "8GB"
+    con.execute(f"SET memory_limit='{os.environ.get('DUCK_MEM', mem_default)}'")
     skip = set(
         s for s in os.environ.get("BENCH_DUCK_SKIP", "").split(",") if s
     )

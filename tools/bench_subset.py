@@ -28,6 +28,8 @@ def main() -> None:
             sf_dir = a
         else:
             names.append(a)
+    if not names:
+        sys.exit("usage: bench_subset.py [SF_DIR] NAME [NAME...]")
     from linkmerce_spark.queries import QUERIES, clear_query_cache
     from linkmerce_spark.session import get_spark
 
