@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import (
+    ArrayType,
     IntegerType,
     LongType,
     StringType,
@@ -141,10 +142,65 @@ _TRAIN_MEMO: dict[tuple, tuple] = {}
 _TRAIN_MEMO_MAX = 32
 
 
+_VOCAB_SCHEMA = StructType(
+    [
+        StructField("sym", ArrayType(StringType()), True),
+        StructField("wc", LongType(), True),
+    ]
+)
+
+
+def _train_local(
+    spark, vocab: DataFrame, n_merges: int
+) -> tuple[DataFrame, DataFrame]:
+    """Driver-side merge loop over a collected (small) vocabulary.
+
+    Bit-identical to the distributed loop: same ``(count DESC, left
+    ASC, right ASC)`` argmax (Python string comparison and Spark's
+    UTF8 binary comparison induce the same total order — UTF-8 is
+    code-point-order-preserving), same left-to-right non-overlapping
+    re-segmentation, same exhaustion semantics (no merge row once no
+    adjacent pair remains). Property-pinned against the distributed
+    form in tests/test_bpe_train.py.
+    """
+    rows = [(list(r[0]), int(r[1])) for r in vocab.collect()]
+    merge_rows: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, wc in rows:
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                counts[p] = counts.get(p, 0) + wc
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merge_rows.append((rank, left, right, left + right, cnt))
+        merged = left + right
+        nxt: list[tuple[list[str], int]] = []
+        for sym, wc in rows:
+            out: list[str] = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nxt.append((out, wc))
+        rows = nxt
+    merges = spark.createDataFrame(merge_rows, schema=MERGE_SCHEMA)
+    final_vocab = spark.createDataFrame(rows, schema=_VOCAB_SCHEMA)
+    return merges, final_vocab
+
+
 def bpe_train_full(
     df: DataFrame,
     text_col: str,
     n_merges: int,
+    local_loop_threshold: int = 65536,
 ) -> tuple[DataFrame, DataFrame]:
     """Train a BPE merge table over a corpus; return (merges, vocab).
 
@@ -161,6 +217,10 @@ def bpe_train_full(
     - the corpus is scanned exactly once (token frequency shuffle);
       every round after that touches only the DISTINCT vocabulary —
       millions of rows regardless of corpus size;
+    - when the distinct vocabulary is at most ``local_loop_threshold``
+      rows it is collected once and the merge loop runs driver-side
+      (``_train_local`` — bit-identical argmax/re-segmentation); the
+      distributed loop below is the above-threshold path;
     - each round is ONE vocabulary-sized shuffle (pair groupBy with
       map-side partial agg; <= |alphabet+merges|^2 keys) plus a narrow
       re-segmentation map;
@@ -189,7 +249,7 @@ def bpe_train_full(
     if n_merges <= 0:
         raise ValueError("n_merges must be positive")
     spark = df.sparkSession
-    memo_key = (id(spark), id(df), text_col, n_merges)
+    memo_key = (id(spark), id(df), text_col, n_merges, local_loop_threshold)
     hit = _TRAIN_MEMO.get(memo_key)
     if hit is not None and hit[0] is df:
         return hit[1]
@@ -205,6 +265,21 @@ def bpe_train_full(
         .localCheckpoint(eager=True)
     )
     n_vocab = vocab.count()
+    if n_vocab <= local_loop_threshold:
+        # Small-vocabulary fast path: collect the (already
+        # checkpointed) vocabulary and run the merge loop driver-side.
+        # This is how production BPE trainers work — the CORPUS scan
+        # is the distributed part; the loop touches only the distinct
+        # vocabulary, and when that fits on the driver, n_merges
+        # rounds of cluster jobs are pure scheduling overhead
+        # (measured ~0.18 s/round locally for a 31-word vocabulary).
+        # Above the threshold (a 100 TB corpus vocabulary is ~1e8
+        # distinct words) the distributed loop below takes over.
+        out = _train_local(spark, vocab, n_merges)
+        if len(_TRAIN_MEMO) >= _TRAIN_MEMO_MAX:
+            _TRAIN_MEMO.pop(next(iter(_TRAIN_MEMO)))
+        _TRAIN_MEMO[memo_key] = (df, out)
+        return out
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         # AQE-managed runtimes report 'auto' here; fall back to a sane

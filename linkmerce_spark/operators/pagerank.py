@@ -62,10 +62,14 @@ def pagerank(
     """Weighted PageRank after exactly ``n_iter`` power iterations.
 
     ``edges``: directed (src, dst, weight>0); ``nodes``: the full node
-    universe (isolated nodes keep the teleport-only rank). Dangling
-    nodes (in ``nodes`` but with no out-edges) simply contribute
-    nothing — the standard "teleport absorbs dangling mass"
-    simplification; on a symmetric edge list there are none.
+    universe (isolated nodes keep the teleport-only rank), and a
+    PRECONDITION: every edge endpoint must appear in ``nodes`` — an
+    endpoint outside the universe is undefined behavior (the two modes
+    treat it differently; neither validates, because the check would
+    cost an edges-sized join per call). Dangling nodes (in ``nodes``
+    but with no out-edges) simply contribute nothing — the standard
+    "teleport absorbs dangling mass" simplification; on a symmetric
+    edge list there are none.
 
     ``broadcast_ranks=False`` (the default) returns a LAZY frame: the
     ``n_iter`` rounds are unrolled into one plan of chained joins over
@@ -84,20 +88,32 @@ def pagerank(
         raise ValueError("n_iter must be positive")
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
-    bc = broadcast if broadcast_ranks else (lambda df: df)
     omd = 1.0 - damping  # the Python float, mirrored verbatim in twins
-    out_w = edges.groupBy(F.col(src).alias("__src")).agg(
-        F.sum(weight).cast("bigint").alias("__out_w")
-    )
-    e = (
-        edges.join(bc(out_w), F.col(src) == F.col("__src"))
-        .select(
-            F.col(src).alias("__esrc"),
-            F.col(dst).alias("__edst"),
-            F.col(weight).cast("bigint").alias("__w"),
-            "__out_w",
-        )
-        .localCheckpoint(eager=True)  # re-read by every iteration
+    # Per-src out-weight via a window, NOT a self-join: a join of
+    # ``edges`` against ``edges.groupBy(src)`` evaluates the caller's
+    # edge-producing pipeline TWICE before the checkpoint can help
+    # (measured ~2x the whole query when edges come from the gram
+    # pipeline). The window evaluates it once, and its partitionBy is
+    # the src-hash layout the iteration joins want: LogicalRDD
+    # preserves the physical output partitioning through the
+    # checkpoint, so every round's rank join needs NO edge-side
+    # exchange — each iteration shuffles only the nodes-sized rank
+    # frame onto the edges' layout.
+    from pyspark.sql import Window
+
+    e = edges.select(
+        F.col(src).alias("__esrc"),
+        F.col(dst).alias("__edst"),
+        F.col(weight).cast("bigint").alias("__w"),
+        F.sum(weight)
+        .over(Window.partitionBy(src))
+        .cast("bigint")
+        .alias("__out_w"),
+    ).localCheckpoint(eager=True)  # re-read by every iteration
+    # Nodes-sized (src, out_w) for the final output join — read off
+    # the checkpoint (already src-partitioned: zero-exchange agg).
+    out_w = e.groupBy(F.col("__esrc").alias("__src")).agg(
+        F.max("__out_w").alias("__out_w")
     )
     if broadcast_ranks:
         # The node universe already has to fit in memory for the rank
@@ -194,37 +210,41 @@ def pagerank(
             F.coalesce("__out_w", F.lit(0)).cast("bigint").alias("out_w"),
             F.col("__r").alias("pagerank"),
         )
+    # One exchange per round: [join ranks onto edges (edge side
+    # pre-partitioned — no edge exchange) -> union the zero-contribution
+    # row for EVERY node (keeps isolated/dangling nodes without a blend
+    # left-join) -> one aggregate that sums the exact int64 quanta and
+    # applies the teleport blend map-side of nothing — the agg IS the
+    # blend]. Arithmetic is identical to the two-join form: sum
+    # includes an exact 0, then the same scalar IEEE ops.
+    zero = verts.select(
+        F.col("__node").alias("__edst"), F.lit(0).cast("bigint").alias("__c")
+    )
     ranks = verts.select("__node", F.lit(1.0 / float(n)).alias("__r"))
     for _ in range(n_iter):
-        contrib = (
-            e.join(ranks, e.__esrc == ranks.__node)
-            .select(
-                "__edst",
-                F.floor(
-                    (
-                        F.col("__w").cast("double")
-                        / F.col("__out_w").cast("double")
-                    )
-                    * F.col("__r")
-                    * F.lit(_QUANT)
-                    + F.lit(0.5)
-                ).alias("__c"),
-            )
-            .groupBy("__edst")
-            .agg(F.sum("__c").alias("__s"))
-        )
-        ranks = ranks.join(
-            contrib, ranks.__node == contrib.__edst, "left"
-        ).select(
-            "__node",
-            (
-                F.lit(omd / float(n))
-                + F.lit(damping)
-                * (
-                    F.coalesce(F.col("__s"), F.lit(0)).cast("double")
-                    / F.lit(_QUANT)
+        contrib = e.join(ranks, e.__esrc == ranks.__node).select(
+            "__edst",
+            F.floor(
+                (
+                    F.col("__w").cast("double")
+                    / F.col("__out_w").cast("double")
                 )
-            ).alias("__r"),
+                * F.col("__r")
+                * F.lit(_QUANT)
+                + F.lit(0.5)
+            ).cast("bigint").alias("__c"),
+        )
+        ranks = (
+            contrib.unionByName(zero)
+            .groupBy("__edst")
+            .agg(
+                (
+                    F.lit(omd / float(n))
+                    + F.lit(damping)
+                    * (F.sum("__c").cast("double") / F.lit(_QUANT))
+                ).alias("__r")
+            )
+            .withColumnRenamed("__edst", "__node")
         )
     return ranks.join(out_w, ranks.__node == out_w.__src, "left").select(
         F.col("__node").alias(node),
@@ -300,9 +320,15 @@ def shared_gram_edges(
     # rows instead scales linearly and the object-hash aggregate is
     # built once per reduce partition. The explicit HashPartitioning
     # satisfies the aggregate's required distribution, so the plan
-    # keeps exactly ONE exchange here.
+    # keeps exactly ONE exchange here. The partition count is PINNED
+    # (2x parallelism): an un-numbered repartition is eligible for
+    # AQE coalescing, which sizes by shuffle BYTES — tiny here while
+    # the set-build is CPU-heavy — and serialized the whole aggregate
+    # onto one core (measured 3x the stage at sf1).
     per_gram = (
-        grams.repartition("__gram")
+        grams.repartition(
+            2 * df.sparkSession.sparkContext.defaultParallelism, "__gram"
+        )
         .groupBy("__gram")
         .agg(F.collect_set("__g").alias("__gs"))
         .where(

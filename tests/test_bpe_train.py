@@ -50,12 +50,14 @@ def _py_bpe_train(words: dict[str, int], n_merges: int):
     return merges, vocab
 
 
-def _spark_train(spark, corpus: list[str], n_merges: int):
+def _spark_train(spark, corpus: list[str], n_merges: int, threshold: int = 65536):
     from linkmerce_spark.operators.bpe import _TRAIN_MEMO, bpe_train_full
 
     _TRAIN_MEMO.clear()
     df = spark.createDataFrame([(t,) for t in corpus], "text string")
-    merges, vocab = bpe_train_full(df, "text", n_merges)
+    merges, vocab = bpe_train_full(
+        df, "text", n_merges, local_loop_threshold=threshold
+    )
     got_merges = [tuple(r) for r in merges.collect()]
     got_vocab = {tuple(r["sym"]): r["wc"] for r in vocab.collect()}
     return got_merges, got_vocab
@@ -72,11 +74,12 @@ words_st = st.lists(
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )
 @given(words=words_st, n_merges=st.integers(min_value=1, max_value=4))
-def test_bpe_train_matches_pure_python(spark, words, n_merges):
+@pytest.mark.parametrize("threshold", [65536, 0])  # local and distributed loops
+def test_bpe_train_matches_pure_python(spark, threshold, words, n_merges):
     corpus = [" ".join(words)]
     freq: Counter = Counter(words)
     exp_merges, exp_vocab = _py_bpe_train(dict(freq), n_merges)
-    got_merges, got_vocab = _spark_train(spark, corpus, n_merges)
+    got_merges, got_vocab = _spark_train(spark, corpus, n_merges, threshold)
     assert sorted(got_merges) == sorted(exp_merges)
     assert got_vocab == {tuple(seq): c for seq, c in exp_vocab.items()}
 
@@ -88,10 +91,11 @@ def test_bpe_overlap_run_is_non_overlapping(spark):
     assert got_vocab == {("aa", "a"): 2, ("aa",): 1}
 
 
-def test_bpe_exhaustion_rounds_are_noops(spark):
+@pytest.mark.parametrize("threshold", [65536, 0])
+def test_bpe_exhaustion_rounds_are_noops(spark, threshold):
     # Two-char vocabulary merges fully in one round; rounds 2..5 must
     # neither error nor emit merge rows nor disturb the segmentation.
-    got_merges, got_vocab = _spark_train(spark, ["ab ab ab"], 5)
+    got_merges, got_vocab = _spark_train(spark, ["ab ab ab"], 5, threshold)
     assert got_merges == [(1, "a", "b", "ab", 3)]
     assert got_vocab == {("ab",): 3}
 
