@@ -49,10 +49,14 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or "*"
     builder = SparkSession.builder.appName(app_name)
+    is_local = True
     if master is not None:
         builder = builder.master(master)
+        is_local = master.startswith("local")
     elif "SPARK_MASTER" not in os.environ:
         builder = builder.master(f"local[{cpus}]")
+    else:
+        is_local = os.environ["SPARK_MASTER"].startswith("local")
 
     n_shuffle = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", _DEFAULT_LOCAL_SHUFFLE_PARTITIONS)
@@ -76,6 +80,7 @@ def get_spark(
         "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         # Arrow for every pandas_udf / mapInPandas / toPandas exchange.
+        # (advisory partition size is set below, local-mode only)
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # Dynamic partition overwrite: replace only the partitions present
         # in the incoming DataFrame (the reference's partitioned_table
@@ -127,6 +132,20 @@ def get_spark(
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     }
+    if is_local:
+        # With parallelismFirst off, AQE sizes coalesced partitions by
+        # shuffle BYTES against this advisory. The 64MB default exists
+        # to amortize network fetch + disk IO on a real cluster; an
+        # in-process local[N] shuffle has neither, and its scarce
+        # resource is CORES — a 40MB shuffle feeding a window or
+        # object-hash aggregate would coalesce onto one core and run
+        # 3-5x slower (measured: allocation_proportional 2.7 -> 1.0 s,
+        # smartstore_sales_daily 3.7 -> 2.2 s at sf0.1 with 2MB).
+        # Cluster runs (SPARK_MASTER / explicit master) keep Spark's
+        # 64MB default.
+        conf["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = (
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "2MB")
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
