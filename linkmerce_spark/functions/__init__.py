@@ -23,3 +23,19 @@ from linkmerce_spark.functions.vectors import (  # noqa: F401
     vec_cosine,
 )
 from linkmerce_spark.functions import text  # noqa: F401
+
+__all__ = [
+    "safe_int",
+    "safe_float",
+    "try_strptime",
+    "str_prefix",
+    "split_part",
+    "enum_code",
+    "money",
+    "int_div",
+    "date_spine",
+    "vec_dot",
+    "vec_norm",
+    "vec_cosine",
+    "text",
+]

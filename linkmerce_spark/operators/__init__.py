@@ -23,3 +23,17 @@ from linkmerce_spark.operators.rangejoin import (  # noqa: F401
 from linkmerce_spark.operators.rownum import global_row_number  # noqa: F401
 from linkmerce_spark.operators.topk import top_k_per_group  # noqa: F401
 from linkmerce_spark.operators.unpivot import unpivot  # noqa: F401
+
+__all__ = [
+    "dedupe_keep_first",
+    "insert_ignore",
+    "exact_dedup",
+    "merge_frames",
+    "allocate_proportional",
+    "allocate_integer_even",
+    "effective_dated_join",
+    "rolling_range_agg",
+    "global_row_number",
+    "top_k_per_group",
+    "unpivot",
+]

@@ -36,6 +36,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
+__all__ = [
+    "bpe_pair_counts",
+    "bpe_train_full",
+    "bpe_train",
+    "bpe_token_counts",
+    "MERGE_SCHEMA",
+]
+
 
 def bpe_pair_counts(
     df: DataFrame,

@@ -29,6 +29,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+__all__ = [
+    "chunk_by_words",
+    "boilerplate_score",
+]
+
 
 def _words(text_col: str) -> Column:
     return F.split(F.col(text_col), " ")

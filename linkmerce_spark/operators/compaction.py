@@ -34,6 +34,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+__all__ = [
+    "plan_compaction",
+    "apply_compaction",
+]
+
 
 def plan_compaction(
     df: DataFrame,

@@ -29,6 +29,10 @@ from pyspark.sql import DataFrame, functions as F
 
 from linkmerce_spark.operators.dupspans import dup_span_coverage
 
+__all__ = [
+    "curation_gate",
+]
+
 
 def curation_gate(
     docs: DataFrame,

@@ -37,6 +37,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+__all__ = [
+    "dup_span_coverage",
+    "dup_span_rewrite",
+]
+
 
 def dup_span_coverage(
     df: DataFrame,

@@ -33,6 +33,11 @@ from pyspark.sql import DataFrame, functions as F
 
 from linkmerce_spark.operators.minhash import minhash_sigs
 
+__all__ = [
+    "band_keys",
+    "incremental_near_dups",
+]
+
 
 def band_keys(
     signed: DataFrame,

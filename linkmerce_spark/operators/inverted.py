@@ -27,6 +27,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+__all__ = [
+    "inverted_index",
+]
+
 # non-negative doc_id < 10^12, position < 10^6 — see module docstring
 _POSTING_FMT = "%012d:%06d"
 

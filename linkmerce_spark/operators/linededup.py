@@ -37,6 +37,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+__all__ = [
+    "line_dedup_rewrite",
+]
+
 
 def line_dedup_rewrite(
     df: DataFrame,

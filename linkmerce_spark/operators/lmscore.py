@@ -34,6 +34,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+__all__ = [
+    "ilog2",
+    "unigram_lm_score",
+]
+
 
 def ilog2(col: Column) -> Column:
     """Integer floor(log2(x)) for x >= 1, via binary-string length —

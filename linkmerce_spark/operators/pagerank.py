@@ -45,6 +45,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import broadcast
 
+__all__ = [
+    "pagerank",
+    "shared_gram_edges",
+]
+
 _QUANT = 1_000_000_000_000_000.0  # 1e15: exact in double; sums fit int64
 
 

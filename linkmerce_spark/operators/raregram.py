@@ -32,6 +32,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+__all__ = [
+    "rare_gram_stats",
+]
+
 
 def rare_gram_stats(
     df: DataFrame,

@@ -24,6 +24,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+__all__ = [
+    "interleave_bits",
+    "interleave_bits_sql",
+    "zorder_layout",
+]
+
 
 def interleave_bits(a: Column, b: Column, bits: int = 16) -> Column:
     """Morton key of two non-negative bucket coordinates, ``bits``

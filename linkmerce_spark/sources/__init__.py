@@ -4,3 +4,10 @@ from linkmerce_spark.sources.writers import (  # noqa: F401
     write_overwrite_where,
     write_merge,
 )
+
+__all__ = [
+    "read_table",
+    "write_append",
+    "write_overwrite_where",
+    "write_merge",
+]

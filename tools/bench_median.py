@@ -73,8 +73,25 @@ def main() -> None:
             f"ratio={s['value'] / d['value']:.3f} wall={time.time() - t0:.0f}s",
             flush=True,
         )
-
     digest_dir = os.path.join(REPO, "tools", "digests")
+    lines = summarize(pairs, tag, sf_dir, digest_dir)
+    md = os.path.join(digest_dir, f"MED3_{tag}.md")
+    with open(md, "w") as f:
+        f.write("\n".join(lines))
+    print("\n".join(lines))
+    print(f"wrote {md}")
+
+
+def summarize(
+    pairs: list[tuple[dict, dict]], tag: str, sf_dir: str, digest_dir: str
+) -> list[str]:
+    """Write the two med3 JSON docs and return the MD digest lines.
+
+    Pure given (pairs, env): unit-testable without running either
+    engine — the skip-naming contract (any entry present on one side
+    only MUST be named in the digest header, with the BENCH_DUCK_SKIP
+    reason when one was set) is pinned by tests/test_bench_tools.py.
+    """
     report: list[str] = []
     med: dict[str, dict] = {}
     for side, idx, fname in (
@@ -138,6 +155,8 @@ def main() -> None:
     skipped = sorted(
         set(med["SPARK"]["queries"]) ^ set(med["DUCK"]["queries"])
     )
+    skip_env = os.environ.get("BENCH_DUCK_SKIP", "")
+    skip_reason = os.environ.get("BENCH_DUCK_SKIP_REASON", "")
     s_common = round(sum(med["SPARK"]["queries"][n] for n in common), 3)
     d_common = round(sum(med["DUCK"]["queries"][n] for n in common), 3)
     ratio = s_common / d_common
@@ -162,8 +181,14 @@ def main() -> None:
         *(
             [
                 "",
-                f"Excluded from the ratio (present on one side only): "
-                f"{', '.join(f'`{n}`' for n in skipped)}",
+                f"**Excluded from the ratio** (present on one side "
+                f"only): {', '.join(f'`{n}`' for n in skipped)}"
+                + (
+                    f" — skipped via BENCH_DUCK_SKIP={skip_env}"
+                    + (f" ({skip_reason})" if skip_reason else "")
+                    if skip_env
+                    else ""
+                ),
             ]
             if skipped
             else []
@@ -172,11 +197,7 @@ def main() -> None:
         *report,
         "",
     ]
-    md = os.path.join(digest_dir, f"MED3_{tag}.md")
-    with open(md, "w") as f:
-        f.write("\n".join(lines))
-    print("\n".join(lines))
-    print(f"wrote {md}")
+    return lines
 
 
 if __name__ == "__main__":
