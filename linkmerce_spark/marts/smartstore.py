@@ -43,6 +43,7 @@ __all__ = [
     "delivery_tiers",
     "split_by_cost_weight",
     "max_delivery_fee",
+    "attach_max_delivery_fee",
     "sku_quantity",
     "opt_to_sbn_relation",
     "smartstore_sales_daily",
@@ -201,6 +202,107 @@ def max_delivery_fee(po: DataFrame, tiers: DataFrame) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def attach_max_delivery_fee(
+    po: DataFrame, tiers: DataFrame, delivery_type: Column | None = None
+) -> DataFrame:
+    """Replace ``delivery_fee`` on every row of ``po`` with the
+    per-(order, invoice) max-ABS tier fee — the FUSED form of
+    ``max_delivery_fee`` + join-back.
+
+    ``fee = max_delivery_fee(po, tiers)`` followed by
+    ``po.join(fee, on=(order, invoice))`` evaluates the whole upstream
+    plan TWICE (the aggregate side and the join side are separate
+    subtrees — Spark does not share them), which on the deep sales
+    marts doubles every scan, explode and allocation window. This
+    helper computes the same winner fee with window functions over
+    ``po`` itself, all satisfiable by ONE hash exchange on
+    (order_id, invoice_no):
+
+    - the per-(order, invoice, delivery_group) aggregates of 5-1
+      become window aggregates (clustering by (order, invoice) also
+      clusters the finer group key);
+    - the tier-range join of 5-2 becomes a broadcast join against
+      tiers COLLAPSED TO ONE ROW PER GROUP (``collect_list`` of tier
+      structs) + a higher-order ``filter``/``transform`` over that
+      array. This is deliberate: tier bounds from ``delivery_tiers``
+      are [min, LEAD(min)] with an INCLUSIVE between, so a boundary
+      quantity matches TWO tiers — a plain fact-side range join would
+      duplicate rows, the array form cannot fan out;
+    - the max-ABS winner of 5-3 (ties: fee desc) is
+      ``max(struct(abs(fee), fee))`` per (order, invoice) — the
+      group-asc tiebreak of ``max_delivery_fee`` only disambiguates
+      the reported GROUP, never the fee value, so the attached fee is
+      identical.
+
+    ``delivery_type`` overrides the column of the same name (the
+    sabangnet mart feeds a constant 0 without materializing it).
+    """
+    dt = F.col("delivery_type") if delivery_type is None else delivery_type
+    tier_struct = F.struct(
+        F.col("min_unit").alias("min_unit"),
+        F.col("max_unit").alias("max_unit"),
+        F.col("delivery_fee").alias("tier_fee"),
+        F.col("extra_cost").alias("extra_cost"),
+        F.col("n_arrival_fee").alias("n_arrival_fee"),
+        F.col("n_arrival_add").alias("n_arrival_add"),
+    )
+    tg = tiers.groupBy(F.col("delivery_group").alias("__tg")).agg(
+        F.collect_list(tier_struct).alias("__tiers")
+    )
+    wg = Window.partitionBy("order_id", "invoice_no", "delivery_group")
+    woi = Window.partitionBy("order_id", "invoice_no")
+    g_dt = F.max(dt).over(wg)
+    g_fee = F.max("delivery_fee").over(wg)
+    g_box = F.sum("box_cost").over(wg)
+    g_qty = F.coalesce(F.sum("delivery_quantity").over(wg), F.lit(0))
+    j = (
+        po.withColumn("__g_dt", g_dt)
+        .withColumn("__g_fee", g_fee)
+        .withColumn("__g_box", g_box)
+        .withColumn("__g_qty", g_qty)
+        .join(broadcast(tg), F.col("delivery_group") == F.col("__tg"), "left")
+    )
+
+    def tier_fee(t: Column) -> Column:
+        # 5-2 fee rule per candidate tier (matches max_delivery_fee).
+        return (
+            F.when(
+                F.col("__g_fee") > 0,
+                F.col("__g_fee")
+                + F.when(F.col("__g_box") > 0, F.col("__g_box")).otherwise(
+                    t["extra_cost"]
+                ),
+            )
+            .when(
+                F.col("__g_dt") == 7,
+                t["n_arrival_fee"]
+                + t["n_arrival_add"] * (F.col("__g_qty") - t["min_unit"]),
+            )
+            .otherwise(t["tier_fee"] + t["extra_cost"])
+        )
+
+    matches = F.filter(
+        F.col("__tiers"),
+        lambda t: (F.col("__g_qty") >= t["min_unit"])
+        & (F.col("__g_qty") <= t["max_unit"]),
+    )
+    cands = F.transform(matches, tier_fee)
+    # Best candidate per row's group: lexicographic struct max =
+    # (abs desc, fee desc); missing tier group / no matching tier
+    # keeps the group's own fee (the NULL-__tg branch of 5-2).
+    best = F.array_max(
+        F.transform(cands, lambda c: F.struct(F.abs(c).alias("a"), c.alias("f")))
+    )["f"]
+    row_cand = F.when(
+        F.col("__tiers").isNull() | (F.size(cands) == 0), F.col("__g_fee")
+    ).otherwise(best)
+    win = F.max(
+        F.struct(F.abs(row_cand).alias("a"), row_cand.alias("f"))
+    ).over(woi)["f"]
+    keep = [c for c in po.columns if c != "delivery_fee"]
+    return j.select(*keep, win.alias("delivery_fee")).select(*po.columns)
 
 
 def opt_to_sbn_relation(
@@ -548,23 +650,11 @@ def smartstore_sales_daily(
         exploded, ["product_order_id"], ["payment_amount", "supply_amount"]
     )
     dlv2 = with_cj_delivery(split, cj_inv, cj_ord, unit)
-    fee = max_delivery_fee(dlv2, tiers)
-    fee_map = fee.select(
-        F.col("order_id").alias("__f_oid"),
-        F.col("invoice_no").alias("__f_inv"),
-        F.col("delivery_fee").alias("__f_fee"),
-    )
-    attached = (
-        dlv2.drop("delivery_fee")
-        .join(
-            broadcast(fee_map),
-            (F.col("order_id") == F.col("__f_oid"))
-            & (F.col("invoice_no") == F.col("__f_inv")),
-            "left",
-        )
-        .withColumn("delivery_fee", F.col("__f_fee"))
-        .drop("__f_oid", "__f_inv", "__f_fee")
-    )
+    # Fused fee attach: the aggregate+join-back form re-executed the
+    # whole upstream chain (scan/explode/allocation) a second time for
+    # the fee subtree — attach_max_delivery_fee computes the identical
+    # winner fee with windows over dlv2 itself (one exchange).
+    attached = attach_max_delivery_fee(dlv2, tiers)
     final = split_by_cost_weight(
         attached, ["order_id", "invoice_no"], ["delivery_fee"]
     )

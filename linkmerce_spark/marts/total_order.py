@@ -63,7 +63,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from linkmerce_spark.marts.smartstore import max_delivery_fee, split_by_cost_weight
+from linkmerce_spark.marts.smartstore import (
+    attach_max_delivery_fee,
+    max_delivery_fee,
+    split_by_cost_weight,
+)
 from linkmerce_spark.operators.topk import top_k_per_group
 
 __all__ = [
@@ -317,20 +321,11 @@ def sabangnet_product_order(
         costed, ["account_no", "order_id"], ["payment_amount", "supply_amount"]
     )
     dlv = with_cj_delivery(split, cj_inv, cj_ord, unit)
-    fee = max_delivery_fee(dlv.withColumn("delivery_type", F.lit(0)), tiers)
-    fee_map = fee.select(
-        F.col("order_id").alias("__f_oid"),
-        F.col("invoice_no").alias("__f_inv"),
-        F.col("delivery_fee").alias("__f_fee"),
-    )
-    attached = dlv.drop("delivery_fee").join(
-        fee_map,
-        (F.col("order_id") == F.col("__f_oid"))
-        & (F.col("invoice_no") == F.col("__f_inv")),
-        "left",
-    ).withColumn("delivery_fee", F.col("__f_fee")).drop(
-        "__f_oid", "__f_inv", "__f_fee"
-    )
+    # Fused fee attach (see attach_max_delivery_fee): the old
+    # aggregate+join-back diamond re-executed the explode/cost/split
+    # chain twice; the windowed form computes the identical winner fee
+    # in one pass over dlv.
+    attached = attach_max_delivery_fee(dlv, tiers, delivery_type=F.lit(0))
     final = split_by_cost_weight(
         attached, ["order_id", "invoice_no"], ["delivery_fee"]
     )
