@@ -31,6 +31,8 @@ Scale notes
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -205,18 +207,17 @@ def insight_daily(
         ).cast("long"),
     ).otherwise(F.col("ad_cost"))
 
-    grain = (
+    # ANY_VALUE in the reference — the bundle is functionally
+    # dependent on the grain; MIN makes that deterministic in every
+    # engine (equal values -> same result). Two-level rollup keeps the
+    # fact-sized pass hash-aggregated (see _grain_rollup).
+    grain = _grain_rollup(
         fact.withColumn("device_type", F.col("pc_mobile_type"))
         .withColumn("ad_cost", cost)
-        .withColumn("__bundle", bundle)
-        .groupBy("ymd", "campaign_id", "ad_id", "device_type")
-        .agg(
-            # ANY_VALUE in the reference — the bundle is functionally
-            # dependent on the grain; MIN makes that deterministic in
-            # every engine (equal values -> same result).
-            F.min("__bundle").alias("bundle_product_ids"),
-            *[F.sum(m).alias(m) for m in _MEASURES],
-        )
+        .withColumn("__bundle", bundle),
+        ["ymd", "campaign_id", "ad_id", "device_type"],
+        "__bundle",
+        _MEASURES,
     )
 
     exploded = grain.select(
@@ -250,6 +251,38 @@ _DABLE_MEASURES = [
     "ad_cost",
     "conv_count",
 ]
+
+
+def _grain_rollup(
+    df: DataFrame,
+    keys: Sequence[str],
+    bundle_col: str,
+    measures: Sequence[str],
+    out_bundle: str = "bundle_product_ids",
+) -> DataFrame:
+    """Grain rollup with a string MIN, kept hash-based on the fact pass.
+
+    MIN over a string column is not hash-aggregatable (string
+    aggregation buffers force the whole aggregate into a two-pass
+    SortAggregate), so ``GROUP BY keys AGG MIN(bundle), SUM(...)``
+    sorts the entire fact input before AND after the exchange. Level 1
+    hash-aggregates the measures with the bundle as an extra group key
+    (partial aggregation still reduces pre-shuffle bytes; the key is
+    wider by one functionally-light column); level 2 computes the
+    string MIN plus final SUMs over the grain-sized intermediate, so
+    the only sort left runs on already-reduced rows. SUM of per-group
+    SUMs == SUM and MIN over the distinct values == MIN (NULL bundles
+    group separately and MIN skips NULLs either way), so the result is
+    identical for arbitrary input — no functional-dependency
+    assumption needed.
+    """
+    lvl1 = df.groupBy(*keys, bundle_col).agg(
+        *[F.sum(m).alias(m) for m in measures]
+    )
+    return lvl1.groupBy(*keys).agg(
+        F.min(bundle_col).alias(out_bundle),
+        *[F.sum(m).alias(m) for m in measures],
+    )
 
 
 def dable_report_daily(
@@ -286,15 +319,13 @@ def dable_report_daily(
         ["campaign_id"],
         "ymd",
     )
-    grain = (
-        fact.withColumn(
-            "__b", F.coalesce("__bundle", F.lit(FALLBACK_BUNDLE))
-        )
-        .groupBy("ymd", "campaign_id")
-        .agg(
-            F.min("__b").alias("bundle_product_ids"),  # ANY_VALUE, pinned
-            *[F.sum(m).alias(m) for m in _DABLE_MEASURES],
-        )
+    # ANY_VALUE pinned as MIN; two-level rollup keeps the fact-sized
+    # pass hash-aggregated (see _grain_rollup).
+    grain = _grain_rollup(
+        fact.withColumn("__b", F.coalesce("__bundle", F.lit(FALLBACK_BUNDLE))),
+        ["ymd", "campaign_id"],
+        "__b",
+        _DABLE_MEASURES,
     )
     exploded = grain.select(
         "*",

@@ -348,36 +348,49 @@ def rocket_sales_shipping(sales: DataFrame, shipping: DataFrame) -> DataFrame:
     with the NULL->7 / LEAST(status,3) rule (:829-893).
 
     sales: order_id, option_id, vendor_id, order_status, order_quantity,
-    sales_amount, settlement_amount, sales_date (pre-aggregated).
-    shipping: order_id, option_id, vendor_id, delivery_fee, sales_date.
+    sales_amount, settlement_amount, sales_date (pre-aggregated:
+    UNIQUE per (order_id, option_id), amounts already summed to long).
+    shipping: order_id, option_id, vendor_id, delivery_fee, sales_date
+    (same contract).
+
+    Because each input is unique on the join key, the full-outer merge
+    is also unique per (order_id, option_id) and the reference's
+    GROUP BY (sales_date, order_id, option_id) aggregates singleton
+    groups — so it is evaluated as a row-wise projection (MIN(v) -> v,
+    COALESCE(SUM(x), 0) -> COALESCE(x, 0), the status rule applied
+    directly). That removes one Exchange and a two-pass SortAggregate
+    (the MIN over the string vendor_id is not hash-aggregatable) from
+    every caller; ``tests/test_operators.py`` pins equivalence with
+    the aggregate form on a fixture with one-sided and NULL-date rows.
     """
     s = sales.alias("s")
     h = shipping.alias("h")
-    merged = s.join(
+    z = F.lit(0)
+    return s.join(
         h,
         (F.col("s.order_id") == F.col("h.order_id"))
         & (F.col("s.option_id") == F.col("h.option_id")),
         "full_outer",
     ).select(
+        F.coalesce("s.sales_date", "h.sales_date").alias("sales_date"),
         F.coalesce("s.order_id", "h.order_id").alias("order_id"),
         F.coalesce("s.option_id", "h.option_id").alias("option_id"),
         F.coalesce("s.vendor_id", "h.vendor_id").alias("vendor_id"),
-        F.col("s.order_status").alias("order_status"),
-        F.col("s.order_quantity").alias("order_quantity"),
-        F.col("s.sales_amount").alias("sales_amount"),
-        F.col("s.settlement_amount").alias("settlement_amount"),
-        F.col("h.delivery_fee").alias("delivery_fee"),
-        F.coalesce("s.sales_date", "h.sales_date").alias("sales_date"),
-    )
-    return merged.groupBy("sales_date", "order_id", "option_id").agg(
-        F.min(F.col("vendor_id")).alias("vendor_id"),
-        F.when(F.max("order_status").isNull(), F.lit(7))
-        .otherwise(F.least(F.max("order_status"), F.lit(3)))
+        F.when(F.col("s.order_status").isNull(), F.lit(7))
+        .otherwise(F.least(F.col("s.order_status"), F.lit(3)))
         .alias("order_status"),
-        F.coalesce(F.sum("order_quantity"), F.lit(0)).alias("order_quantity"),
-        F.coalesce(F.sum("sales_amount"), F.lit(0)).alias("sales_amount"),
-        F.coalesce(F.sum("settlement_amount"), F.lit(0)).alias("settlement_amount"),
-        F.coalesce(F.sum("delivery_fee"), F.lit(0)).alias("delivery_fee"),
+        F.coalesce(F.col("s.order_quantity").cast("long"), z.cast("long")).alias(
+            "order_quantity"
+        ),
+        F.coalesce(F.col("s.sales_amount").cast("long"), z.cast("long")).alias(
+            "sales_amount"
+        ),
+        F.coalesce(F.col("s.settlement_amount").cast("long"), z.cast("long")).alias(
+            "settlement_amount"
+        ),
+        F.coalesce(F.col("h.delivery_fee").cast("long"), z.cast("long")).alias(
+            "delivery_fee"
+        ),
     )
 
 

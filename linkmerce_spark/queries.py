@@ -4529,17 +4529,37 @@ def q_coupang_total_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         d.alias("sales_date"),
     )
-    sales = sales_raw.groupBy("order_id", "option_id").agg(
-        F.min("vendor_id").alias("vendor_id"),
-        F.max("settlement_type").alias("order_status"),
-        F.sum("order_quantity").alias("order_quantity"),
-        F.sum(
-            F.coalesce("unit_price", F.lit(0)) * F.coalesce("order_quantity", F.lit(0))
-            - F.coalesce("coupang_discount", F.lit(0))
-            - F.coalesce("seller_discount", F.lit(0))
-        ).alias("sales_amount"),
-        F.sum("settlement_amount").alias("settlement_amount"),
-        F.max("sales_date").alias("sales_date"),
+    # vendor_id = 'v' || (order_id % 3) is a pure function of the
+    # group key (see sales_raw above), so MIN over the group equals
+    # re-deriving it post-aggregation. Keeping the string column out
+    # of the agg keeps it hash-based: a MIN over a string forces
+    # SortAggregate (string buffers are not hash-aggregatable).
+    sales = (
+        sales_raw.groupBy("order_id", "option_id")
+        .agg(
+            F.max("settlement_type").alias("order_status"),
+            F.sum("order_quantity").alias("order_quantity"),
+            F.sum(
+                F.coalesce("unit_price", F.lit(0))
+                * F.coalesce("order_quantity", F.lit(0))
+                - F.coalesce("coupang_discount", F.lit(0))
+                - F.coalesce("seller_discount", F.lit(0))
+            ).alias("sales_amount"),
+            F.sum("settlement_amount").alias("settlement_amount"),
+            F.max("sales_date").alias("sales_date"),
+        )
+        .select(
+            "order_id",
+            "option_id",
+            F.concat(F.lit("v"), (F.col("order_id") % 3).cast("string")).alias(
+                "vendor_id"
+            ),
+            "order_status",
+            "order_quantity",
+            "sales_amount",
+            "settlement_amount",
+            "sales_date",
+        )
     )
     ship_raw = orders.filter(k % 3 == 1).select(
         grp.alias("order_id"),
@@ -4550,14 +4570,26 @@ def q_coupang_total_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((k % 5) * 5).alias("extra_fee"),
         d.alias("sales_date"),
     )
-    shipping = ship_raw.groupBy("order_id", "option_id").agg(
-        F.min("vendor_id").alias("vendor_id"),
-        F.sum(
-            F.coalesce("warehousing_fee", F.lit(0))
-            - F.coalesce("discount_amount", F.lit(0))
-            + F.coalesce("extra_fee", F.lit(0))
-        ).alias("delivery_fee"),
-        F.max("sales_date").alias("sales_date"),
+    # Same hash-aggregate rationale as `sales` above.
+    shipping = (
+        ship_raw.groupBy("order_id", "option_id")
+        .agg(
+            F.sum(
+                F.coalesce("warehousing_fee", F.lit(0))
+                - F.coalesce("discount_amount", F.lit(0))
+                + F.coalesce("extra_fee", F.lit(0))
+            ).alias("delivery_fee"),
+            F.max("sales_date").alias("sales_date"),
+        )
+        .select(
+            "order_id",
+            "option_id",
+            F.concat(F.lit("v"), (F.col("order_id") % 3).cast("string")).alias(
+                "vendor_id"
+            ),
+            "delivery_fee",
+            "sales_date",
+        )
     )
     merged = rocket_sales_shipping(sales, shipping)
     rel = values_df(

@@ -87,3 +87,79 @@ def test_settlement_shipping_enums(spark):
     assert out[2]["settlement_type"] == 99 and out[2]["period_type"] == 99
     assert out[2]["warehousing_fee"] is None
     assert out[2]["shipping_date"] is None and out[2]["settlement_date"] is None
+
+
+def test_rocket_sales_shipping_projection_matches_aggregate(spark):
+    """The r11 projection form of rocket_sales_shipping must equal the
+    reference GROUP BY form on every contract-legal input: unique
+    (order_id, option_id) per feed, one-sided rows both ways, NULL
+    sales_date, NULL measures."""
+    from pyspark.sql import functions as F
+
+    from linkmerce_spark.marts.total_order import rocket_sales_shipping
+
+    sales = spark.createDataFrame(
+        [
+            (1, "A", "v1", 5, 2, 100, 80, dt.date(2024, 1, 1)),
+            (2, "B", "v2", None, None, None, None, None),  # NULLs
+            (3, "C", "v0", 2, 1, 50, 40, dt.date(2024, 1, 2)),  # sales-only
+        ],
+        "order_id long, option_id string, vendor_id string, "
+        "order_status int, order_quantity long, sales_amount long, "
+        "settlement_amount long, sales_date date",
+    )
+    shipping = spark.createDataFrame(
+        [
+            (1, "A", "v1", 30, dt.date(2024, 1, 1)),
+            (2, "B", "v9", 10, dt.date(2024, 1, 5)),  # date fills the NULL
+            (4, "D", "v3", None, dt.date(2024, 1, 3)),  # shipping-only
+        ],
+        "order_id long, option_id string, vendor_id string, "
+        "delivery_fee long, sales_date date",
+    )
+
+    # Reference formulation: the aggregate over the full-outer merge.
+    s, h = sales.alias("s"), shipping.alias("h")
+    merged = s.join(
+        h,
+        (F.col("s.order_id") == F.col("h.order_id"))
+        & (F.col("s.option_id") == F.col("h.option_id")),
+        "full_outer",
+    ).select(
+        F.coalesce("s.order_id", "h.order_id").alias("order_id"),
+        F.coalesce("s.option_id", "h.option_id").alias("option_id"),
+        F.coalesce("s.vendor_id", "h.vendor_id").alias("vendor_id"),
+        F.col("s.order_status").alias("order_status"),
+        F.col("s.order_quantity").alias("order_quantity"),
+        F.col("s.sales_amount").alias("sales_amount"),
+        F.col("s.settlement_amount").alias("settlement_amount"),
+        F.col("h.delivery_fee").alias("delivery_fee"),
+        F.coalesce("s.sales_date", "h.sales_date").alias("sales_date"),
+    )
+    expected = merged.groupBy("sales_date", "order_id", "option_id").agg(
+        F.min(F.col("vendor_id")).alias("vendor_id"),
+        F.when(F.max("order_status").isNull(), F.lit(7))
+        .otherwise(F.least(F.max("order_status"), F.lit(3)))
+        .alias("order_status"),
+        F.coalesce(F.sum("order_quantity"), F.lit(0)).alias("order_quantity"),
+        F.coalesce(F.sum("sales_amount"), F.lit(0)).alias("sales_amount"),
+        F.coalesce(F.sum("settlement_amount"), F.lit(0)).alias(
+            "settlement_amount"
+        ),
+        F.coalesce(F.sum("delivery_fee"), F.lit(0)).alias("delivery_fee"),
+    )
+
+    got = rocket_sales_shipping(sales, shipping)
+    assert got.columns == expected.columns
+    assert [f.dataType for f in got.schema.fields] == [
+        f.dataType for f in expected.schema.fields
+    ]
+    key = lambda r: (r["order_id"], r["option_id"])  # noqa: E731
+    got_rows = sorted((r.asDict() for r in got.collect()), key=lambda d: key(d))
+    exp_rows = sorted(
+        (r.asDict() for r in expected.collect()), key=lambda d: key(d)
+    )
+    assert got_rows == exp_rows
+    # and no aggregate survives in the physical plan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Aggregate" not in plan
