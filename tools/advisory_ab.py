@@ -81,7 +81,7 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    configs = ["2MB", "64MB"]
+    configs = sys.argv[3].split(",") if len(sys.argv) > 3 else ["2MB", "64MB"]
     runs: list[dict] = []  # [{config, order, results}]
     for rep in range(reps):
         order = configs if rep % 2 == 0 else configs[::-1]
@@ -104,7 +104,7 @@ def main() -> None:
         f"sf_dir={sf_dir}, reps={reps}, cold JVM per session, orderings alternated.",
         "Per query: median across sessions of [cold pass, warm pass].",
         "",
-        f"| query | 2MB cold | 64MB cold | 2MB warm | 64MB warm | warm 64/2 |",
+        f"| query | " + " | ".join(f"{c} cold" for c in configs) + " | " + " | ".join(f"{c} warm" for c in configs) + f" | warm last/first |",
         f"|---|---|---|---|---|---|",
     ]
     for q in QUERIES:
@@ -113,11 +113,11 @@ def main() -> None:
             cold = statistics.median(r["results"][q][0] for r in runs if r["config"] == cfg)
             warm = statistics.median(r["results"][q][1] for r in runs if r["config"] == cfg)
             med[cfg] = (cold, warm)
-        ratio = med["64MB"][1] / med["2MB"][1] if med["2MB"][1] else float("nan")
-        lines.append(
-            f"| {q} | {med['2MB'][0]:.2f} | {med['64MB'][0]:.2f} "
-            f"| {med['2MB'][1]:.2f} | {med['64MB'][1]:.2f} | {ratio:.2f} |"
+        ratio = med[configs[-1]][1] / med[configs[0]][1] if med[configs[0]][1] else float("nan")
+        cells = " | ".join(f"{med[c][0]:.2f}" for c in configs) + " | " + " | ".join(
+            f"{med[c][1]:.2f}" for c in configs
         )
+        lines.append(f"| {q} | {cells} | {ratio:.2f} |")
     for cfg in configs:
         tot_cold = statistics.median(
             sum(v[0] for v in r["results"].values()) for r in runs if r["config"] == cfg
