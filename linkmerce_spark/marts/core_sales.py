@@ -53,6 +53,7 @@ __all__ = [
     "top_shop_daily",
     "brand_shop_daily",
     "assign_ad_shop",
+    "assign_ad_shop_tagged",
     "sales_daily_rollup",
 ]
 
@@ -164,6 +165,69 @@ def assign_ad_shop(
             brd,
             (ads["order_date"] == F.col("__brd_date"))
             & (F.col("__itm_brand") == F.col("__brd_brand")),
+            "left",
+        )
+    )
+    return out.select(
+        ads["product_id"],
+        F.coalesce("__prd_shop", "__brd_shop", ads["shop_id"]).alias("shop_id"),
+        "ad_cost",
+        ads["order_date"],
+    )
+
+
+def assign_ad_shop_tagged(
+    ads: DataFrame,
+    product_master: DataFrame,
+    product_daily: DataFrame,
+    brand_daily: DataFrame,
+) -> DataFrame:
+    """``assign_ad_shop`` for SEVERAL ad channels in one pass.
+
+    ``ads`` carries a nullable ``__src`` tag per row; ``product_daily``
+    / ``brand_daily`` are the channel shop maps unioned with a
+    matching ``__src`` column. A row joins only its own channel's maps
+    (the tag is part of the join key; a NULL tag — an un-mapped
+    channel — matches nothing and keeps its own shop), so N channels
+    share ONE map join each instead of planning N copies of the
+    three-join chain.
+
+    Semantically identical to calling ``assign_ad_shop`` per channel
+    with that channel's maps and unioning the results.
+    """
+    itm = broadcast(product_master.select(
+        F.col("product_id").alias("__itm_pid"), F.col("brand_name").alias("__itm_brand")
+    ))
+    prd = product_daily.select(
+        F.col("order_date").alias("__prd_date"),
+        F.col("product_id").alias("__prd_pid"),
+        F.col("shop_id").alias("__prd_shop"),
+        F.col("__src").alias("__prd_src"),
+    )
+    # brand-day cardinality is business-bounded (brands x days x
+    # channels) — same broadcast rationale as assign_ad_shop.
+    brd = broadcast(
+        brand_daily.select(
+            F.col("order_date").alias("__brd_date"),
+            F.col("brand_name").alias("__brd_brand"),
+            F.col("shop_id").alias("__brd_shop"),
+            F.col("__src").alias("__brd_src"),
+        )
+    )
+    out = (
+        ads.join(itm, ads["product_id"] == F.col("__itm_pid"), "left")
+        .join(
+            prd,
+            (ads["order_date"] == F.col("__prd_date"))
+            & (ads["product_id"] == F.col("__prd_pid"))
+            & (ads["__src"] == F.col("__prd_src")),
+            "left",
+        )
+        .join(
+            brd,
+            (ads["order_date"] == F.col("__brd_date"))
+            & (F.col("__itm_brand") == F.col("__brd_brand"))
+            & (ads["__src"] == F.col("__brd_src")),
             "left",
         )
     )

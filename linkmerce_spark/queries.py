@@ -4255,7 +4255,7 @@ def q_core_sales_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     smartstore, DESC for coupang), status-8/9 ad/cost frames, and the
     7-measure rollup."""
     from linkmerce_spark.marts.core_sales import (
-        assign_ad_shop,
+        assign_ad_shop_tagged,
         brand_shop_daily,
         harmonize,
         sales_daily_rollup,
@@ -4313,38 +4313,86 @@ def q_core_sales_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "product_id string, brand_name string",
     )
 
-    def _ads(flt: Column, shop: str, amount: Column, grouped: bool = True) -> DataFrame:
-        f = orders.filter(flt).select(
-            F.when(k % 25 == 0, F.lit("200000"))
-            .otherwise(F.concat(F.lit("P"), (k % 20).cast("string")))
-            .alias("product_id"),
-            F.lit(shop).alias("shop_id"),
-            amount.alias("ad_cost"),
+    # The six grouped ad feeds all aggregate the SAME orders scan at
+    # the same (order_date, product_id) grain — shop_id is a per-feed
+    # literal — so they run as ONE scan + ONE hash aggregate with a
+    # conditional SUM per feed (guide §2.3/§2.4: shared-subtree
+    # consolidation; before: 6 scans + 6 aggregate exchanges). The
+    # feed rows are recovered by unpivoting the six sums; a NULL sum
+    # means that feed had no row in the group, exactly the groups the
+    # per-feed GROUP BY would not emit.
+    ad_pid = F.when(k % 25 == 0, F.lit("200000")).otherwise(
+        F.concat(F.lit("P"), (k % 20).cast("string"))
+    )
+    # (filter, shop literal, amount, shop-map tag: 0=smt maps, 1=cpg)
+    ad_frames = [
+        (k % 5 == 0, "shop0055", (k % 9 + 1) * 10, 0),     # searchad insight
+        (k % 11 == 0, "shop0055", (k % 5 + 1) * 7, 0),     # searchad contract
+        (k % 7 == 0, "shop9001", (k % 6 + 1) * 5, 1),      # coupang ads
+        (k % 13 == 0, "adop0001", (k % 4 + 1) * 3, None),  # google
+        (k % 17 == 0, "adop0002", (k % 3 + 1) * 2, None),  # meta
+        (k % 19 == 0, "adop0009", (k % 5 + 1) * 4, None),  # dable
+    ]
+    any_ad = ad_frames[0][0]
+    for flt, _, _, _ in ad_frames[1:]:
+        any_ad = any_ad | flt
+    ad_agg = (
+        orders.filter(any_ad)
+        .select(
             d.alias("order_date"),
+            ad_pid.alias("product_id"),
+            *[
+                F.when(flt, amt).alias(f"__a{i}")
+                for i, (flt, _, amt, _) in enumerate(ad_frames)
+            ],
         )
-        if grouped:
-            f = f.groupBy("order_date", "product_id", "shop_id").agg(
-                F.sum("ad_cost").alias("ad_cost")
-            )
-        return f.select("product_id", "shop_id", "ad_cost", "order_date")
-
-    sa_insight = _ads(k % 5 == 0, "shop0055", (k % 9 + 1) * 10)
-    sa_contract = _ads(k % 11 == 0, "shop0055", (k % 5 + 1) * 7)
-    cpg_ads = _ads(k % 7 == 0, "shop9001", (k % 6 + 1) * 5)
-    google = _ads(k % 13 == 0, "adop0001", (k % 4 + 1) * 3)
-    meta = _ads(k % 17 == 0, "adop0002", (k % 3 + 1) * 2)
-    dable = _ads(k % 19 == 0, "adop0009", (k % 5 + 1) * 4)
-    extra_ads = _ads(k % 23 == 0, "adop0008", (k % 7 + 1) * 6, grouped=False)
+        .groupBy("order_date", "product_id")
+        .agg(*[F.sum(f"__a{i}").alias(f"__a{i}") for i in range(len(ad_frames))])
+    )
+    stacked = (
+        ad_agg.select(
+            "order_date",
+            "product_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(shop).alias("shop_id"),
+                            F.col(f"__a{i}").alias("ad_cost"),
+                            F.lit(src).cast("int").alias("__src"),
+                        )
+                        for i, (_, shop, _, src) in enumerate(ad_frames)
+                    ]
+                )
+            ).alias("__f"),
+        )
+        .select("order_date", "product_id", "__f.shop_id", "__f.ad_cost", "__f.__src")
+        .filter(F.col("ad_cost").isNotNull())
+    )
+    extra_ads = orders.filter(k % 23 == 0).select(
+        ad_pid.alias("product_id"),
+        F.lit("adop0008").alias("shop_id"),
+        ((k % 7 + 1) * 6).alias("ad_cost"),
+        d.alias("order_date"),
+    )
 
     smt_prd = top_shop_daily(smt, shop_asc=True)
     smt_brd = brand_shop_daily(smt, pm, shop_asc=True)
-    sa_mapped = assign_ad_shop(
-        sa_insight.unionByName(sa_contract), pm, smt_prd, smt_brd
-    )
     cpg_pool = cpg.unionByName(sbn.filter(F.col("shop_id") == "shop0075"))
     cpg_prd = top_shop_daily(cpg_pool, shop_asc=False)
     cpg_brd = brand_shop_daily(cpg_pool, pm, shop_asc=False)
-    cpg_mapped = assign_ad_shop(cpg_ads, pm, cpg_prd, cpg_brd)
+    # One three-join assign chain for all mapped channels: the smt and
+    # cpg shop maps union with the channel tag, each stacked row joins
+    # only its own channel's maps (google/meta/dable carry a NULL tag,
+    # match nothing, keep their own shop — identical to the unmapped
+    # passthrough of the per-channel form).
+    prd_all = smt_prd.withColumn("__src", F.lit(0)).unionByName(
+        cpg_prd.withColumn("__src", F.lit(1))
+    )
+    brd_all = smt_brd.withColumn("__src", F.lit(0)).unionByName(
+        cpg_brd.withColumn("__src", F.lit(1))
+    )
+    mapped_ads = assign_ad_shop_tagged(stacked, pm, prd_all, brd_all)
 
     expense = (
         orders.filter(k % 29 == 0)
@@ -4370,16 +4418,33 @@ def q_core_sales_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("product_id", "shop_id", "extra_cost", "order_date")
     )
 
-    insight = sa_mapped
-    for f in (cpg_mapped, google, meta, dable, extra_ads):
-        insight = insight.unionByName(f)
+    insight = mapped_ads.unionByName(extra_ads)
     cost_frame = expense.unionByName(opex)
+
+    # The three channel sales frames are disjoint k%3 slices of the
+    # same scan with identical projections (only the shop expression
+    # differs), so the ROLLUP branch reads orders once with the shop
+    # CASE folded in (§2.4); smt/sbn/cpg above still exist for the
+    # shop-map pipelines, which aggregate different slices.
+    shop_all = (
+        F.when(
+            k % 3 == 0,
+            F.when(k % 6 == 0, F.lit("shop9000")).otherwise(F.lit("shop0055")),
+        )
+        .when(
+            k % 3 == 1,
+            F.element_at(
+                F.array(F.lit("shop0075"), F.lit("shop0011"), F.lit("shop0012")),
+                ((k % 9) / 3 + 1).cast("int"),
+            ),
+        )
+        .otherwise(F.lit("shop9001"))
+    )
+    sales_all = orders.select(*_sales(shop_all))
 
     return sales_daily_rollup(
         [
-            harmonize(sbn),
-            harmonize(smt),
-            harmonize(cpg),
+            harmonize(sales_all),
             harmonize(extra_sales),
             harmonize(insight, order_status=8),
             harmonize(cost_frame, order_status=9),

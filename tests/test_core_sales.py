@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from linkmerce_spark.frames import values_df
 from linkmerce_spark.marts.core_sales import (
     assign_ad_shop,
+    assign_ad_shop_tagged,
     brand_shop_daily,
     harmonize,
     sales_daily_rollup,
@@ -83,6 +84,57 @@ def test_assign_ad_shop_fallback_chain(spark):
     out = {r["product_id"]: r["shop_id"]
            for r in assign_ad_shop(ads, pm, prd, brd).collect()}
     assert out == {"P1": "shopB", "P9": "shopC", "P7": "shop0055"}
+
+
+def test_assign_ad_shop_tagged_matches_per_channel(spark):
+    """The one-pass tagged assign must equal calling assign_ad_shop per
+    channel with that channel's maps and unioning — including the
+    unmapped channel (NULL tag) passing through on its own shop."""
+    pm = values_df(spark, [("P1", "BrandX"), ("P9", "BrandX")],
+                   "product_id string, brand_name string")
+    prd0 = spark.createDataFrame([(_D, "P1", "shopB")],
+                                 "order_date date, product_id string, shop_id string")
+    brd0 = spark.createDataFrame([(_D, "BrandX", "shopC")],
+                                 "order_date date, brand_name string, shop_id string")
+    # channel 1 maps the SAME keys to different shops — a cross-channel
+    # leak would be visible immediately
+    prd1 = spark.createDataFrame([(_D, "P1", "shopQ")],
+                                 "order_date date, product_id string, shop_id string")
+    brd1 = spark.createDataFrame([(_D, "BrandX", "shopR")],
+                                 "order_date date, brand_name string, shop_id string")
+    ads0 = spark.createDataFrame(
+        [("P1", "shop0055", 10, _D), ("P9", "shop0055", 20, _D),
+         ("P7", "shop0055", 30, _D)],
+        "product_id string, shop_id string, ad_cost long, order_date date",
+    )
+    ads1 = spark.createDataFrame(
+        [("P1", "shop9001", 11, _D), ("P9", "shop9001", 21, _D)],
+        "product_id string, shop_id string, ad_cost long, order_date date",
+    )
+    ads_un = spark.createDataFrame(
+        [("P1", "adop0001", 7, _D)],
+        "product_id string, shop_id string, ad_cost long, order_date date",
+    )
+    expected = (
+        assign_ad_shop(ads0, pm, prd0, brd0)
+        .unionByName(assign_ad_shop(ads1, pm, prd1, brd1))
+        .unionByName(ads_un)
+    )
+    tagged = (
+        ads0.withColumn("__src", F.lit(0))
+        .unionByName(ads1.withColumn("__src", F.lit(1)))
+        .unionByName(ads_un.withColumn("__src", F.lit(None).cast("int")))
+    )
+    prd_all = prd0.withColumn("__src", F.lit(0)).unionByName(
+        prd1.withColumn("__src", F.lit(1))
+    )
+    brd_all = brd0.withColumn("__src", F.lit(0)).unionByName(
+        brd1.withColumn("__src", F.lit(1))
+    )
+    out = assign_ad_shop_tagged(tagged, pm, prd_all, brd_all)
+    assert out.columns == expected.columns
+    key = lambda r: (r["product_id"], r["shop_id"], r["ad_cost"])  # noqa: E731
+    assert sorted(map(key, out.collect())) == sorted(map(key, expected.collect()))
 
 
 def test_harmonize_and_rollup(spark):
