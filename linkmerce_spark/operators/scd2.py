@@ -53,7 +53,14 @@ def scd2_from_changelog(
     keys, attrs = list(keys), list(attrs)
     df = changelog
     if tiebreak is not None:
-        # one change per (keys, ts): highest tiebreak wins.
+        # one change per (keys, ts): highest tiebreak wins. The dedup
+        # window's (keys, ts) clustering is satisfied by hash(keys) —
+        # repartitioning on the KEYS here lets this window AND both
+        # regime windows below ride ONE exchange (left implicit, Spark
+        # plans hash(keys, ts) for the dedup and a second fact-sized
+        # hash(keys) exchange for the regimes; guide §2.4). The sorts
+        # compose too: (keys, ts, tiebreak DESC) prefixes (keys, ts).
+        df = df.repartition(*[F.col(k) for k in keys])
         w_dedup = Window.partitionBy(*keys, ts).orderBy(F.col(tiebreak).desc())
         df = (
             df.withColumn("__rn", F.row_number().over(w_dedup))

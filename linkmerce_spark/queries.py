@@ -7306,6 +7306,7 @@ def q_scd2_effective_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     attach -> rollup — the producer AND consumer side of every
     effective-dated relation in the reference's dbt models.
     """
+    from linkmerce_spark.operators.asofjoin import asof_join
     from linkmerce_spark.operators.scd2 import scd2_from_changelog
 
     orders, li = _t(spark, sf_dir, "orders", "lineitem")
@@ -7322,25 +7323,32 @@ def q_scd2_effective_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         attrs=["o_orderpriority"],
         tiebreak="o_orderkey",
     )
-    facts = li.select(
-        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship_d"), "l_quantity"
-    ).join(
-        orders.select("o_orderkey", "o_custkey"),
-        F.col("l_orderkey") == F.col("o_orderkey"),
+    facts = (
+        li.select(
+            "l_orderkey", F.col("l_shipdate").cast("date").alias("ship_d"), "l_quantity"
+        )
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("o_custkey", "ship_d", "l_quantity")
     )
-    # The open regime's NULL end lands as a sentinel upper bound, NOT
-    # an OR-disjunct: a disjunct in the range condition knocks engines
-    # off their range-join machinery (measured 26x on the twin — the
-    # whole-class risk this engine's operators avoid by construction).
-    j = facts.join(
-        dim,
-        (facts.o_custkey == dim.o_custkey)
-        & (F.col("ship_d") >= F.col("effective_from"))
-        & (
-            F.col("ship_d")
-            < F.coalesce(F.col("effective_to"), F.lit("9999-12-31").cast("date"))
-        ),
-        "left",
+    # The regime attach is a backward AS-OF join, not a range join:
+    # scd2_from_changelog builds CONTIGUOUS [from, to) regimes per key
+    # (effective_to = LEAD(effective_from)), so "the regime whose
+    # [from, COALESCE(to, 'inf')) contains ship_d" is exactly "the
+    # LAST regime with effective_from <= ship_d" — asof_join computes
+    # that with one key-hash exchange and a sorted pass (union +
+    # running last()), never materializing candidate pairs. The range
+    # form only stays cheap while the dim side broadcasts; at scale
+    # the dim is fact-sized and the planner's fallback is an SMJ whose
+    # per-key work is facts x regimes (guide §3, §2.5).
+    j = asof_join(
+        facts,
+        dim.select("o_custkey", "o_orderpriority", "effective_from"),
+        keys=["o_custkey"],
+        left_ts="ship_d",
+        right_ts="effective_from",
     )
     return j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),

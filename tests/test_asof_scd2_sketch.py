@@ -127,6 +127,19 @@ class TestScd2:
             (2, 1): ("X", None, True),
         }
 
+    def test_single_exchange_with_tiebreak(self, spark):
+        """The tiebreak dedup window clusters on (keys, ts) but rides
+        the same hash(keys) exchange as the regime windows — the whole
+        builder plans exactly ONE shuffle (r12: was two, hash(keys, ts)
+        for the dedup plus hash(keys) for the regimes)."""
+        log = spark.createDataFrame(
+            [(1, 1, "A", 10), (1, 2, "B", 11), (2, 1, "X", 12)],
+            "k int, ts int, attr string, seq int",
+        )
+        dim = scd2_from_changelog(log, keys=["k"], ts="ts", attrs=["attr"], tiebreak="seq")
+        plan = dim._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= 1
+
     def test_same_ts_tiebreak_highest_wins(self, spark):
         log = spark.createDataFrame(
             [(1, 1, "old", 1), (1, 1, "new", 2)], "k int, ts int, attr string, seq int"
