@@ -7427,13 +7427,64 @@ def q_asof_bucketed_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plus the 4 new round-5 operators rotate in this round). Window
 # composition is documented inline below.
 QUERIES = {
-    # ===== round-10 window: every entry whose CODE changed this
-    # round leads (the pagerank edge/iteration restructure, the
-    # dup-span NULL-coalesce + widen family, the decontam/incdedup
-    # widen, the sq8-roundtrip broadcast fix, the coupang raw-widen);
-    # the remainder of the 50 is the least-recently-gated rotation
-    # (r5 vintage first, then r6) so the driver gate keeps cycling
-    # the catalog. Local gates always run ALL 192 entries. =====
+    # ===== round-12 window: every entry whose CODE changed in r11/r12
+    # leads — the r12 restructures (core_sales_daily merged ad pass,
+    # scd2 single-exchange builder + as-of regime attach) and the five
+    # r11-restructured marts + the BPE pair the r11 verdict asked the
+    # driver to confirm; then the least-recently-gated rotation (the
+    # r6 vintage, then r7; six scalar-tier r7 entries rotate next
+    # round). Local gates always run ALL 192 entries. =====
+    "core_sales_daily": q_core_sales_daily,
+    "scd2_effective_revenue": q_scd2_effective_revenue,
+    "scd2_order_priority": q_scd2_order_priority,
+    "smartstore_sales_daily": q_smartstore_sales_daily,
+    "sabangnet_total_order": q_sabangnet_total_order,
+    "coupang_total_order": q_coupang_total_order,
+    "searchad_insight_daily": q_searchad_insight_daily,
+    "dable_report_daily": q_dable_report_daily,
+    "doc_bpe_train": q_doc_bpe_train,
+    "doc_bpe_tokens": q_doc_bpe_tokens,
+    "sabangnet_product_master": q_sabangnet_product_master,
+    "sample_star_consistent": q_sample_star_consistent,
+    "searchad_ad_master": q_searchad_ad_master,
+    "searchad_adgroup_master": q_searchad_adgroup_master,
+    "searchad_report_daily": q_searchad_report_daily,
+    "smartstore_option_master": q_smartstore_option_master,
+    "smartstore_product_master": q_smartstore_product_master,
+    "zorder_extents": q_zorder_extents,
+    "array_predicates": q_array_predicates,
+    "cj_stock_parse": q_cj_stock_parse,
+    "coupang_rocket_options": q_coupang_rocket_options,
+    "coupang_settlement_sales": q_coupang_settlement_sales,
+    "customer_order_anchor": q_customer_order_anchor,
+    "customer_spend_deciles": q_customer_spend_deciles,
+    "dable_report_split": q_dable_report_split,
+    "date_pruned_orders": q_date_pruned_orders,
+    "date_spine_daily_orders": q_date_spine_daily_orders,
+    "distinct_segments": q_distinct_segments,
+    "doc_curation_e2e": q_doc_curation_e2e,
+    "doc_dsir_select": q_doc_dsir_select,
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_hash_splits": q_doc_hash_splits,
+    "doc_lang_guess": q_doc_lang_guess,
+    "doc_pii_redact": q_doc_pii_redact,
+    "doc_text_metrics": q_doc_text_metrics,
+    "doc_top_bigrams": q_doc_top_bigrams,
+    "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
+    "embedding_lsh_buckets": q_embedding_lsh_buckets,
+    "embedding_topk": q_embedding_topk,
+    "events_hourly_windows": q_events_hourly_windows,
+    "events_json_extract": q_events_json_extract,
+    "insert_ignore_orders": q_insert_ignore_orders,
+    "json_struct_projection": q_json_struct_projection,
+    "mart_rolling_sales": q_mart_rolling_sales,
+    "mart_sales_daily": q_mart_sales_daily,
+    "media_audio_features": q_media_audio_features,
+    "media_features": q_media_features,
+    "merge_upsert_balances": q_merge_upsert_balances,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "stock_report_ds": q_stock_report_ds,
+    # ----- end of the driver window -----
     "domain_pagerank": q_domain_pagerank,
     "doc_dup_spans": q_doc_dup_spans,
     "doc_exact_substr_rewrite": q_doc_exact_substr_rewrite,
@@ -7443,7 +7494,6 @@ QUERIES = {
     "embedding_sq8_roundtrip": q_embedding_sq8_roundtrip,
     "coupang_ad_report_rollup": q_coupang_ad_report_rollup,
     "sales_target": q_sales_target,
-    "scd2_order_priority": q_scd2_order_priority,
     "searchad_contract_master": q_searchad_contract_master,
     "searchad_report_merge": q_searchad_report_merge,
     "smartstore_max_delivery_fee": q_smartstore_max_delivery_fee,
@@ -7484,7 +7534,6 @@ QUERIES = {
     "meta_report_daily": q_meta_report_daily,
     "order_value_rank_quantiles": q_order_value_rank_quantiles,
     "sabangnet_option_master": q_sabangnet_option_master,
-    # ----- end of the driver window -----
     "embedding_bq_topk": q_embedding_bq_topk,
     "embedding_sq8": q_embedding_sq8,
     "media_stats_real": q_media_stats_real,
@@ -7519,8 +7568,6 @@ QUERIES = {
     "cj_eflexs_stock_qty_batch": q_cj_eflexs_stock_qty_batch,
     "cj_invoice": q_cj_invoice,
     "cj_invoice_order": q_cj_invoice_order,
-    "coupang_total_order": q_coupang_total_order,
-    "dable_report_daily": q_dable_report_daily,
     "doc_decontam": q_doc_decontam,
     "doc_dup_clusters": q_doc_dup_clusters,
     "doc_pack_plan": q_doc_pack_plan,
@@ -7533,55 +7580,10 @@ QUERIES = {
     "opex_daily": q_opex_daily,
     "rfm_order_count": q_rfm_order_count,
     "rfm_stock_qty_batch": q_rfm_stock_qty_batch,
-    "sabangnet_total_order": q_sabangnet_total_order,
-    "sabangnet_product_master": q_sabangnet_product_master,
-    "sample_star_consistent": q_sample_star_consistent,
-    "scd2_effective_revenue": q_scd2_effective_revenue,
-    "searchad_ad_master": q_searchad_ad_master,
-    "searchad_adgroup_master": q_searchad_adgroup_master,
-    "searchad_report_daily": q_searchad_report_daily,
-    "smartstore_option_master": q_smartstore_option_master,
-    "smartstore_product_master": q_smartstore_product_master,
-    "zorder_extents": q_zorder_extents,
-    "array_predicates": q_array_predicates,
-    "cj_stock_parse": q_cj_stock_parse,
-    "core_sales_daily": q_core_sales_daily,
-    "coupang_rocket_options": q_coupang_rocket_options,
-    "coupang_settlement_sales": q_coupang_settlement_sales,
-    "customer_order_anchor": q_customer_order_anchor,
-    "customer_spend_deciles": q_customer_spend_deciles,
-    "dable_report_split": q_dable_report_split,
-    "date_pruned_orders": q_date_pruned_orders,
-    "date_spine_daily_orders": q_date_spine_daily_orders,
-    "distinct_segments": q_distinct_segments,
-    "doc_curation_e2e": q_doc_curation_e2e,
-    "doc_dsir_select": q_doc_dsir_select,
-    "doc_exact_dedup": q_doc_exact_dedup,
-    "doc_hash_splits": q_doc_hash_splits,
-    "doc_lang_guess": q_doc_lang_guess,
-    "doc_pii_redact": q_doc_pii_redact,
-    "doc_text_metrics": q_doc_text_metrics,
-    "doc_top_bigrams": q_doc_top_bigrams,
-    "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
-    "embedding_lsh_buckets": q_embedding_lsh_buckets,
-    "embedding_topk": q_embedding_topk,
-    "events_hourly_windows": q_events_hourly_windows,
-    "events_json_extract": q_events_json_extract,
-    "insert_ignore_orders": q_insert_ignore_orders,
-    "json_struct_projection": q_json_struct_projection,
-    "mart_rolling_sales": q_mart_rolling_sales,
-    "mart_sales_daily": q_mart_sales_daily,
-    "media_audio_features": q_media_audio_features,
-    "media_features": q_media_features,
-    "merge_upsert_balances": q_merge_upsert_balances,
     "ngram_jaccard_blocked": q_ngram_jaccard_blocked,
     "pivot_status_counts": q_pivot_status_counts,
     "safe_casts": q_safe_casts,
-    "searchad_insight_daily": q_searchad_insight_daily,
-    "simhash_fingerprints": q_simhash_fingerprints,
-    "smartstore_sales_daily": q_smartstore_sales_daily,
     "sql_model_sales_by_priority": q_sql_model_sales_by_priority,
-    "stock_report_ds": q_stock_report_ds,
     "string_agg_names": q_string_agg_names,
     "unpivot_lineitem_measures": q_unpivot_lineitem_measures,
     "allocation_integer_even": q_allocation_integer_even,
@@ -7593,8 +7595,6 @@ QUERIES = {
     "cumulative_customer_spend": q_cumulative_customer_spend,
     "customers_without_orders": q_customers_without_orders,
     "date_functions": q_date_functions,
-    "doc_bpe_tokens": q_doc_bpe_tokens,
-    "doc_bpe_train": q_doc_bpe_train,
     "effective_dated_campaign": q_effective_dated_campaign,
     "embedding_cluster_stats": q_embedding_cluster_stats,
     "embedding_ivf_cells": q_embedding_ivf_cells,
