@@ -646,14 +646,29 @@ def smartstore_sales_daily(
             ),
         )
     )
+    # ONE exchange for the whole allocation chain (guide §2.4): every
+    # window stage below — the per-product-order amount split, the
+    # per-(order, invoice, group) fee aggregates, the per-(order,
+    # invoice) winner and fee split — clusters on a superset of
+    # order_id, and the in-between joins are all broadcast, so an
+    # explicit hash(order_id) repartition satisfies all of them.
+    # Without it Spark plans one exchange PER DISTINCT window key
+    # (hash(product_order_id), hash(order, invoice, group),
+    # hash(order, invoice): three data-sized shuffles of the exploded
+    # fact). The split key gains order_id, which is an identity
+    # change: product_order_id is the PK of order_detail, so every
+    # exploded row of a product order carries the same order_id.
     split = split_by_cost_weight(
-        exploded, ["product_order_id"], ["payment_amount", "supply_amount"]
+        exploded.repartition(F.col("order_id")),
+        ["order_id", "product_order_id"],
+        ["payment_amount", "supply_amount"],
     )
     dlv2 = with_cj_delivery(split, cj_inv, cj_ord, unit)
     # Fused fee attach: the aggregate+join-back form re-executed the
     # whole upstream chain (scan/explode/allocation) a second time for
     # the fee subtree — attach_max_delivery_fee computes the identical
-    # winner fee with windows over dlv2 itself (one exchange).
+    # winner fee with windows over dlv2 itself (riding the order_id
+    # exchange established above).
     attached = attach_max_delivery_fee(dlv2, tiers)
     final = split_by_cost_weight(
         attached, ["order_id", "invoice_no"], ["delivery_fee"]

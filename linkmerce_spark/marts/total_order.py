@@ -317,8 +317,16 @@ def sabangnet_product_order(
     amount split -> CJ delivery -> max fee -> fee split (:56-474)."""
     ord_df = sabangnet_explode(bundle_product_order)
     costed = with_cost_data(ord_df, ecount, item)
+    # ONE exchange for the whole allocation chain (guide §2.4): the
+    # amount split clusters on (account_no, order_id), the fee stages
+    # on (order_id, invoice_no[, delivery_group]) — all supersets of
+    # order_id, with only broadcast joins in between — so an explicit
+    # hash(order_id) repartition serves every window below (Spark
+    # otherwise plans one data-sized exchange per distinct key set).
     split = split_group_sum(
-        costed, ["account_no", "order_id"], ["payment_amount", "supply_amount"]
+        costed.repartition(F.col("order_id")),
+        ["account_no", "order_id"],
+        ["payment_amount", "supply_amount"],
     )
     dlv = with_cj_delivery(split, cj_inv, cj_ord, unit)
     # Fused fee attach (see attach_max_delivery_fee): the old
